@@ -1,0 +1,401 @@
+package graft.core
+
+/** The per-column lightweight-compression codec suite. Each block of column
+  * values encodes to a self-describing binary blob:
+  *
+  *   byte 0 = codec id, then a codec-specific little-endian header + payload.
+  *
+  * Long-column codecs generalize the reference's packed-integer kernels
+  * (pack/unpack pint.hpp:390-407,799-822; min/max for frame-of-reference
+  * pint.hpp:936-966; wrapping add/sub for delta chains pint.hpp:826-884):
+  *
+  *   CONST_LONG  all values equal — store once
+  *   BITPACK     values bit-packed at width = bitsNeeded(max) (unsigned)
+  *   FOR         frame-of-reference: ref = min, pack (v - ref)
+  *   DELTA       first value + zig-zag deltas bit-packed (sorted/clustered)
+  *   RLE_LONG    run-length: FoR-packed run values + packed run lengths
+  *
+  * Byte/string-column codecs (the north rule's dict/RLE/FSST suite):
+  *
+  *   CONST_STR   all equal
+  *   RAW_STR     packed lengths + concatenated bytes
+  *   DICT        sorted distinct dictionary + bit-packed codes
+  *   RLE_DICT    dictionary + run-length-encoded codes
+  *   FSST        trained symbol table + compressed bytes (Fsst.scala)
+  *
+  * `encode` (auto) picks the codec with minimal estimated encoded bytes —
+  * the runtime analog of the reference's compile-time storage-width /
+  * mask-strategy selection (pint.hpp:724-734, 443-456).
+  */
+object Codecs {
+  // codec ids (byte 0 of every blob)
+  final val ConstLong = 1
+  final val BitPackId = 2
+  final val ForId = 3
+  final val DeltaId = 4
+  final val RleLong = 5
+  final val ConstStr = 16
+  final val RawStr = 17
+  final val DictId = 18
+  final val RleDict = 19
+  final val FsstId = 20
+
+  def codecName(id: Int): String = id match {
+    case ConstLong => "const"
+    case BitPackId => "bitpack"
+    case ForId     => "for"
+    case DeltaId   => "delta"
+    case RleLong   => "rle"
+    case ConstStr  => "const"
+    case RawStr    => "raw"
+    case DictId    => "dict"
+    case RleDict   => "rle_dict"
+    case FsstId    => "fsst"
+    case other     => s"unknown($other)"
+  }
+
+  def codecOf(blob: Array[Byte]): String = codecName(blob(0) & 0xff)
+
+  // ======================== Long columns ========================
+
+  /** Distribution stats driving codec choice (gathered in one pass). */
+  final case class LongStats(count: Int, min: Long, max: Long, runs: Int,
+                             maxZigzagDelta: Long, sorted: Boolean) {
+    def widthFor: Int = BitPack.bitsNeeded(max - min) // max-min may wrap if range > Long.Max; guarded in analyze
+    def widthDelta: Int = BitPack.bitsNeeded(maxZigzagDelta)
+  }
+
+  def analyzeLongs(vs: Array[Long]): LongStats = {
+    require(vs.nonEmpty, "empty block")
+    var mn = vs(0); var mx = vs(0); var runs = 1
+    var maxZz = 0L; var sorted = true
+    var i = 1
+    while (i < vs.length) {
+      val v = vs(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      if (v != vs(i - 1)) runs += 1
+      if (v < vs(i - 1)) sorted = false
+      val zz = BitPack.zigzag(v - vs(i - 1)) // wrapping delta round-trips by construction
+      if (java.lang.Long.compareUnsigned(zz, maxZz) > 0) maxZz = zz
+      i += 1
+    }
+    LongStats(vs.length, mn, mx, runs, maxZz, sorted)
+  }
+
+  /** Estimated blob bytes per codec; Long.MaxValue = not applicable. */
+  def estimateLong(s: LongStats): Map[Int, Long] = {
+    // max >= min, so max-min only goes negative on 64-bit overflow
+    val range = s.max - s.min
+    val forW = if (range < 0) 64 else BitPack.bitsNeeded(range)
+    val bp = if (s.min < 0) Long.MaxValue // bitpack stores raw unsigned; negatives need 64 bits -> FOR wins anyway
+             else 1L + 4 + 1 + BitPack.packedByteLen(s.count, BitPack.bitsNeeded(s.max)).toLong
+    Map(
+      ConstLong -> (if (s.runs == 1) 13L else Long.MaxValue),
+      BitPackId -> bp,
+      ForId -> (1L + 4 + 1 + 8 + BitPack.packedByteLen(s.count, forW).toLong),
+      DeltaId -> (1L + 4 + 1 + 8 + BitPack.packedByteLen(s.count - 1, s.widthDelta).toLong),
+      RleLong -> {
+        val valW = forW
+        val lenW = 32 // conservative before run-length pass; exact at encode
+        1L + 4 + 4 + 1 + 1 + 8 + BitPack.packedByteLen(s.runs, valW).toLong +
+          BitPack.packedByteLen(s.runs, lenW).toLong
+      }
+    )
+  }
+
+  /** Auto-select and encode (the codec selector, SURVEY.md §7.4). */
+  def encodeLongs(vs: Array[Long]): Array[Byte] = {
+    val s = analyzeLongs(vs)
+    val best = estimateLong(s).minBy(_._2)._1
+    encodeLongsAs(vs, best, Some(s))
+  }
+
+  def encodeLongsAs(vs: Array[Long], id: Int, stats: Option[LongStats] = None): Array[Byte] = {
+    val s = stats.getOrElse(analyzeLongs(vs))
+    val w = new ByteWriter(vs.length + 16)
+    id match {
+      case ConstLong =>
+        w.writeByte(ConstLong); w.writeInt(s.count); w.writeLong(vs(0))
+      case BitPackId =>
+        require(s.min >= 0, "bitpack requires non-negative values; use FOR")
+        val width = BitPack.bitsNeeded(s.max)
+        w.writeByte(BitPackId); w.writeInt(s.count); w.writeByte(width)
+        w.writeBytes(BitPack.pack(vs, width))
+      case ForId =>
+        val range = s.max - s.min
+        val width = if (range < 0) 64 else BitPack.bitsNeeded(range)
+        w.writeByte(ForId); w.writeInt(s.count); w.writeByte(width); w.writeLong(s.min)
+        val shifted = new Array[Long](vs.length)
+        var i = 0
+        while (i < vs.length) { shifted(i) = vs(i) - s.min; i += 1 }
+        w.writeBytes(BitPack.pack(shifted, width))
+      case DeltaId =>
+        val width = if (s.count == 1) 1 else s.widthDelta
+        w.writeByte(DeltaId); w.writeInt(s.count); w.writeByte(width); w.writeLong(vs(0))
+        val deltas = new Array[Long](vs.length - 1)
+        var i = 1
+        while (i < vs.length) { deltas(i - 1) = BitPack.zigzag(vs(i) - vs(i - 1)); i += 1 }
+        w.writeBytes(BitPack.pack(deltas, width))
+      case RleLong =>
+        val runVals = new Array[Long](s.runs)
+        val runLens = new Array[Long](s.runs)
+        var r = -1
+        var i = 0
+        while (i < vs.length) {
+          if (r < 0 || vs(i) != runVals(r)) { r += 1; runVals(r) = vs(i); runLens(r) = 1 }
+          else runLens(r) += 1
+          i += 1
+        }
+        val range = s.max - s.min
+        val valW = if (range < 0) 64 else BitPack.bitsNeeded(range)
+        var maxLen = 0L
+        runLens.foreach(l => if (l > maxLen) maxLen = l)
+        val lenW = BitPack.bitsNeeded(maxLen)
+        val shifted = runVals.map(_ - s.min)
+        w.writeByte(RleLong); w.writeInt(s.count); w.writeInt(s.runs)
+        w.writeByte(valW); w.writeByte(lenW); w.writeLong(s.min)
+        w.writeBytes(BitPack.pack(shifted, valW))
+        w.writeBytes(BitPack.pack(runLens, lenW))
+      case other => throw new IllegalArgumentException(s"not a long codec id: $other")
+    }
+    w.toArray
+  }
+
+  def decodeLongs(blob: Array[Byte]): Array[Long] = {
+    val r = new ByteReader(blob)
+    val id = r.readByte() & 0xff
+    val count = r.readInt()
+    id match {
+      case ConstLong =>
+        val v = r.readLong()
+        Array.fill(count)(v)
+      case BitPackId =>
+        val width = r.readByte() & 0xff
+        BitPack.unpack(r.readBytes(r.remaining), width, count)
+      case ForId =>
+        val width = r.readByte() & 0xff
+        val ref = r.readLong()
+        val out = BitPack.unpack(r.readBytes(r.remaining), width, count)
+        var i = 0
+        while (i < out.length) { out(i) += ref; i += 1 }
+        out
+      case DeltaId =>
+        val width = r.readByte() & 0xff
+        val first = r.readLong()
+        val deltas = BitPack.unpack(r.readBytes(r.remaining), width, count - 1)
+        val out = new Array[Long](count)
+        out(0) = first
+        var i = 1
+        while (i < count) { out(i) = out(i - 1) + BitPack.unzigzag(deltas(i - 1)); i += 1 }
+        out
+      case RleLong =>
+        val nRuns = r.readInt()
+        val valW = r.readByte() & 0xff
+        val lenW = r.readByte() & 0xff
+        val ref = r.readLong()
+        val valBytes = r.readBytes(BitPack.packedByteLen(nRuns, valW))
+        val runVals = BitPack.unpack(valBytes, valW, nRuns)
+        val runLens = BitPack.unpack(r.readBytes(r.remaining), lenW, nRuns)
+        val out = new Array[Long](count)
+        var i = 0; var o = 0
+        while (i < nRuns) {
+          val v = runVals(i) + ref
+          var k = runLens(i)
+          while (k > 0) { out(o) = v; o += 1; k -= 1 }
+          i += 1
+        }
+        out
+      case other => throw new IllegalArgumentException(s"not a long codec id: $other")
+    }
+  }
+
+  // ======================== Byte/string columns ========================
+
+  final case class StrStats(count: Int, totalBytes: Long, ndv: Int, runs: Int,
+                            dictBytes: Long, maxLen: Int)
+
+  def analyzeStrs(vs: Array[Array[Byte]]): StrStats = {
+    require(vs.nonEmpty, "empty block")
+    val seen = new java.util.HashMap[java.nio.ByteBuffer, Integer]()
+    var total = 0L; var runs = 1; var dictBytes = 0L; var maxLen = 0
+    var i = 0
+    while (i < vs.length) {
+      total += vs(i).length
+      if (vs(i).length > maxLen) maxLen = vs(i).length
+      if (i > 0 && !java.util.Arrays.equals(vs(i), vs(i - 1))) runs += 1
+      val key = java.nio.ByteBuffer.wrap(vs(i))
+      if (!seen.containsKey(key)) { seen.put(key, 1); dictBytes += vs(i).length }
+      i += 1
+    }
+    StrStats(vs.length, total, seen.size(), runs, dictBytes, maxLen)
+  }
+
+  def estimateStr(s: StrStats, fsstRatio: Double): Map[Int, Long] = {
+    val codeW = BitPack.bitsNeeded(math.max(s.ndv - 1, 1))
+    val lenW = BitPack.bitsNeeded(s.maxLen)
+    val dictOverhead = s.dictBytes + BitPack.packedByteLen(s.ndv, lenW).toLong + 16
+    Map(
+      ConstStr -> (if (s.ndv == 1) 9L + s.dictBytes else Long.MaxValue),
+      RawStr -> (6L + BitPack.packedByteLen(s.count, lenW).toLong + s.totalBytes),
+      DictId -> (if (s.ndv <= s.count / 2 || s.dictBytes * 4 < s.totalBytes)
+        dictOverhead + BitPack.packedByteLen(s.count, codeW).toLong else Long.MaxValue),
+      RleDict -> (if (s.runs <= s.count / 2)
+        dictOverhead + 8 + BitPack.packedByteLen(s.runs, codeW).toLong +
+          BitPack.packedByteLen(s.runs, 32).toLong else Long.MaxValue),
+      FsstId -> (if (s.totalBytes >= 64)
+        (s.totalBytes * fsstRatio).toLong + 300 + BitPack.packedByteLen(s.count, lenW).toLong
+      else Long.MaxValue)
+    )
+  }
+
+  /** Sample-compress to estimate the FSST ratio without full encode. */
+  def sampleFsstRatio(vs: Array[Array[Byte]], budget: Int = 1 << 14): Double = {
+    val w = new ByteWriter(budget)
+    var i = 0
+    val step = math.max(1, vs.length / 64)
+    while (i < vs.length && w.size < budget) { w.writeBytes(vs(i)); i += step }
+    val sample = w.toArray
+    if (sample.length < 64) return 1.0
+    val table = Fsst.train(sample)
+    val comp = table.compress(sample)
+    math.min(1.0, (comp.length.toDouble + table.serializedSize) / sample.length)
+  }
+
+  def encodeStrs(vs: Array[Array[Byte]]): Array[Byte] = {
+    val s = analyzeStrs(vs)
+    val ratio = if (s.totalBytes >= 64 && s.ndv > 1) sampleFsstRatio(vs) else 1.0
+    val best = estimateStr(s, ratio).minBy(_._2)._1
+    encodeStrsAs(vs, best, Some(s))
+  }
+
+  private def writeLens(w: ByteWriter, vs: Array[Array[Byte]]): Unit = {
+    val lens = vs.map(_.length.toLong)
+    var maxLen = 0L
+    lens.foreach(l => if (l > maxLen) maxLen = l)
+    val lenW = BitPack.bitsNeeded(maxLen)
+    w.writeByte(lenW)
+    w.writeBytes(BitPack.pack(lens, lenW))
+  }
+
+  private def readLens(r: ByteReader, count: Int): Array[Int] = {
+    val lenW = r.readByte() & 0xff
+    BitPack.unpack(r.readBytes(BitPack.packedByteLen(count, lenW)), lenW, count).map(_.toInt)
+  }
+
+  def encodeStrsAs(vs: Array[Array[Byte]], id: Int, stats: Option[StrStats] = None): Array[Byte] = {
+    val w = new ByteWriter(64)
+    id match {
+      case ConstStr =>
+        w.writeByte(ConstStr); w.writeInt(vs.length); w.writeInt(vs(0).length)
+        w.writeBytes(vs(0))
+      case RawStr =>
+        w.writeByte(RawStr); w.writeInt(vs.length)
+        writeLens(w, vs)
+        vs.foreach(w.writeBytes)
+      case DictId | RleDict =>
+        // sorted distinct dictionary; codes reference it (deterministic layout)
+        val dict = vs.distinctBy(java.nio.ByteBuffer.wrap).sortWith { (a, b) =>
+          java.util.Arrays.compareUnsigned(a, b) < 0
+        }
+        val index = new java.util.HashMap[java.nio.ByteBuffer, Integer](dict.length * 2)
+        dict.zipWithIndex.foreach { case (d, i) => index.put(java.nio.ByteBuffer.wrap(d), i) }
+        val codes = vs.map(v => index.get(java.nio.ByteBuffer.wrap(v)).toLong)
+        val codeW = BitPack.bitsNeeded(math.max(dict.length - 1, 1))
+        w.writeByte(id); w.writeInt(vs.length); w.writeInt(dict.length)
+        writeLens(w, dict)
+        dict.foreach(w.writeBytes)
+        w.writeByte(codeW)
+        if (id == DictId) {
+          w.writeBytes(BitPack.pack(codes, codeW))
+        } else {
+          // RLE over the code stream
+          var runs = 1
+          var i = 1
+          while (i < codes.length) { if (codes(i) != codes(i - 1)) runs += 1; i += 1 }
+          val runVals = new Array[Long](runs); val runLens = new Array[Long](runs)
+          var r = -1; i = 0
+          while (i < codes.length) {
+            if (r < 0 || codes(i) != runVals(r)) { r += 1; runVals(r) = codes(i); runLens(r) = 1 }
+            else runLens(r) += 1
+            i += 1
+          }
+          var maxLen = 0L
+          runLens.foreach(l => if (l > maxLen) maxLen = l)
+          val lenW = BitPack.bitsNeeded(maxLen)
+          w.writeInt(runs); w.writeByte(lenW)
+          w.writeBytes(BitPack.pack(runVals, codeW))
+          w.writeBytes(BitPack.pack(runLens, lenW))
+        }
+      case FsstId =>
+        val sampleW = new ByteWriter(1 << 14)
+        var i = 0
+        val step = math.max(1, vs.length / 64)
+        while (i < vs.length && sampleW.size < (1 << 14)) { sampleW.writeBytes(vs(i)); i += step }
+        val table = Fsst.train(sampleW.toArray)
+        val comp = vs.map(table.compress)
+        w.writeByte(FsstId); w.writeInt(vs.length)
+        table.writeTo(w)
+        writeLens(w, comp)
+        comp.foreach(w.writeBytes)
+      case other => throw new IllegalArgumentException(s"not a string codec id: $other")
+    }
+    w.toArray
+  }
+
+  def decodeStrs(blob: Array[Byte]): Array[Array[Byte]] = {
+    val r = new ByteReader(blob)
+    val id = r.readByte() & 0xff
+    val count = r.readInt()
+    id match {
+      case ConstStr =>
+        val len = r.readInt()
+        val v = r.readBytes(len)
+        Array.fill(count)(v)
+      case RawStr =>
+        val lens = readLens(r, count)
+        lens.map(r.readBytes)
+      case DictId | RleDict =>
+        val ndv = r.readInt()
+        val dictLens = readLens(r, ndv)
+        val dict = dictLens.map(r.readBytes)
+        val codeW = r.readByte() & 0xff
+        val codes: Array[Long] =
+          if (id == DictId) BitPack.unpack(r.readBytes(r.remaining), codeW, count)
+          else {
+            val runs = r.readInt()
+            val lenW = r.readByte() & 0xff
+            val runVals = BitPack.unpack(r.readBytes(BitPack.packedByteLen(runs, codeW)), codeW, runs)
+            val runLens = BitPack.unpack(r.readBytes(r.remaining), lenW, runs)
+            val out = new Array[Long](count)
+            var i = 0; var o = 0
+            while (i < runs) {
+              var k = runLens(i)
+              while (k > 0) { out(o) = runVals(i); o += 1; k -= 1 }
+              i += 1
+            }
+            out
+          }
+        codes.map(c => dict(c.toInt))
+      case FsstId =>
+        val table = Fsst.SymbolTable.readFrom(r)
+        val lens = readLens(r, count)
+        val out = new Array[Array[Byte]](count)
+        var i = 0
+        while (i < count) {
+          val start = r.pos
+          out(i) = table.decompress(r.buf, start, start + lens(i))
+          r.pos += lens(i)
+          i += 1
+        }
+        out
+      case other => throw new IllegalArgumentException(s"not a string codec id: $other")
+    }
+  }
+
+  // string helpers (UTF-8 view)
+  def encodeStrings(vs: Array[String]): Array[Byte] =
+    encodeStrs(vs.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+  def decodeStrings(blob: Array[Byte]): Array[String] =
+    decodeStrs(blob).map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+}

@@ -1,0 +1,181 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Round-trip + selector tests for the codec suite (SURVEY.md §5 items 2,4:
+  * codec round-trips on generated data; selector fixtures with known-optimal
+  * codecs). Deterministic seeds throughout. */
+class CodecsSpec extends AnyFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+
+  private def rt(vs: Array[Long]): Unit = {
+    val blob = Codecs.encodeLongs(vs)
+    assert(Codecs.decodeLongs(blob).toSeq === vs.toSeq, s"codec=${Codecs.codecOf(blob)}")
+  }
+
+  test("long round-trip: constant column selects const") {
+    val vs = Array.fill(1000)(42L)
+    val blob = Codecs.encodeLongs(vs)
+    assert(Codecs.codecOf(blob) === "const")
+    assert(blob.length === 13)
+    assert(Codecs.decodeLongs(blob).toSeq === vs.toSeq)
+  }
+
+  test("long round-trip: random 40-bit ints select bitpack at width 40-ish") {
+    val vs = Array.fill(4096)(rnd.nextLong() & BitPack.maskFor(40))
+    val blob = Codecs.encodeLongs(vs)
+    assert(Codecs.codecOf(blob) === "bitpack")
+    assert(blob.length <= 4096L * 40 / 8 + 16)
+    assert(Codecs.decodeLongs(blob).toSeq === vs.toSeq)
+  }
+
+  test("long round-trip: sorted timestamps with small jitter select delta") {
+    val base = 1700000000000000L
+    var t = base
+    val vs = Array.fill(4096) { t += 1000 + rnd.nextInt(50); t }
+    val blob = Codecs.encodeLongs(vs)
+    assert(Codecs.codecOf(blob) === "delta")
+    assert(blob.length < 4096 * 3) // ~11-bit zigzag deltas ≪ 8 B/value
+    assert(Codecs.decodeLongs(blob).toSeq === vs.toSeq)
+  }
+
+  test("long round-trip: clustered values in a narrow high band select for") {
+    val vs = Array.fill(4096)(1L << 60 | (rnd.nextInt(1000).toLong)).map(v => -v)
+    rt(vs) // negatives force FOR over bitpack
+    val blob = Codecs.encodeLongs(vs)
+    assert(Codecs.codecOf(blob) === "for" || Codecs.codecOf(blob) === "delta")
+  }
+
+  test("long round-trip: long runs select rle") {
+    val vs = (0 until 50).flatMap(i => Array.fill(200)(i.toLong * 7)).toArray
+    val blob = Codecs.encodeLongs(vs)
+    assert(Codecs.codecOf(blob) === "rle")
+    assert(blob.length < 500)
+    assert(Codecs.decodeLongs(blob).toSeq === vs.toSeq)
+  }
+
+  test("long round-trip: adversarial distributions") {
+    rt(Array(0L))
+    rt(Array(Long.MinValue, Long.MaxValue)) // full-range FOR overflow guard
+    rt(Array(-1L, 0L, 1L))
+    rt(Array.fill(257)(rnd.nextLong()))
+    rt(Array.tabulate(1000)(i => if (i % 2 == 0) Long.MinValue else Long.MaxValue))
+    (1 to 64).foreach(w => rt(Array.fill(67)(rnd.nextLong() & BitPack.maskFor(w))))
+  }
+
+  test("every long codec round-trips when forced") {
+    val vs = Array.tabulate(777)(i => (i / 3).toLong)
+    Seq(Codecs.BitPackId, Codecs.ForId, Codecs.DeltaId, Codecs.RleLong).foreach { id =>
+      assert(Codecs.decodeLongs(Codecs.encodeLongsAs(vs, id)).toSeq === vs.toSeq, s"id=$id")
+    }
+  }
+
+  // ---- strings ----
+
+  private val langs = Array("en", "de", "fr", "es", "zh", "ja", "pt", "ru")
+  private def words = Array("the", "quick", "brown", "fox", "jumps", "over", "lazy",
+    "dog", "compression", "spark", "column", "encode", "worth", "señor", "日本語")
+  private def sentence(r: scala.util.Random, n: Int): String =
+    Array.fill(n)(words(r.nextInt(words.length))).mkString(" ")
+
+  test("string round-trip: constant column selects const") {
+    val vs = Array.fill(500)("en")
+    val blob = Codecs.encodeStrings(vs)
+    assert(Codecs.codecOf(blob) === "const")
+    assert(Codecs.decodeStrings(blob).toSeq === vs.toSeq)
+  }
+
+  test("string round-trip: low-cardinality selects dict (or rle_dict when sorted)") {
+    val r = new scala.util.Random(1)
+    val vs = Array.fill(2000)(langs(r.nextInt(langs.length)))
+    val blob = Codecs.encodeStrings(vs)
+    assert(Codecs.codecOf(blob) === "dict")
+    assert(blob.length < 2000) // ≤3 bits/code + tiny dict, raw would be ~4000 B
+    assert(Codecs.decodeStrings(blob).toSeq === vs.toSeq)
+
+    val sortedVs = vs.sorted
+    val blob2 = Codecs.encodeStrings(sortedVs)
+    assert(Codecs.codecOf(blob2) === "rle_dict")
+    assert(blob2.length < blob.length)
+    assert(Codecs.decodeStrings(blob2).toSeq === sortedVs.toSeq)
+  }
+
+  test("string round-trip: english-like text selects fsst and compresses >1.5x") {
+    val r = new scala.util.Random(2)
+    val vs = Array.fill(300)(sentence(r, 30))
+    val raw = vs.map(_.getBytes(UTF_8).length).sum
+    val blob = Codecs.encodeStrings(vs)
+    assert(Codecs.codecOf(blob) === "fsst")
+    assert(blob.length.toDouble < raw / 1.5, s"fsst ${blob.length} vs raw $raw")
+    assert(Codecs.decodeStrings(blob).toSeq === vs.toSeq)
+  }
+
+  test("string round-trip: high-entropy unique strings fall back to raw") {
+    val r = new scala.util.Random(3)
+    val vs = Array.fill(200)(r.nextString(20)) // random UTF-16 chars ⇒ incompressible
+    val blob = Codecs.encodeStrings(vs)
+    assert(Codecs.decodeStrings(blob).toSeq === vs.toSeq)
+  }
+
+  test("string round-trip: adversarial — empty strings, non-ASCII, single row") {
+    Seq(
+      Array(""),
+      Array("", "", ""),
+      Array("a"),
+      Array("日本語テキスト", "ñçüö", "", "🙂 emoji", "plain"),
+      Array.fill(100)("")
+    ).foreach { vs =>
+      assert(Codecs.decodeStrings(Codecs.encodeStrings(vs)).toSeq === vs.toSeq)
+    }
+  }
+
+  test("every string codec round-trips when forced") {
+    val r = new scala.util.Random(4)
+    val vs = Array.fill(150)(sentence(r, 5)).map(_.getBytes(UTF_8))
+    Seq(Codecs.RawStr, Codecs.DictId, Codecs.RleDict, Codecs.FsstId).foreach { id =>
+      val back = Codecs.decodeStrs(Codecs.encodeStrsAs(vs, id))
+      assert(back.length === vs.length)
+      back.zip(vs).foreach { case (a, b) => assert(java.util.Arrays.equals(a, b), s"id=$id") }
+    }
+  }
+
+  test("binary (html-like) round-trip via fsst") {
+    val r = new scala.util.Random(5)
+    val vs = Array.fill(100)(("<html><body><p>" + sentence(r, 20) + "</p></body></html>").getBytes(UTF_8))
+    val blob = Codecs.encodeStrs(vs)
+    val back = Codecs.decodeStrs(blob)
+    back.zip(vs).foreach { case (a, b) => assert(java.util.Arrays.equals(a, b)) }
+    assert(blob.length < vs.map(_.length).sum)
+  }
+
+  // ---- FSST unit behavior ----
+
+  test("fsst: escape-only table still round-trips") {
+    val table = new Fsst.SymbolTable(Array.empty)
+    val data = "hello world".getBytes(UTF_8)
+    val comp = table.compress(data)
+    assert(comp.length === data.length * 2) // all escaped
+    assert(new String(table.decompress(comp, 0, comp.length), UTF_8) === "hello world")
+  }
+
+  test("fsst: trained table compresses repetitive text well") {
+    val data = ("http://example.com/page/" * 400).getBytes(UTF_8)
+    val table = Fsst.train(data)
+    val comp = table.compress(data)
+    assert(comp.length * 4 < data.length, s"${comp.length} vs ${data.length}")
+    assert(java.util.Arrays.equals(table.decompress(comp, 0, comp.length), data))
+  }
+
+  test("fsst: symbol table serialization round-trips") {
+    val data = ("the quick brown fox " * 100).getBytes(UTF_8)
+    val table = Fsst.train(data)
+    val w = new ByteWriter()
+    table.writeTo(w)
+    val back = Fsst.SymbolTable.readFrom(new ByteReader(w.toArray))
+    assert(back.symbols.length === table.symbols.length)
+    val comp = table.compress(data)
+    assert(java.util.Arrays.equals(back.decompress(comp, 0, comp.length), data))
+  }
+}
