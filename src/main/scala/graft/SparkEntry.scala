@@ -1,13 +1,344 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions._
+import graft.operators.TextOps
+import graft.plans.EncodePipeline
+import graft.sources.WebDocGen
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator family from SURVEY.md §2; the
+  * SQL-expressible ones carry a DuckDB oracle in `oracleSql` (identical
+  * column names/types both sides); codec round-trips are *self-checking*:
+  * they return an `n_mismatch` column the oracle pins to 0, so DuckDB
+  * verifies bit-identical decode without re-implementing the codec.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** group rows, collect a long column into sorted block arrays, encode with
+    * `codec` (or auto), decode, and count value mismatches — returns
+    * (n_rows, n_mismatch) plus optional extra aggregates computed later. */
+  private def longRoundTrip(df: DataFrame, valueCol: Column, groups: Column,
+                            codec: Option[String]): DataFrame = {
+    val blocks = df.groupBy(groups.as("g"))
+      .agg(sort_array(collect_list(valueCol)).as("vals"))
+    val enc = codec.map(c => encode_longs_as(col("vals"), c)).getOrElse(encode_longs(col("vals")))
+    blocks.select(col("vals"), decode_longs(enc).as("back"))
+      .select(size(col("vals")).as("n"),
+        when(col("vals") === col("back"), 0).otherwise(size(col("vals"))).as("bad"))
+      .agg(sum(col("n")).cast("long").as("n_rows"),
+        sum(col("bad")).cast("long").as("n_mismatch"))
+  }
+
+  private def strRoundTrip(df: DataFrame, valueCol: Column, groups: Column,
+                           codec: Option[String]): DataFrame = {
+    val blocks = df.groupBy(groups.as("g"))
+      .agg(sort_array(collect_list(valueCol)).as("vals"))
+    val enc = codec.map(c => encode_strings_as(col("vals"), c)).getOrElse(encode_strings(col("vals")))
+    blocks.select(col("vals"), decode_strings(enc).as("back"))
+      .select(size(col("vals")).as("n"),
+        when(col("vals") === col("back"), 0).otherwise(size(col("vals"))).as("bad"))
+      .agg(sum(col("n")).cast("long").as("n_rows"),
+        sum(col("bad")).cast("long").as("n_mismatch"))
+  }
+
+  /** Flagship on sf=0.001 (driver smoke-checks rows>0): synthesize the
+    * north-rule WebDoc table, run the full encode→decode→verify pipeline,
+    * and report correctness + compression in one row. */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = WebDocGen.dataset(spark, 2000, 8).toDF()
+    val enc = EncodePipeline.encode(docs, "url", partitions = 8, blockSize = 512,
+      partExpr = Some(EncodePipeline.saltedHostPart("url", 8, 4))).cache()
+    val decoded = EncodePipeline.decode(enc, docs.schema)
+    val verify = EncodePipeline.verifyRoundTrip(docs, decoded, "url")
+    val meta = EncodePipeline.metadata(enc, docs.schema)
+      .agg(sum("raw_bytes").as("raw_bytes"), sum("encoded_bytes").as("encoded_bytes"))
+    val out = verify.crossJoin(meta)
+      .select(col("rows"), col("mismatches"), col("raw_bytes"), col("encoded_bytes"),
+        round(col("raw_bytes") / col("encoded_bytes"), 2).as("compression_ratio"))
+    out
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- codec round-trips (self-checking; oracle pins n_mismatch = 0) ----
+    "q_bitpack_roundtrip" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      longRoundTrip(e, col("user_id"), pmod(col("event_id"), lit(32)), Some("bitpack"))
+    }),
+    "q_delta_ts_roundtrip" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+        .select(unix_micros(col("ts").cast("timestamp")).as("us"), col("user_id"))
+      val rt = longRoundTrip(e, col("us"), pmod(col("user_id"), lit(16)), Some("delta"))
+      rt.crossJoin(e.agg(min(col("us")).as("min_us"), max(col("us")).as("max_us")))
+    }),
+    "q_for_roundtrip" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val rt = longRoundTrip(li, col("l_orderkey"), pmod(col("l_partkey"), lit(32)), Some("for"))
+      rt.crossJoin(li.agg(sum(col("l_orderkey")).cast("long").as("sum_key")))
+    }),
+    "q_rle_roundtrip" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      longRoundTrip(li, col("l_linenumber").cast("long"), pmod(col("l_orderkey"), lit(16)), Some("rle"))
+    }),
+    "q_dict_roundtrip" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val rt = strRoundTrip(d, col("lang"), pmod(col("doc_id"), lit(8)), Some("dict"))
+      rt.crossJoin(d.agg(countDistinct(col("lang")).cast("long").as("n_langs")))
+    }),
+    "q_fsst_roundtrip" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val rt = strRoundTrip(d, col("text"), pmod(col("doc_id"), lit(8)), Some("fsst"))
+      rt.crossJoin(d.agg(sum(octet_length(col("text"))).cast("long").as("total_bytes")))
+    }),
+    "q_auto_roundtrip" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val a = longRoundTrip(e, col("user_id"), pmod(col("event_id"), lit(32)), None)
+      val b = strRoundTrip(e, col("event_type"), pmod(col("event_id"), lit(32)), None)
+      a.select(col("n_rows").as("nr1"), col("n_mismatch").as("m1"))
+        .crossJoin(b.select(col("n_rows").as("nr2"), col("n_mismatch").as("m2")))
+        .select((col("nr1") + col("nr2")).as("n_values"), (col("m1") + col("m2")).as("n_mismatch"))
+    }),
+
+    // ---- analyzer / selector statistics (oracle-checked aggregations) ----
+    "q_bitwidth_hist" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(bits_needed(col("user_id")).as("width"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("width"))
+    }),
+    "q_codec_stats" -> ((s, dir) => {
+      tbl(s, dir, "events").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        min(col("user_id")).cast("long").as("min_user"),
+        max(col("user_id")).cast("long").as("max_user"),
+        countDistinct(col("user_id")).cast("long").as("ndv_user"),
+        min(col("event_id")).cast("long").as("min_event"),
+        max(col("event_id")).cast("long").as("max_event"))
+    }),
+    "q_run_count" -> ((s, dir) => {
+      val w = Window.orderBy(col("event_id"))
+      tbl(s, dir, "events")
+        .select(col("event_type"), lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_runs"))
+    }),
+    "q_dict_viability" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val lang = d.agg(lit("lang").as("column_name"), count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("lang")).cast("long").as("ndv"))
+      val source = d.agg(lit("source").as("column_name"), count(lit(1)).cast("long").as("n_rows"),
+        countDistinct(col("source")).cast("long").as("ndv"))
+      lang.unionAll(source).orderBy(col("column_name"))
+    }),
+
+    // ---- packed-word SWAR surface (oracle = plain modular arithmetic) ----
+    "q_swar_arith" -> ((s, dir) => {
+      val W = Seq(4, 8, 8)
+      val li = tbl(s, dir, "lineitem").select(
+        col("l_linenumber").cast("long").as("ln"),
+        floor(col("l_quantity")).cast("long").as("qty"),
+        floor(col("l_discount") * 100).cast("long").as("disc"))
+      val packed = li.select(col("ln"), col("qty"), col("disc"),
+        swar_pack(W, col("ln"), col("qty"), col("disc")).as("w"))
+      val k = swar_pack(W, lit(3L), lit(200L), lit(7L))
+      val k2 = swar_pack(W, lit(14L), lit(250L), lit(0L))
+      val k3 = swar_pack(W, lit(9L), lit(60L), lit(1L))
+      val k4 = swar_pack(W, lit(2L), lit(30L), lit(5L))
+      packed.select(
+        (swar_get(swar_add_wrap(col("w"), k, W), W, 0) +
+          swar_get(swar_add_wrap(col("w"), k, W), W, 1) +
+          swar_get(swar_add_wrap(col("w"), k, W), W, 2)).as("aw"),
+        (swar_get(swar_add_sat_u(col("w"), k2, W), W, 0) +
+          swar_get(swar_add_sat_u(col("w"), k2, W), W, 1) +
+          swar_get(swar_add_sat_u(col("w"), k2, W), W, 2)).as("as_"),
+        (swar_get(swar_sub_wrap(col("w"), k3, W), W, 0) +
+          swar_get(swar_sub_wrap(col("w"), k3, W), W, 1) +
+          swar_get(swar_sub_wrap(col("w"), k3, W), W, 2)).as("sw"),
+        (swar_get(swar_min_u(col("w"), k4, W), W, 0) +
+          swar_get(swar_max_u(col("w"), k4, W), W, 1) +
+          swar_get(swar_min_u(col("w"), k4, W), W, 2)).as("mm"),
+        (swar_get(swar_shift_left(col("w"), W, 2), W, 0) +
+          swar_get(swar_shift_left(col("w"), W, 2), W, 1) +
+          swar_get(swar_shift_left(col("w"), W, 2), W, 2)).as("sh"),
+        (swar_get(swar_slice(col("w"), W, 1, 3), Seq(8, 8), 0) +
+          swar_get(swar_slice(col("w"), W, 1, 3), Seq(8, 8), 1)).as("sl"))
+        .agg(sum(col("aw")).cast("long").as("s_addwrap"),
+          sum(col("as_")).cast("long").as("s_addsat"),
+          sum(col("sw")).cast("long").as("s_subwrap"),
+          sum(col("mm")).cast("long").as("s_minmax"),
+          sum(col("sh")).cast("long").as("s_shift"),
+          sum(col("sl")).cast("long").as("s_slice"))
+    }),
+
+    // ---- table pipeline metrics (engine-specific; rows-only checks) ----
+    "q_compression_ratio" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val enc = EncodePipeline.encode(d, "doc_id", partitions = 8, blockSize = 1024)
+      EncodePipeline.metadata(enc, d.schema)
+        .groupBy(col("column")).agg(
+          sum(col("raw_bytes")).as("raw_bytes"),
+          sum(col("encoded_bytes")).as("encoded_bytes"),
+          round(sum(col("raw_bytes")) / sum(col("encoded_bytes")), 3).as("ratio"),
+          array_sort(flatten(collect_set(col("codecs")))).as("codecs"))
+        .orderBy(col("column"))
+    }),
+    "q_codec_plan" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val blocks = e.select(unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("event_id"), col("user_id"), col("event_type"), col("props"))
+        .groupBy(pmod(col("event_id"), lit(4)).as("g"))
+        .agg(sort_array(collect_list(col("ts_us"))).as("ts_sorted"),
+          collect_list(col("user_id")).as("uids"),
+          collect_list(col("event_type")).as("types"),
+          collect_list(col("props")).as("props"))
+      blocks.select(
+          blob_codec(encode_longs(col("ts_sorted"))).as("ts_codec"),
+          blob_codec(encode_longs(col("uids"))).as("user_codec"),
+          blob_codec(encode_strings(col("types"))).as("type_codec"),
+          blob_codec(encode_strings(col("props"))).as("props_codec"))
+        .groupBy(col("ts_codec"), col("user_codec"), col("type_codec"), col("props_codec"))
+        .count().orderBy(col("count").desc)
+    }),
+
+    // ---- training-data-pipeline operators ----
+    "q_dedup_exact" -> ((s, dir) => {
+      TextOps.exactDupStats(tbl(s, dir, "documents"), "text")
+    }),
+    "q_token_stats" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("sum_tokens"),
+          sum(length(col("text"))).cast("long").as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+    "q_quality_stats" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("lang"), TextOps.qualityStats(col("text")).as("q"))
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("q.n_tokens")), 2).as("avg_tokens"),
+          round(avg(col("q.alpha_ratio")), 4).as("avg_alpha"),
+          round(avg(col("q.punct_ratio")), 4).as("avg_punct"),
+          round(avg(col("q.mean_token_len")), 3).as("avg_token_len"))
+        .orderBy(col("lang"))
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("lang"), TextOps.langGuess(col("text")).as("guess"))
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("guess") === col("lang"), 1L).otherwise(0L)).as("n_correct"))
+        .orderBy(col("lang"))
+    }),
+    "q_minhash_dups" -> ((s, dir) => {
+      val pairs = TextOps.minhashDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(round(avg(col("jaccard")), 4), lit(0.0)).as("avg_jaccard"))
+    }),
+    "q_simhash_dups" -> ((s, dir) => {
+      val pairs = TextOps.simhashDupPairs(tbl(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(round(avg(col("hamming")), 4), lit(0.0)).as("avg_hamming"))
+    }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // exact 3-gram Jaccard on a bounded candidate set (same source+lang)
+      val d = tbl(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), array_distinct(TextOps.tokenShingles(col("text"), 3)).as("sh"),
+          col("lang"))
+      d.as("a").join(d.as("b"), col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+        .select((size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("j"))
+        .agg(count(lit(1)).as("n_pairs"), round(max(col("j")), 4).as("max_jaccard"))
+    }),
+    "q_embed_dims" -> ((s, dir) => {
+      tbl(s, dir, "embeddings").agg(
+        count(lit(1)).cast("long").as("n_vecs"),
+        max(size(col("embedding"))).cast("long").as("dims"))
+    }),
+    "q_ann_brute" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      TextOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("sim"), 4).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_ann_lsh_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = TextOps.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = TextOps.lshTopK(emb, q, "vec_id", "embedding", 5, planes = 16, bands = 8)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"), round(avg(col("hits")) / 5.0, 3).as("recall_at_5"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_bitpack_roundtrip" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch FROM events",
+    "q_delta_ts_roundtrip" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch, " +
+        "CAST(min(epoch_us(ts)) AS BIGINT) AS min_us, CAST(max(epoch_us(ts)) AS BIGINT) AS max_us FROM events"),
+    "q_for_roundtrip" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch, " +
+        "CAST(sum(l_orderkey) AS BIGINT) AS sum_key FROM lineitem"),
+    "q_rle_roundtrip" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch FROM lineitem",
+    "q_dict_roundtrip" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM documents"),
+    "q_fsst_roundtrip" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch, " +
+        "CAST(sum(strlen(text)) AS BIGINT) AS total_bytes FROM documents"),
+    "q_auto_roundtrip" ->
+      "SELECT CAST(2 * count(*) AS BIGINT) AS n_values, CAST(0 AS BIGINT) AS n_mismatch FROM events",
+    "q_bitwidth_hist" ->
+      ("SELECT CAST(length(bin(user_id)) AS INT) AS width, CAST(count(*) AS BIGINT) AS n " +
+        "FROM events GROUP BY 1 ORDER BY 1"),
+    "q_codec_stats" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(min(user_id) AS BIGINT) AS min_user, " +
+        "CAST(max(user_id) AS BIGINT) AS max_user, CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_user, " +
+        "CAST(min(event_id) AS BIGINT) AS min_event, CAST(max(event_id) AS BIGINT) AS max_event FROM events"),
+    "q_run_count" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_runs FROM (SELECT event_type, " +
+        "lag(event_type) OVER (ORDER BY event_id) AS prev FROM events) t " +
+        "WHERE prev IS NULL OR prev <> event_type"),
+    "q_dict_viability" ->
+      ("SELECT * FROM (SELECT 'lang' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS ndv FROM documents UNION ALL " +
+        "SELECT 'source' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT source) AS BIGINT) AS ndv FROM documents) ORDER BY column_name"),
+    "q_swar_arith" -> {
+      val pre = "WITH t AS (SELECT l_linenumber AS ln, CAST(floor(l_quantity) AS BIGINT) AS qty, " +
+        "CAST(floor(l_discount * 100) AS BIGINT) AS disc FROM lineitem) "
+      pre + "SELECT " +
+        "CAST(sum((ln+3)%16 + (qty+200)%256 + (disc+7)%256) AS BIGINT) AS s_addwrap, " +
+        "CAST(sum(least(ln+14,15) + least(qty+250,255) + least(disc+0,255)) AS BIGINT) AS s_addsat, " +
+        "CAST(sum(((ln-9)%16+16)%16 + ((qty-60)%256+256)%256 + ((disc-1)%256+256)%256) AS BIGINT) AS s_subwrap, " +
+        "CAST(sum(least(ln,2) + greatest(qty,30) + least(disc,5)) AS BIGINT) AS s_minmax, " +
+        "CAST(sum((ln*4)%16 + (qty*4)%256 + (disc*4)%256) AS BIGINT) AS s_shift, " +
+        "CAST(sum(qty + disc) AS BIGINT) AS s_slice FROM t"
+    },
+    "q_dedup_exact" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows, " +
+        "CAST(max(c) AS BIGINT) AS max_group FROM (SELECT count(*) AS c FROM documents GROUP BY text) g"),
+    "q_token_stats" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_chars FROM documents GROUP BY lang ORDER BY lang"),
+    "q_embed_dims" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_vecs, CAST(max(len(embedding)) AS BIGINT) AS dims " +
+        "FROM embeddings")
+  )
 }

@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-analysis expressions for the training-data-pipeline operator set:
+  * SimHash document fingerprints and a heuristic n-gram/stopword language
+  * guesser. Pure functions of their input — deterministic at any parallelism.
+  */
+object TextHash {
+  /** FNV-1a 64 then splitmix finalizer — deterministic token hash. */
+  def hashBytes(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) {
+      h ^= (b(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    graft.sources.WebDocGen.mix(h)
+  }
+}
+
+/** 64-bit SimHash over an array<string> of tokens: per bit, sum +1/-1 across
+  * token hashes; bit set iff the sum is positive. Near-duplicate documents
+  * differ in few bits (hamming distance via bit_count(a ^ b)). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h = TextHash.hashBytes(arr.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Heuristic language identification: character-range ratios for CJK/Cyrillic,
+  * stopword voting for Latin-script languages. Intentionally simple — the
+  * point is the distributed plumbing (a codegen-compatible scalar expression),
+  * not NLP quality. */
+case class LangGuess(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_guess"
+
+  @transient private lazy val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "was", "that", "for", "with", "are", "this"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "eine", "zu", "den"),
+    "fr" -> Set("le", "la", "les", "et", "est", "pas", "des", "une", "dans", "que", "pour", "avec"),
+    "es" -> Set("el", "la", "los", "las", "es", "no", "una", "del", "por", "con", "para", "que"))
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var cjk = 0; var cyr = 0; var letters = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val block = Character.UnicodeBlock.of(c)
+        if (block == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+            block == Character.UnicodeBlock.HIRAGANA ||
+            block == Character.UnicodeBlock.KATAKANA) cjk += 1
+        else if (block == Character.UnicodeBlock.CYRILLIC) cyr += 1
+      }
+      i += 1
+    }
+    val result =
+      if (letters == 0) "und"
+      else if (cjk * 5 >= letters) {
+        // hiragana/katakana presence says ja; pure han says zh
+        val hasKana = s.exists { c =>
+          val b = Character.UnicodeBlock.of(c)
+          b == Character.UnicodeBlock.HIRAGANA || b == Character.UnicodeBlock.KATAKANA
+        }
+        if (hasKana) "ja" else "zh"
+      } else if (cyr * 2 >= letters) "ru"
+      else {
+        val toks = s.toLowerCase.split("[^\\p{L}]+")
+        var best = "und"; var bestHits = 0
+        stopwords.foreach { case (lang, words) =>
+          var hits = 0
+          var k = 0
+          while (k < toks.length) { if (words.contains(toks(k))) hits += 1; k += 1 }
+          if (hits > bestHits) { best = lang; bestHits = hits }
+        }
+        best
+      }
+    UTF8String.fromString(result)
+  }
+  override protected def withNewChildInternal(newChild: Expression): LangGuess =
+    copy(child = newChild)
+}
+
+/** k-entry MinHash signature over an array<string> of shingles, one pass:
+  * each shingle hashed once, then k cheap seeded remixes (universal-hash
+  * family h_i(x) = mix(x + GOLDEN*i)); sig[i] = min over shingles. A single
+  * eval replaces k nested Catalyst lambda evaluations of the shingle array. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && k <= 1024)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val base = TextHash.hashBytes(arr.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < k) {
+        val h = graft.sources.WebDocGen.mix(base + 0x9e3779b97f4a7c15L * j)
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.Bridge.{column => toCol, expression => toExpr}
+
+import graft.core.Codecs
+
+/** Column-level API of the engine — codec kernels and the reference's
+  * packed-word operator surface as Spark functions (SURVEY.md §2.1 mapping
+  * column). All are Catalyst expressions, so they participate in the
+  * optimizer and run inside whole-stage-codegen pipelines via eval.
+  */
+package object functions {
+
+  // ---- codec suite over column blocks (array columns) ----
+  def encode_longs(c: Column): Column = toCol(EncodeLongs(toExpr(c)))
+  def encode_longs_as(c: Column, codec: String): Column =
+    toCol(EncodeLongs(toExpr(c), codecId(codec, long = true)))
+  def decode_longs(c: Column): Column = toCol(DecodeLongs(toExpr(c)))
+
+  def encode_strings(c: Column): Column = toCol(EncodeStrings(toExpr(c)))
+  def encode_strings_as(c: Column, codec: String): Column =
+    toCol(EncodeStrings(toExpr(c), codecId(codec, long = false)))
+  def decode_strings(c: Column): Column = toCol(DecodeStrings(toExpr(c)))
+
+  def encode_binary(c: Column): Column = toCol(EncodeBinary(toExpr(c)))
+  def decode_binary(c: Column): Column = toCol(DecodeBinary(toExpr(c)))
+
+  def blob_codec(c: Column): Column = toCol(BlobCodec(toExpr(c)))
+  def bits_needed(c: Column): Column = toCol(BitsNeeded(toExpr(c)))
+  def double_bits(c: Column): Column = toCol(DoubleBits(toExpr(c)))
+  def bits_double(c: Column): Column = toCol(BitsDouble(toExpr(c)))
+
+  private def codecId(name: String, long: Boolean): Int = (name, long) match {
+    case ("const", true)     => Codecs.ConstLong
+    case ("bitpack", true)   => Codecs.BitPackId
+    case ("for", true)       => Codecs.ForId
+    case ("delta", true)     => Codecs.DeltaId
+    case ("rle", true)       => Codecs.RleLong
+    case ("const", false)    => Codecs.ConstStr
+    case ("raw", false)      => Codecs.RawStr
+    case ("dict", false)     => Codecs.DictId
+    case ("rle_dict", false) => Codecs.RleDict
+    case ("fsst", false)     => Codecs.FsstId
+    case other               => throw new IllegalArgumentException(s"unknown codec $other")
+  }
+
+  // ---- packed-word SWAR surface (pint public API, SURVEY.md §2.1) ----
+  def swar_pack(widths: Seq[Int], lanes: Column*): Column =
+    toCol(SwarPack(lanes.map(toExpr), widths))
+  def swar_get(word: Column, widths: Seq[Int], index: Int): Column =
+    toCol(SwarGet(toExpr(word), widths, index, signed = false))
+  def swar_get_signed(word: Column, widths: Seq[Int], index: Int): Column =
+    toCol(SwarGet(toExpr(word), widths, index, signed = true))
+  def swar_slice(word: Column, widths: Seq[Int], from: Int, until: Int): Column =
+    toCol(SwarSlice(toExpr(word), widths, from, until))
+  def swar_add_wrap(a: Column, b: Column, widths: Seq[Int]): Column =
+    toCol(SwarBinaryOp(toExpr(a), toExpr(b), widths, SwarOp.AddWrap))
+  def swar_add_sat_u(a: Column, b: Column, widths: Seq[Int]): Column =
+    toCol(SwarBinaryOp(toExpr(a), toExpr(b), widths, SwarOp.AddSatU))
+  def swar_add_sat_s(a: Column, b: Column, widths: Seq[Int]): Column =
+    toCol(SwarBinaryOp(toExpr(a), toExpr(b), widths, SwarOp.AddSatS))
+  def swar_sub_wrap(a: Column, b: Column, widths: Seq[Int]): Column =
+    toCol(SwarBinaryOp(toExpr(a), toExpr(b), widths, SwarOp.SubWrap))
+  def swar_sub_sat_u(a: Column, b: Column, widths: Seq[Int]): Column =
+    toCol(SwarBinaryOp(toExpr(a), toExpr(b), widths, SwarOp.SubSatU))
+  def swar_sub_sat_s(a: Column, b: Column, widths: Seq[Int]): Column =
+    toCol(SwarBinaryOp(toExpr(a), toExpr(b), widths, SwarOp.SubSatS))
+  def swar_min_u(a: Column, b: Column, widths: Seq[Int]): Column =
+    toCol(SwarBinaryOp(toExpr(a), toExpr(b), widths, SwarOp.MinU))
+  def swar_max_u(a: Column, b: Column, widths: Seq[Int]): Column =
+    toCol(SwarBinaryOp(toExpr(a), toExpr(b), widths, SwarOp.MaxU))
+  def swar_min_s(a: Column, b: Column, widths: Seq[Int]): Column =
+    toCol(SwarBinaryOp(toExpr(a), toExpr(b), widths, SwarOp.MinS))
+  def swar_max_s(a: Column, b: Column, widths: Seq[Int]): Column =
+    toCol(SwarBinaryOp(toExpr(a), toExpr(b), widths, SwarOp.MaxS))
+  def swar_shift_left(word: Column, widths: Seq[Int], amount: Int): Column =
+    toCol(SwarShift(toExpr(word), widths, amount, leftShift = true))
+  def swar_shift_right_u(word: Column, widths: Seq[Int], amount: Int): Column =
+    toCol(SwarShift(toExpr(word), widths, amount, leftShift = false))
+}

@@ -1,0 +1,254 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Codecs
+import graft.functions._
+
+/** The table-level encode → (metadata, data) → decode → verify pipeline
+  * (SURVEY.md §3.4, §7.5).
+  *
+  * Layout: one output row per column *block* — `__part, __block, __cnt`, then
+  * for every source column `c`: `e_c` (codec blob) and `r_c` (raw input
+  * bytes). All columns of a block live in one row, so decode needs no join —
+  * `arrays_zip(decode(e_c)…)` + `explode` reconstructs rows in place.
+  *
+  * Partitioning: `__part = pmod(xxhash64(host(key) # salt), P)` — same-host
+  * pages co-locate (better dict/RLE/FSST locality) while `salts` sub-splits
+  * hot hosts so one mega-host cannot skew a partition (the web's Zipf host
+  * distribution; AQE skew handling stays on as the second line of defense).
+  * `__part` is a pure function of the row, so a re-run computes identical
+  * partitions — the basis of idempotent resume.
+  *
+  * Resume: `run` commits per wave — data files first, then the wave's
+  * metadata rows (one per part × column: codec, raw/encoded bytes, row count,
+  * wall time, attempt). A part is "committed" iff its metadata rows exist, so
+  * a crash between data and metadata writes re-runs that wave's parts
+  * idempotently (data re-append replaces nothing; readers go through
+  * metadata-committed parts only... the dedup filter in `readData`).
+  */
+object EncodePipeline {
+
+  /** per-column canonicalization: every input column becomes long ('l'),
+    * string ('s') or binary ('b') before encoding, and is restored on decode. */
+  final case class ColPlan(name: String, kind: Char, sourceType: DataType)
+
+  def plan(schema: StructType): Seq[ColPlan] = schema.fields.toSeq.map { f =>
+    f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | TimestampType | TimestampNTZType | DateType | DoubleType | FloatType =>
+        ColPlan(f.name, 'l', f.dataType)
+      case StringType => ColPlan(f.name, 's', f.dataType)
+      case BinaryType => ColPlan(f.name, 'b', f.dataType)
+      case other => throw new IllegalArgumentException(s"unsupported column type $other for ${f.name}")
+    }
+  }
+
+  private def canonCol(p: ColPlan): Column = p.sourceType match {
+    case TimestampType => unix_micros(col(p.name)).as(p.name)
+    case TimestampNTZType => unix_micros(col(p.name).cast(TimestampType)).as(p.name)
+    case DateType => col(p.name).cast(IntegerType).cast(LongType).as(p.name)
+    case DoubleType => double_bits(col(p.name)).as(p.name)
+    case FloatType => double_bits(col(p.name).cast(DoubleType)).as(p.name)
+    case IntegerType | ShortType | ByteType => col(p.name).cast(LongType).as(p.name)
+    case _ => col(p.name)
+  }
+
+  private def restoreCol(p: ColPlan, c: Column): Column = (p.sourceType match {
+    case TimestampType => timestamp_micros(c)
+    case TimestampNTZType => timestamp_micros(c).cast(TimestampNTZType)
+    case DateType => c.cast(IntegerType).cast(DateType)
+    case DoubleType => bits_double(c)
+    case FloatType => bits_double(c).cast(FloatType)
+    case LongType => c
+    case IntegerType | ShortType | ByteType => c.cast(p.sourceType)
+    case _ => c
+  }).as(p.name)
+
+  /** default partitioner for url-keyed web tables: host grouping + salt */
+  def saltedHostPart(key: String, partitions: Int, salts: Int): Column = {
+    val host = regexp_extract(col(key), "^[a-z]+://([^/]+)", 1)
+    val salt = pmod(xxhash64(col(key)), lit(salts)).cast(StringType)
+    pmod(xxhash64(concat(host, lit("#"), salt)), lit(partitions)).cast(IntegerType)
+  }
+
+  /** generic partitioner: uniform hash of the key */
+  def hashPart(key: String, partitions: Int): Column =
+    pmod(xxhash64(col(key)), lit(partitions)).cast(IntegerType)
+
+  /** encode a table into block rows (one Spark job, one shuffle). */
+  def encode(df: DataFrame, key: String, partitions: Int, blockSize: Int = 4096,
+             partExpr: Option[Column] = None): DataFrame = {
+    val plans = plan(df.schema)
+    val part = partExpr.getOrElse(hashPart(key, partitions))
+    val canon = df
+      .withColumn("__part", part)
+      .repartition(partitions, col("__part"))
+      .sortWithinPartitions(col("__part"), col(key))
+      .select(col("__part") +: plans.map(canonCol): _*)
+
+    val outFields = Seq(
+      StructField("__part", IntegerType, nullable = false),
+      StructField("__block", IntegerType, nullable = false),
+      StructField("__cnt", IntegerType, nullable = false)
+    ) ++ plans.flatMap(p => Seq(
+      StructField("e_" + p.name, BinaryType, nullable = false),
+      StructField("r_" + p.name, LongType, nullable = false)
+    ))
+    val outSchema = StructType(outFields)
+    val ps = plans.toArray
+
+    canon.mapPartitions { it =>
+      new BlockIterator(it, ps, blockSize)
+    }(Encoders.row(outSchema))
+  }
+
+  /** row-block accumulator: chunks a sorted partition iterator into blocks,
+    * breaking at __part boundaries, and encodes each column with the
+    * auto-selecting codec. */
+  private final class BlockIterator(it: Iterator[Row], plans: Array[ColPlan], blockSize: Int)
+      extends Iterator[Row] {
+    private var pending: Row = _
+    private var blockInPart = 0
+    private var lastPart = Int.MinValue
+
+    override def hasNext: Boolean = pending != null || it.hasNext
+
+    override def next(): Row = {
+      val longs = Array.fill(plans.length)(new scala.collection.mutable.ArrayBuffer[Long](blockSize))
+      val bins = Array.fill(plans.length)(new scala.collection.mutable.ArrayBuffer[Array[Byte]](blockSize))
+      var row = if (pending != null) { val r = pending; pending = null; r } else it.next()
+      val part = row.getInt(0)
+      if (part != lastPart) { blockInPart = 0; lastPart = part }
+      var n = 0
+      var done = false
+      while (!done) {
+        var c = 0
+        while (c < plans.length) {
+          plans(c).kind match {
+            case 'l' => longs(c) += (if (row.isNullAt(c + 1)) 0L else row.getLong(c + 1))
+            case 's' => bins(c) += row.getString(c + 1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case 'b' => bins(c) += row.getAs[Array[Byte]](c + 1)
+          }
+          c += 1
+        }
+        n += 1
+        if (n >= blockSize || !it.hasNext) done = true
+        else {
+          row = it.next()
+          if (row.getInt(0) != part) { pending = row; done = true } // block breaks at part boundary
+        }
+      }
+      val out = new Array[Any](3 + plans.length * 2)
+      out(0) = part
+      out(1) = blockInPart
+      out(2) = n
+      var c = 0
+      while (c < plans.length) {
+        plans(c).kind match {
+          case 'l' =>
+            val vs = longs(c).toArray
+            out(3 + c * 2) = Codecs.encodeLongs(vs)
+            out(4 + c * 2) = vs.length * 8L
+          case _ =>
+            val vs = bins(c).toArray
+            out(3 + c * 2) = Codecs.encodeStrs(vs)
+            out(4 + c * 2) = vs.map(_.length.toLong).sum
+        }
+        c += 1
+      }
+      blockInPart += 1
+      Row.fromSeq(out.toIndexedSeq)
+    }
+  }
+
+  /** decode block rows back into the original schema (no join: zip+explode). */
+  def decode(enc: DataFrame, sourceSchema: StructType): DataFrame = {
+    val plans = plan(sourceSchema)
+    val zipped = arrays_zip(plans.map { p =>
+      val blob = col("e_" + p.name)
+      (p.kind match {
+        case 'l' => decode_longs(blob)
+        case 's' => decode_strings(blob)
+        case 'b' => decode_binary(blob)
+      }).as(p.name)
+    }: _*)
+    enc.select(explode(zipped).as("__row"))
+      .select(plans.map(p => restoreCol(p, col("__row." + p.name))): _*)
+  }
+
+  /** per-(part, column) metrics: rows, blocks, raw vs encoded bytes, codecs. */
+  def metadata(enc: DataFrame, sourceSchema: StructType): DataFrame = {
+    val plans = plan(sourceSchema)
+    val perCol = plans.map { p =>
+      struct(lit(p.name).as("column"), col("e_" + p.name).as("blob"), col("r_" + p.name).as("raw"))
+    }
+    enc.select(col("__part"), col("__cnt"), explode(array(perCol: _*)).as("c"))
+      .groupBy(col("__part"), col("c.column"))
+      .agg(
+        sum(col("__cnt")).as("rows"),
+        count(lit(1)).as("blocks"),
+        sum(col("c.raw")).as("raw_bytes"),
+        sum(octet_length(col("c.blob"))).as("encoded_bytes"),
+        sort_array(collect_set(blob_codec(col("c.blob")))).as("codecs"))
+  }
+
+  /** resumable multi-wave run: encode + write data, then commit metadata.
+    * Parts whose metadata rows already exist are skipped on re-run. */
+  def run(df: DataFrame, key: String, outDir: String, partitions: Int,
+          blockSize: Int = 4096, waves: Int = 1, salts: Int = 4,
+          useHostPartitioner: Boolean = false,
+          failAtWave: Int = -1 /* test hook: throw before committing wave N's metadata */): Unit = {
+    val spark = df.sparkSession
+    val committed: Set[Int] = try {
+      spark.read.parquet(s"$outDir/meta").select("__part").distinct()
+        .collect().map(_.getInt(0)).toSet
+    } catch { case _: Exception => Set.empty }
+
+    val partExpr =
+      if (useHostPartitioner) saltedHostPart(key, partitions, salts) else hashPart(key, partitions)
+
+    var w = 0
+    while (w < waves) {
+      val waveStart = System.currentTimeMillis()
+      val inWave = df.filter(pmod(partExpr, lit(waves)) === w &&
+        (if (committed.isEmpty) lit(true) else !partExpr.isin(committed.toSeq: _*)))
+      val enc = encode(inWave, key, partitions, blockSize, Some(partExpr))
+      // dynamic partition overwrite: a re-run of a crashed wave REPLACES that
+      // wave's orphan part directories instead of appending duplicates
+      enc.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__part").parquet(s"$outDir/data")
+      if (w == failAtWave) throw new RuntimeException(s"injected failure before metadata commit of wave $w")
+      val written = spark.read.parquet(s"$outDir/data")
+        .filter(pmod(col("__part"), lit(waves)) === w &&
+          (if (committed.isEmpty) lit(true) else !col("__part").isin(committed.toSeq: _*)))
+      metadata(written, df.schema)
+        .withColumn("wave", lit(w))
+        .withColumn("wall_millis", lit(System.currentTimeMillis() - waveStart))
+        .withColumn("attempt", lit(1))
+        .write.mode("append").parquet(s"$outDir/meta")
+      w += 1
+    }
+  }
+
+  /** read back the committed blocks (parts present in metadata), dropping any
+    * orphan data from a crashed, uncommitted wave. */
+  def readData(spark: SparkSession, outDir: String): DataFrame = {
+    val committed = spark.read.parquet(s"$outDir/meta").select("__part").distinct()
+    spark.read.parquet(s"$outDir/data")
+      .join(broadcast(committed), Seq("__part"), "left_semi")
+  }
+
+  /** join-based bit-identical verification (SURVEY.md §3.4 step 4): returns
+    * one summary row (rows, mismatches) — mismatches must be 0. */
+  def verifyRoundTrip(original: DataFrame, decoded: DataFrame, key: String): DataFrame = {
+    val cols = original.schema.fieldNames.filterNot(_ == key)
+    val o = original.alias("o")
+    val d = decoded.alias("d")
+    val anyDiff = cols.map(c => not(col("o." + c) <=> col("d." + c))).reduce(_ || _)
+    o.join(d, col("o." + key) === col("d." + key), "full_outer")
+      .agg(count(lit(1)).as("rows"),
+        sum(when(anyDiff || col("o." + key).isNull || col("d." + key).isNull, 1L).otherwise(0L)).as("mismatches"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.sources.WebDocGen
+
+/** End-to-end invariant test (SURVEY.md §5 item 3): synthetic WebDoc table →
+  * encode → decode → join on url → byte-identical text/html; plus
+  * compression, metadata, and crash-resume behavior. */
+class EncodePipelineSpec extends SparkTestBase {
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_pipe").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("webdoc generator is deterministic across parallelism") {
+    val a = WebDocGen.dataset(spark, 500, 2).collect().sortBy(_.url)
+    val b = WebDocGen.dataset(spark, 500, 7).collect().sortBy(_.url)
+    assert(a.length === 500)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.url === y.url); assert(x.text === y.text)
+      assert(x.warc_ts === y.warc_ts); assert(x.lang === y.lang)
+      assert(java.util.Arrays.equals(x.html, y.html))
+    }
+    // host skew exists (Zipf): top host should hold well over 1/997 of rows
+    val hosts = a.groupBy(d => d.url.split('/')(2)).map(_._2.length).toSeq.sorted.reverse
+    assert(hosts.head > 25)
+  }
+
+  test("encode→decode round-trips the WebDoc table bit-identically") {
+    val docs = WebDocGen.dataset(spark, 2000, 4).toDF()
+    val enc = EncodePipeline.encode(docs, "url", partitions = 8, blockSize = 256)
+    val decoded = EncodePipeline.decode(enc, docs.schema)
+    val summary = EncodePipeline.verifyRoundTrip(docs, decoded, "url").head()
+    assert(summary.getLong(0) === 2000L)
+    assert(summary.getLong(1) === 0L)
+  }
+
+  test("encoded size beats the plain baseline and metadata reports per-column codecs") {
+    val docs = WebDocGen.dataset(spark, 3000, 4).toDF()
+    val enc = EncodePipeline.encode(docs, "url", partitions = 4, blockSize = 1024).cache()
+    val meta = EncodePipeline.metadata(enc, docs.schema)
+    val rows = meta.collect()
+    assert(rows.map(_.getAs[Long]("rows")).sum === 3000L * docs.schema.length)
+    val byCol = rows.groupBy(_.getAs[String]("column")).view.mapValues { rs =>
+      (rs.map(_.getAs[Long]("raw_bytes")).sum, rs.map(_.getAs[Long]("encoded_bytes")).sum)
+    }.toMap
+    // every column compresses; text/html via fsst must beat raw clearly
+    byCol.foreach { case (c, (raw, encB)) =>
+      assert(encB < raw, s"column $c: encoded $encB !< raw $raw")
+    }
+    assert(byCol("text")._1 > byCol("text")._2 * 2, s"text ratio too low: ${byCol("text")}")
+    assert(byCol("warc_ts")._1 > byCol("warc_ts")._2 * 2)
+    val langCodecs = rows.filter(_.getAs[String]("column") == "lang")
+      .flatMap(_.getSeq[String](rows.head.fieldIndex("codecs")))
+    assert(langCodecs.forall(c => Set("dict", "rle_dict", "const").contains(c)), langCodecs.toSeq)
+    enc.unpersist()
+  }
+
+  test("run() commits waves idempotently and resumes after injected failure") {
+    val docs = WebDocGen.dataset(spark, 1200, 4).toDF()
+    val out = tmpDir()
+    // first attempt dies before wave 1's metadata commit
+    intercept[RuntimeException] {
+      EncodePipeline.run(docs, "url", out, partitions = 8, blockSize = 128,
+        waves = 3, failAtWave = 1)
+    }
+    val metaAfterCrash = spark.read.parquet(s"$out/meta")
+    val committedParts = metaAfterCrash.select("__part").distinct().count()
+    assert(committedParts > 0 && committedParts < 8)
+    // resume: completes remaining waves; already-committed parts are skipped
+    EncodePipeline.run(docs, "url", out, partitions = 8, blockSize = 128, waves = 3)
+    val data = EncodePipeline.readData(spark, out)
+    val decoded = EncodePipeline.decode(data, docs.schema)
+    // no duplicates despite the crashed wave's orphan data, and full recovery
+    assert(decoded.count() === 1200L)
+    val summary = EncodePipeline.verifyRoundTrip(docs, decoded, "url").head()
+    assert(summary.getLong(1) === 0L)
+  }
+
+  test("salted host partitioner splits hot hosts across partitions") {
+    val docs = WebDocGen.dataset(spark, 4000, 4).toDF()
+    val parts = docs.select(EncodePipeline.saltedHostPart("url", 16, 4).as("p"))
+      .groupBy("p").count().collect().map(_.getLong(1))
+    assert(parts.length > 8) // spread over most partitions
+    assert(parts.max.toDouble / parts.sum < 0.5, s"one partition dominates: ${parts.toSeq}")
+  }
+
+  test("generic encode handles the TPC-H events table (ts, doubles, strings)") {
+    val events = sf("events")
+    val enc = EncodePipeline.encode(events, "event_id", partitions = 4, blockSize = 512)
+    val decoded = EncodePipeline.decode(enc, events.schema)
+    val summary = EncodePipeline.verifyRoundTrip(events, decoded, "event_id").head()
+    assert(summary.getLong(1) === 0L)
+  }
+}
