@@ -24,14 +24,19 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
-  /** one encode+decode+verify pass; returns (rawBytes, encodedBytes, encodeSec, decodeSec) */
+  /** one encode+decode+verify pass; returns (rawBytes, encodedBytes, encodeSec, decodeSec).
+    * The input is materialized (cached) before the clock starts so the GB/s
+    * numbers measure the pipeline, not the synthetic generator. */
   private def pipelinePass(spark: SparkSession, rows: Long, partitions: Int): (Long, Long, Double, Double) = {
     val docs = WebDocGen.dataset(spark, rows, partitions).toDF()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
     val t0 = System.nanoTime()
     val enc = EncodePipeline.encode(docs, "url", partitions,
       blockSize = 4096, partExpr = Some(EncodePipeline.saltedHostPart("url", partitions, 4)))
@@ -47,6 +52,7 @@ object Bench {
     require(nDecoded == rows, s"decode row count $nDecoded != $rows")
     val raw = agg.getLong(0); val encB = agg.getLong(1)
     enc.unpersist()
+    docs.unpersist()
     (raw, encB, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
   }
 
@@ -75,26 +81,32 @@ object Bench {
     val gb = raw / 1e9
 
     // ---- two-parallelism scaling evidence (same input, same code) ----
+    // the sandbox host shows heavy hypervisor steal time, so each level runs
+    // `reps` passes and keeps the MIN (standard noise-robust practice)
     var scalingJson = ""
     if (doScaling) {
-      spark.stop()
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      spark = session(loCores)
-      val _ = pipelinePass(spark, math.min(benchRows / 4, 50000L).max(1000L), hiCores * 4) // warm lo JVM paths
-      val (rawLo, _, encLo, decLo) = pipelinePass(spark, benchRows, hiCores * 4)
-      spark.stop()
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      spark = session(hiCores)
-      val _2 = pipelinePass(spark, math.min(benchRows / 4, 50000L).max(1000L), hiCores * 4)
-      val (_, _, encHi, decHi) = pipelinePass(spark, benchRows, hiCores * 4)
-      val tLo = encLo + decLo
-      val tHi = encHi + decHi
+      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "1000000").toLong
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      var rawScale = 0L
+      def level(cores: Int): Double = {
+        spark.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        spark = session(cores)
+        pipelinePass(spark, 50000L, hiCores * 4) // warm this session's JIT/codegen
+        (1 to reps).map { _ =>
+          val (r, _, e, d) = pipelinePass(spark, scaleRows, hiCores * 4)
+          rawScale = r
+          e + d
+        }.min
+      }
+      val tLo = level(loCores)
+      val tHi = level(hiCores)
       val speedup = tLo / tHi
       val eff = speedup / (hiCores.toDouble / loCores)
-      val gbHere = rawLo / 1e9
-      scalingJson = f""","scaling":{"cores_lo":$loCores,"cores_hi":$hiCores,"sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,""" +
+      val gbHere = rawScale / 1e9
+      scalingJson = f""","scaling":{"cores_lo":$loCores,"cores_hi":$hiCores,"rows":$scaleRows,"sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,""" +
         f""""gbps_lo":${gbHere / tLo}%.4f,"gbps_hi":${gbHere / tHi}%.4f,"speedup":$speedup%.3f,"efficiency":$eff%.3f}"""
-      writeBaselineMd(benchRows, raw, encB, encSec, decSec, loCores, hiCores, tLo, tHi, gbHere, speedup, eff)
+      writeBaselineMd(scaleRows, raw, encB, encSec, decSec, loCores, hiCores, tLo, tHi, gbHere, speedup, eff)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")

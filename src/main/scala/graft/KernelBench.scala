@@ -1,0 +1,91 @@
+package graft
+
+import graft.core.{BitPack, Codecs, Fsst, LaneSpec}
+
+/** Single-thread kernel micro-benchmark — the analog of the reference's
+  * Google-Benchmark harness (tests/pint_bench.cpp: items/sec over 100M random
+  * pairs). Reports MB/s per codec kernel so per-core throughput can be
+  * compared against pint's SWAR loops and scaled to cluster width.
+  *
+  * Run: sbt "runMain graft.KernelBench [sizeMB]"
+  */
+object KernelBench {
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def bench(name: String, bytes: Long, reps: Int)(f: => Unit): Unit = {
+    f // warmup
+    val (_, s) = time((1 to reps).foreach(_ => f))
+    println(f"$name%-28s ${bytes * reps / s / 1e6}%10.1f MB/s")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizeMB = if (args.nonEmpty) args(0).toInt else 64
+    val n = sizeMB * 1024 * 1024 / 8
+    val rnd = new scala.util.Random(42)
+
+    // SWAR add_wrap over packed words — pint's own headline benchmark
+    val spec = LaneSpec(8, 8, 8, 8)
+    val wordsA = Array.fill(n)(rnd.nextLong() & spec.fullMask)
+    val wordsB = Array.fill(n)(rnd.nextLong() & spec.fullMask)
+    bench("swar add_wrap 4x8", n * 8L, 4) {
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc ^= spec.addWrap(wordsA(i), wordsB(i)); i += 1 }
+      if (acc == 42L) println("") // defeat DCE
+    }
+    bench("swar add_sat_u 4x8", n * 8L, 4) {
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc ^= spec.addSatU(wordsA(i), wordsB(i)); i += 1 }
+      if (acc == 42L) println("")
+    }
+
+    // block bit-pack at a representative width
+    val vals20 = Array.fill(n)(rnd.nextLong() & BitPack.maskFor(20))
+    bench("bitpack pack w=20", n * 8L, 4) { BitPack.pack(vals20, 20) }
+    val packed20 = BitPack.pack(vals20, 20)
+    bench("bitpack unpack w=20", n * 8L, 4) { BitPack.unpack(packed20, 20, n) }
+
+    // FoR/delta on sorted timestamps
+    var t = 1700000000000000L
+    val ts = Array.fill(n) { t += 1000 + rnd.nextInt(64); t }
+    bench("delta encode (ts)", n * 8L, 4) { Codecs.encodeLongsAs(ts, Codecs.DeltaId) }
+    val deltaBlob = Codecs.encodeLongsAs(ts, Codecs.DeltaId)
+    bench("delta decode (ts)", n * 8L, 4) { Codecs.decodeLongs(deltaBlob) }
+    bench("auto-select longs", n * 8L, 4) { Codecs.encodeLongs(ts) }
+
+    // dict on low-cardinality strings
+    val langs = Array("en", "de", "fr", "es", "zh", "ja", "pt", "ru")
+    val strN = n / 8
+    val strs = Array.fill(strN)(langs(rnd.nextInt(langs.length)).getBytes("UTF-8"))
+    val strBytes = strs.map(_.length.toLong).sum
+    bench("dict encode (lang)", strBytes, 4) { Codecs.encodeStrsAs(strs, Codecs.DictId) }
+    val dictBlob = Codecs.encodeStrsAs(strs, Codecs.DictId)
+    bench("dict decode (lang)", strBytes, 4) { Codecs.decodeStrs(dictBlob) }
+
+    // FSST on English-like text
+    val words = ("the of and to in is was for on that with as by at from it an be this are " +
+      "which has had were their one all data page web site news about time year").split(" ")
+    val sb = new StringBuilder
+    while (sb.length < sizeMB * 1024 * 1024 / 8) {
+      sb.append(words(rnd.nextInt(words.length))).append(' ')
+    }
+    val textRows: Array[Array[Byte]] = sb.toString.grouped(400).map(_.getBytes("UTF-8")).toArray
+    val textBytes = textRows.map(_.length.toLong).sum
+    bench("fsst encode (text)", textBytes, 2) { Codecs.encodeStrsAs(textRows, Codecs.FsstId) }
+    val fsstBlob = Codecs.encodeStrsAs(textRows, Codecs.FsstId)
+    println(f"fsst ratio                   ${textBytes.toDouble / fsstBlob.length}%10.2fx")
+    bench("fsst decode (text)", textBytes, 4) { Codecs.decodeStrs(fsstBlob) }
+
+    // raw FSST kernel on one big buffer (no per-row framing)
+    val big = sb.toString.getBytes("UTF-8")
+    val table = Fsst.train(java.util.Arrays.copyOf(big, 1 << 14))
+    bench("fsst compress (flat)", big.length.toLong, 2) { table.compress(big) }
+    val comp = table.compress(big)
+    bench("fsst decompress (flat)", big.length.toLong, 4) { table.decompress(comp, 0, comp.length) }
+  }
+}

@@ -249,24 +249,47 @@ object Codecs {
     )
   }
 
-  /** Sample-compress to estimate the FSST ratio without full encode. */
-  def sampleFsstRatio(vs: Array[Array[Byte]], budget: Int = 1 << 14): Double = {
+  /** Build the FSST training sample for a block: every step-th value up to
+    * the byte budget. */
+  private def fsstSample(vs: Array[Array[Byte]], budget: Int = 1 << 14): Array[Byte] = {
     val w = new ByteWriter(budget)
     var i = 0
     val step = math.max(1, vs.length / 64)
     while (i < vs.length && w.size < budget) { w.writeBytes(vs(i)); i += step }
-    val sample = w.toArray
-    if (sample.length < 64) return 1.0
+    w.toArray
+  }
+
+  /** Train once on a sample and report (compression ratio estimate, table);
+    * the same table is reused for the full encode when FSST wins. */
+  def sampleFsstRatioAndTable(vs: Array[Array[Byte]]): (Double, Fsst.SymbolTable) = {
+    val sample = fsstSample(vs)
+    if (sample.length < 64) return (1.0, Fsst.SymbolTable.empty)
     val table = Fsst.train(sample)
     val comp = table.compress(sample)
-    math.min(1.0, (comp.length.toDouble + table.serializedSize) / sample.length)
+    (math.min(1.0, (comp.length.toDouble + table.serializedSize) / sample.length), table)
   }
+
+  def sampleFsstRatio(vs: Array[Array[Byte]]): Double = sampleFsstRatioAndTable(vs)._1
 
   def encodeStrs(vs: Array[Array[Byte]]): Array[Byte] = {
     val s = analyzeStrs(vs)
-    val ratio = if (s.totalBytes >= 64 && s.ndv > 1) sampleFsstRatio(vs) else 1.0
+    val (ratio, table) =
+      if (s.totalBytes >= 64 && s.ndv > 1) sampleFsstRatioAndTable(vs)
+      else (1.0, Fsst.SymbolTable.empty)
     val best = estimateStr(s, ratio).minBy(_._2)._1
-    encodeStrsAs(vs, best, Some(s))
+    if (best == FsstId && table.symbols.nonEmpty) encodeFsstWith(vs, table)
+    else encodeStrsAs(vs, best, Some(s))
+  }
+
+  /** FSST-encode a block with an already-trained table. */
+  def encodeFsstWith(vs: Array[Array[Byte]], table: Fsst.SymbolTable): Array[Byte] = {
+    val w = new ByteWriter(64)
+    val comp = vs.map(table.compress)
+    w.writeByte(FsstId); w.writeInt(vs.length)
+    table.writeTo(w)
+    writeLens(w, comp)
+    comp.foreach(w.writeBytes)
+    w.toArray
   }
 
   private def writeLens(w: ByteWriter, vs: Array[Array[Byte]]): Unit = {
@@ -328,16 +351,7 @@ object Codecs {
           w.writeBytes(BitPack.pack(runLens, lenW))
         }
       case FsstId =>
-        val sampleW = new ByteWriter(1 << 14)
-        var i = 0
-        val step = math.max(1, vs.length / 64)
-        while (i < vs.length && sampleW.size < (1 << 14)) { sampleW.writeBytes(vs(i)); i += step }
-        val table = Fsst.train(sampleW.toArray)
-        val comp = vs.map(table.compress)
-        w.writeByte(FsstId); w.writeInt(vs.length)
-        table.writeTo(w)
-        writeLens(w, comp)
-        comp.foreach(w.writeBytes)
+        return encodeFsstWith(vs, Fsst.train(fsstSample(vs)))
       case other => throw new IllegalArgumentException(s"not a string codec id: $other")
     }
     w.toArray

@@ -1,7 +1,5 @@
 package graft.core
 
-import scala.collection.mutable
-
 /** FSST (Fast Static Symbol Table) string compression, implemented from
   * scratch per the published algorithm (P. Boncz, T. Neumann, V. Leis,
   * "FSST: Fast Random Access String Compression", PVLDB 13(12), 2020):
@@ -11,9 +9,12 @@ import scala.collection.mutable
   * keeping the highest-gain (frequency × length) symbols and pairwise
   * concatenations.
   *
-  * In the engine this is the text/html codec of the suite (SURVEY.md §7.3);
-  * the reference has no string compression — this is the generalization the
-  * north rule asks for.
+  * Performance notes (this is the engine's hottest string kernel):
+  * symbols are manipulated as *packed little-endian Longs* (≤8 bytes fit one
+  * word — the same word-packing discipline as the reference's packed_int,
+  * pint.hpp:758-787). Matching is `(window ^ symbol) & lenMask == 0` on a
+  * single loaded word — no byte loops, no allocation; training counts
+  * (bytesLong, len) pairs in primitive-keyed maps — no per-token garbage.
   */
 object Fsst {
 
@@ -21,50 +22,67 @@ object Fsst {
   final val MaxSymbols: Int = 255
   final val MaxSymbolLen: Int = 8
 
+  @inline private def lenMask(len: Int): Long =
+    if (len >= 8) -1L else (1L << (len * 8)) - 1L
+
+  private val LE_LONG: java.lang.invoke.VarHandle =
+    java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
+      classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  /** little-endian load of up to 8 bytes at pos (zero-padded past end) */
+  @inline private def loadWord(data: Array[Byte], pos: Int, end: Int): Long = {
+    if (pos + 8 <= end) {
+      LE_LONG.get(data, pos).asInstanceOf[Long]
+    } else {
+      val n = end - pos
+      var w = 0L
+      var i = 0
+      while (i < n) { w |= (data(pos + i) & 0xffL) << (i * 8); i += 1 }
+      w
+    }
+  }
+
   /** A trained table: symbols(code) = byte sequence for code ∈ [0, n). */
   final class SymbolTable(val symbols: Array[Array[Byte]]) extends Serializable {
     require(symbols.length <= MaxSymbols)
-    // index: first byte → candidate codes sorted by symbol length descending
+    private val symWord = symbols.map(s => loadWord(s, 0, s.length))
+    private val symLen = symbols.map(_.length)
+    // per first byte: candidate codes sorted by length descending
     private val byFirst: Array[Array[Int]] = {
-      val tmp = Array.fill(256)(mutable.ArrayBuffer.empty[Int])
-      var c = 0
-      while (c < symbols.length) {
-        tmp(symbols(c)(0) & 0xff) += c
-        c += 1
+      val tmp = Array.fill(256)(List.empty[Int])
+      var c = symbols.length - 1
+      while (c >= 0) {
+        val fb = symbols(c)(0) & 0xff
+        tmp(fb) = c :: tmp(fb)
+        c -= 1
       }
-      tmp.map(_.sortBy(c => -symbols(c).length).toArray)
+      tmp.map(_.sortBy(c => -symLen(c)).toArray)
     }
 
-    @inline private def matches(sym: Array[Byte], data: Array[Byte], pos: Int, end: Int): Boolean = {
-      if (pos + sym.length > end) return false
-      var i = 0
-      while (i < sym.length) {
-        if (sym(i) != data(pos + i)) return false
-        i += 1
-      }
-      true
-    }
-
-    /** longest-match code at data[pos), or -1 */
-    @inline def findLongest(data: Array[Byte], pos: Int, end: Int): Int = {
-      val cands = byFirst(data(pos) & 0xff)
+    /** longest-match code for the word at data[pos), or -1 */
+    @inline def findLongest(window: Long, remaining: Int, firstByte: Int): Int = {
+      val cands = byFirst(firstByte)
       var i = 0
       while (i < cands.length) {
         val c = cands(i)
-        if (matches(symbols(c), data, pos, end)) return c
+        val l = symLen(c)
+        if (l <= remaining && ((window ^ symWord(c)) & lenMask(l)) == 0L) return c
         i += 1
       }
       -1
     }
 
-    def compress(data: Array[Byte]): Array[Byte] = {
-      val out = new ByteWriter(data.length / 2 + 8)
-      var pos = 0
-      while (pos < data.length) {
-        val c = findLongest(data, pos, data.length)
+    def compress(data: Array[Byte]): Array[Byte] = compress(data, 0, data.length)
+
+    def compress(data: Array[Byte], from: Int, end: Int): Array[Byte] = {
+      val out = new ByteWriter((end - from) / 2 + 8)
+      var pos = from
+      while (pos < end) {
+        val w = loadWord(data, pos, end)
+        val c = findLongest(w, end - pos, (w & 0xff).toInt)
         if (c >= 0) {
           out.writeByte(c)
-          pos += symbols(c).length
+          pos += symLen(c)
         } else {
           out.writeByte(EscapeCode)
           out.writeByte(data(pos))
@@ -99,6 +117,7 @@ object Fsst {
   }
 
   object SymbolTable {
+    val empty = new SymbolTable(Array.empty)
     def readFrom(r: ByteReader): SymbolTable = {
       val n = r.readByte() & 0xff
       val syms = Array.fill(n) {
@@ -109,47 +128,86 @@ object Fsst {
     }
   }
 
-  private final case class Cand(bytes: Array[Byte]) {
-    override def hashCode(): Int = java.util.Arrays.hashCode(bytes)
-    override def equals(o: Any): Boolean = o match {
-      case Cand(b) => java.util.Arrays.equals(bytes, b)
-      case _ => false
-    }
-  }
-
-  /** Train a symbol table on a sample (generational greedy re-parse). */
-  def train(sample: Array[Byte], generations: Int = 5): SymbolTable = {
-    if (sample.isEmpty) return new SymbolTable(Array.empty)
-    var table = new SymbolTable(Array.empty)
+  /** Train a symbol table on a sample. Zero allocation per parsed token:
+    * tokens are (packed word, len) pairs; counts live in primitive-keyed
+    * open-addressing maps. A (rare) key collision only perturbs a count —
+    * compression stays exact regardless of table quality. */
+  def train(sample: Array[Byte], generations: Int = 4): SymbolTable = {
+    if (sample.length < 8) return SymbolTable.empty
+    var table = SymbolTable.empty
+    val counts = new LongCounter(1 << 12)
     var gen = 0
     while (gen < generations) {
-      val single = mutable.HashMap.empty[Cand, Long]
-      val pairs = mutable.HashMap.empty[Cand, Long]
+      counts.clear()
       var pos = 0
-      var prev: Array[Byte] = null
+      var prevW = 0L
+      var prevL = 0
       while (pos < sample.length) {
-        val c = table.findLongest(sample, pos, sample.length)
-        val cur = if (c >= 0) table.symbols(c) else Array(sample(pos))
-        single.updateWith(Cand(cur))(v => Some(v.getOrElse(0L) + 1L))
-        if (prev != null && prev.length + cur.length <= MaxSymbolLen) {
-          pairs.updateWith(Cand(prev ++ cur))(v => Some(v.getOrElse(0L) + 1L))
+        val w = loadWord(sample, pos, sample.length)
+        val c = table.findLongest(w, sample.length - pos, (w & 0xff).toInt)
+        val (curW, curL) = if (c >= 0) {
+          val l = table.symbols(c).length
+          (w & lenMask(l), l)
+        } else (w & 0xffL, 1)
+        counts.add(curW, curL)
+        if (prevL > 0 && prevL + curL <= MaxSymbolLen) {
+          counts.add(prevW | (curW << (prevL * 8)), prevL + curL)
         }
-        prev = cur
-        pos += cur.length
+        prevW = curW
+        prevL = curL
+        pos += curL
       }
-      // gain = freq * len, minus the 1-byte code we pay on every use; single
-      // bytes gain only by avoiding the escape (2 bytes -> 1).
-      val scored = (single.iterator.map { case (k, f) => (k, f * (2L * k.bytes.length - 1L)) } ++
-        pairs.iterator.map { case (k, f) => (k, f * (2L * k.bytes.length - 1L)) })
-        .filter(_._2 > 0)
-      val merged = mutable.HashMap.empty[Cand, Long]
-      scored.foreach { case (k, g) => merged.updateWith(k)(v => Some(math.max(v.getOrElse(0L), g))) }
-      val top = merged.toArray.sortBy { case (k, g) => (-g, k.bytes.length.toLong) }
-        .take(MaxSymbols).map(_._1.bytes)
-      table = new SymbolTable(top)
+      table = new SymbolTable(counts.topSymbols(MaxSymbols))
       gen += 1
     }
     table
+  }
+
+  /** open-addressing counter keyed by (packed word, len); gain-ranked export. */
+  private final class LongCounter(capacity: Int) {
+    // capacity must be a power of two, sized for ~16K distinct candidates
+    private val mask = capacity * 4 - 1
+    private val words = new Array[Long](mask + 1)
+    private val lens = new Array[Byte](mask + 1)
+    private val cnts = new Array[Int](mask + 1)
+    private var used = 0
+
+    def clear(): Unit = {
+      java.util.Arrays.fill(lens, 0.toByte)
+      java.util.Arrays.fill(cnts, 0)
+      used = 0
+    }
+
+    def add(w: Long, l: Int): Unit = {
+      if (used > mask - (mask >> 2)) return // table ~75% full: stop admitting
+      var idx = (graft.sources.WebDocGen.mix(w ^ (l.toLong << 56)) & mask).toInt
+      var probes = 0
+      while (probes < 64) {
+        if (lens(idx) == 0) {
+          words(idx) = w; lens(idx) = l.toByte; cnts(idx) = 1; used += 1
+          return
+        } else if (lens(idx) == l && words(idx) == w) {
+          cnts(idx) += 1
+          return
+        }
+        idx = (idx + 1) & mask
+        probes += 1
+      }
+    }
+
+    /** top-N byte sequences by gain = count * (2*len - 1) (escape-relative) */
+    def topSymbols(n: Int): Array[Array[Byte]] = {
+      val order = (0 to mask).filter(i => lens(i) > 0)
+        .sortBy(i => -cnts(i).toLong * (2L * lens(i) - 1L))
+        .take(n)
+      order.map { i =>
+        val l = lens(i)
+        val out = new Array[Byte](l)
+        var k = 0
+        while (k < l) { out(k) = ((words(i) >>> (k * 8)) & 0xff).toByte; k += 1 }
+        out
+      }.toArray
+    }
   }
 }
 

@@ -69,9 +69,12 @@ object TextOps {
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
+    // materialize shingle sets + signatures once: they feed three joins, and
+    // recomputing the tokenization per join side would dominate the runtime
     val base = df.select(col(idCol).as("id"),
       array_distinct(tokenShingles(col(textCol), shingleN)).as("sh"))
       .withColumn("sig", minhash(col("sh"), k))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"), explode(lshBands(col("sig"), bands, k / bands)).as("band"))
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))
@@ -91,6 +94,7 @@ object TextOps {
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(col("id"), col("f"),
       explode(array((0 until 4).map(b => struct(lit(b).as("b"),
         shiftrightunsigned(col("f"), b * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("band"))
