@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // this sandbox is a contended VM (heavy hypervisor steal); uncapped JVM
+  // service threads (23 GC + 15 JIT + 32 workers) spin in-kernel when vCPUs
+  // are preempted (lock-holder preemption -> sys-time storm). Cap them.
+  "-XX:ParallelGCThreads=8",
+  "-XX:ConcGCThreads=2",
+  "-XX:CICompilerCount=4",
 )

@@ -20,6 +20,8 @@ object DiagBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.shuffle.compress", sys.env.getOrElse("DIAG_SHUF_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress", sys.env.getOrElse("DIAG_SHUF_COMPRESS", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
