@@ -88,8 +88,8 @@ object Bench {
     // for normalization.
     var scalingJson = ""
     if (doScaling) {
-      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "500000").toLong
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "400000").toLong
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
       var rawScale = 0L
       def level(cores: Int): Double = {
         spark.stop()
@@ -159,12 +159,12 @@ object Bench {
                               probe: Seq[(Int, Double)]): Unit = {
     val gbAll = raw / 1e9
     val pairRows = pairs.map { case (lo, hi, tLo, tHi, sp, eff) =>
-      f"| encode+decode local[$lo] -> local[$hi] | $tLo%.2f s -> $tHi%.2f s | speedup $sp%.2fx of ${hi / lo}x ideal | efficiency $eff%.3f |"
+      f"|| encode+decode local[$lo] -> local[$hi] | $tLo%.2f s -> $tHi%.2f s | speedup $sp%.2fx of ${hi / lo}x ideal | efficiency $eff%.3f |"
     }.mkString("\n")
     val probeMap = probe.toMap
     val probePairs = Seq((4, 16), (8, 32)).flatMap { case (lo, hi) =>
       for { a <- probeMap.get(lo); b <- probeMap.get(hi) }
-        yield f"| raw JVM threads $lo -> $hi (no Spark) | ${a}%.0f -> ${b}%.0f MB/s | speedup ${b / a}%.2fx | machine ceiling ${(b / a) / (hi / lo)}%.3f |"
+        yield f"|| raw JVM threads $lo -> $hi (no Spark) | ${a}%.0f -> ${b}%.0f MB/s | speedup ${b / a}%.2fx | machine ceiling ${(b / a) / (hi / lo)}%.3f |"
     }.mkString("\n")
     val md =
       f"""# BENCH/BASELINE — measured numbers (graft engine)
