@@ -52,6 +52,10 @@ object EncodePipeline {
     case DoubleType => double_bits(col(p.name)).as(p.name)
     case FloatType => double_bits(col(p.name).cast(DoubleType)).as(p.name)
     case IntegerType | ShortType | ByteType => col(p.name).cast(LongType).as(p.name)
+    // strings travel the shuffle + kernel path as UTF-8 bytes: a cast to
+    // binary avoids the UTF8String -> java.lang.String (UTF-16) -> UTF-8
+    // copy chain on both sides of the pipeline
+    case StringType => col(p.name).cast(BinaryType).as(p.name)
     case _ => col(p.name)
   }
 
@@ -63,6 +67,7 @@ object EncodePipeline {
     case FloatType => bits_double(c).cast(FloatType)
     case LongType => c
     case IntegerType | ShortType | ByteType => c.cast(p.sourceType)
+    case StringType => c.cast(StringType)
     case _ => c
   }).as(p.name)
 
@@ -128,8 +133,7 @@ object EncodePipeline {
         while (c < plans.length) {
           plans(c).kind match {
             case 'l' => longs(c) += (if (row.isNullAt(c + 1)) 0L else row.getLong(c + 1))
-            case 's' => bins(c) += row.getString(c + 1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            case 'b' => bins(c) += row.getAs[Array[Byte]](c + 1)
+            case _   => bins(c) += row.getAs[Array[Byte]](c + 1) // 's' is binary post-canon
           }
           c += 1
         }
@@ -170,8 +174,7 @@ object EncodePipeline {
       val blob = col("e_" + p.name)
       (p.kind match {
         case 'l' => decode_longs(blob)
-        case 's' => decode_strings(blob)
-        case 'b' => decode_binary(blob)
+        case _   => decode_binary(blob) // strings restored via cast below
       }).as(p.name)
     }: _*)
     enc.select(explode(zipped).as("__row"))
