@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.plans.EncodePipeline
+import graft.sources.WebDocGen
+
+/** Dumps formatted physical plans of the core pipeline + representative
+  * queries (source for PLANS.md). Run: sbt "runMain graft.PlanDump" */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def dump(title: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n===== $title =====")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+    }
+
+    val docs = WebDocGen.dataset(spark, 2000, 4).toDF()
+    val enc = EncodePipeline.encode(docs, "url", 8, 512,
+      Some(EncodePipeline.saltedHostPart("url", 8, 4)))
+    dump("encode pipeline", enc)
+    dump("decode (join-free zip+explode)", EncodePipeline.decode(enc, docs.schema))
+    dump("verify (single full-outer join on key)",
+      EncodePipeline.verifyRoundTrip(docs, EncodePipeline.decode(enc, docs.schema), "url"))
+
+    val sf = "/root/testdata/sf0.001"
+    dump("filter+projection pushdown on parquet",
+      spark.read.parquet(s"$sf/documents.parquet").filter(col("n_chars") > 100)
+        .select("doc_id", "lang"))
+    dump("q_swar_arith (whole-stage codegen over packed words)",
+      SparkEntry.queries("q_swar_arith")(spark, sf))
+    dump("minhash LSH candidate join (shuffle on band key, no cross product)",
+      graft.operators.TextOps.minhashDupPairs(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text"))
+    dump("ANN brute force (broadcast small query side)",
+      graft.operators.TextOps.bruteForceTopK(
+        spark.read.parquet(s"$sf/embeddings.parquet"),
+        spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5))
+    spark.stop()
+  }
+}
