@@ -123,11 +123,9 @@ object SparkEntry {
         max(col("event_id")).cast("long").as("max_event"))
     }),
     "q_run_count" -> ((s, dir) => {
-      val w = Window.orderBy(col("event_id"))
-      tbl(s, dir, "events")
-        .select(col("event_type"), lag(col("event_type"), 1).over(w).as("prev"))
-        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-        .agg(count(lit(1)).cast("long").as("n_runs"))
+      // scale-correct run counting: per-range-partition pass + boundary
+      // stitch (TextOps.orderedRunCount) instead of a single-partition window
+      TextOps.orderedRunCount(tbl(s, dir, "events"), "event_id", "event_type")
     }),
     "q_dict_viability" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")

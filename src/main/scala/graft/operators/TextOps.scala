@@ -105,6 +105,49 @@ object TextOps {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Count runs of equal `valueCol` in global `orderCol` order, at scale:
+    * range-partition on the order column, count runs inside each partition
+    * with one pass, then stitch partition boundaries with the tiny
+    * per-partition (first, last) summary — no single-partition window, no
+    * global sort of the data, only a P-row reduction.
+    */
+  def orderedRunCount(df: DataFrame, orderCol: String, valueCol: String,
+                      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism * 2
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val summarySchema = StructType(Seq(
+      StructField("min_order", LongType), StructField("runs", LongType),
+      StructField("first_val", StringType), StructField("last_val", StringType)))
+    val parts = df.select(col(orderCol).cast("long").as("o"), col(valueCol).cast("string").as("v"))
+      .repartitionByRange(p, col("o"))
+      .sortWithinPartitions(col("o"))
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          var runs = 1L
+          var last = first.getString(1)
+          while (it.hasNext) {
+            val r = it.next()
+            if (r.getString(1) != last) { runs += 1; last = r.getString(1) }
+          }
+          Iterator(Row(first.getLong(0), runs, first.getString(1), last))
+        }
+      }(org.apache.spark.sql.Encoders.row(summarySchema))
+      .collect().sortBy(_.getLong(0))
+    var total = 0L
+    var prevLast: String = null
+    parts.foreach { r =>
+      total += r.getLong(1)
+      if (prevLast != null && r.getString(2) == prevLast) total -= 1
+      prevLast = r.getString(3)
+    }
+    import spark.implicits._
+    Seq(total).toDF("n_runs")
+  }
+
   // ---- embedding similarity ----
 
   def dotProduct(a: Column, b: Column): Column =
