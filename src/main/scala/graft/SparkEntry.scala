@@ -205,6 +205,23 @@ object SparkEntry {
         .count().orderBy(col("count").desc)
     }),
 
+    // ---- relational coverage: sort/limit/top-k and broadcast join ----
+    "q_topk_sources" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("source")).limit(5)
+    }),
+    "q_join_revenue" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          // exact integer cents: double sum order differs across engines
+          sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("revenue_cents"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---- training-data-pipeline operators ----
     "q_dedup_exact" -> ((s, dir) => {
       TextOps.exactDupStats(tbl(s, dir, "documents"), "text")
@@ -327,6 +344,13 @@ object SparkEntry {
         "CAST(sum((ln*4)%16 + (qty*4)%256 + (disc*4)%256) AS BIGINT) AS s_shift, " +
         "CAST(sum(qty + disc) AS BIGINT) AS s_slice FROM t"
     },
+    "q_topk_sources" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents " +
+        "GROUP BY source ORDER BY n DESC, source LIMIT 5"),
+    "q_join_revenue" ->
+      ("SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, " +
+        "CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS revenue_cents FROM orders " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"),
     "q_dedup_exact" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
         "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows, " +
