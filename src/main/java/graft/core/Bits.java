@@ -1,0 +1,23 @@
+package graft.core;
+
+import java.lang.invoke.MethodHandles;
+import java.lang.invoke.VarHandle;
+import java.nio.ByteOrder;
+
+/**
+ * Little-endian word access over byte arrays. Lives in Java because the JIT
+ * only fully inlines VarHandle accessors rooted in a static final field —
+ * a Scala object val compiles to an instance field and every call goes
+ * through VarHandleGuards (visible in profiles as LambdaForm$MH frames).
+ */
+public final class Bits {
+    private static final VarHandle LE_LONG =
+        MethodHandles.byteArrayViewVarHandle(long[].class, ByteOrder.LITTLE_ENDIAN);
+
+    private Bits() {}
+
+    /** load 8 little-endian bytes at pos (caller guarantees pos+8 <= len) */
+    public static long loadLongLE(byte[] data, int pos) {
+        return (long) LE_LONG.get(data, pos);
+    }
+}

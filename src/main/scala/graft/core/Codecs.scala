@@ -271,14 +271,31 @@ object Codecs {
 
   def sampleFsstRatio(vs: Array[Array[Byte]]): Double = sampleFsstRatioAndTable(vs)._1
 
-  def encodeStrs(vs: Array[Array[Byte]]): Array[Byte] = {
+  def encodeStrs(vs: Array[Array[Byte]]): Array[Byte] =
+    encodeStrsCached(vs, null)._1
+
+  /** Auto-select with an optional cached FSST table from a previous block of
+    * the same (partition, column). Reusing the table skips training — web
+    * pages within a host-salted partition share vocabulary — while the blob
+    * stays fully self-describing (every FSST blob embeds its table). Returns
+    * the blob plus the table to cache for the next block (null when FSST was
+    * not chosen). Determinism: callers must scope the cache to one partition.
+    */
+  def encodeStrsCached(vs: Array[Array[Byte]],
+                       cached: Fsst.SymbolTable): (Array[Byte], Fsst.SymbolTable) = {
     val s = analyzeStrs(vs)
     val (ratio, table) =
-      if (s.totalBytes >= 64 && s.ndv > 1) sampleFsstRatioAndTable(vs)
-      else (1.0, Fsst.SymbolTable.empty)
+      if (s.totalBytes < 64 || s.ndv <= 1) (1.0, Fsst.SymbolTable.empty)
+      else if (cached != null && cached.symbols.nonEmpty) {
+        // estimate with the cached table on this block's sample (no training)
+        val sample = fsstSample(vs)
+        val comp = cached.compress(sample)
+        (math.min(1.0, (comp.length.toDouble + cached.serializedSize) / math.max(sample.length, 1)), cached)
+      } else sampleFsstRatioAndTable(vs)
     val best = estimateStr(s, ratio).minBy(_._2)._1
-    if (best == FsstId && table.symbols.nonEmpty) encodeFsstWith(vs, table)
-    else encodeStrsAs(vs, best, Some(s))
+    if (best == FsstId && table.symbols.nonEmpty)
+      (encodeFsstWith(vs, table), table)
+    else (encodeStrsAs(vs, best, Some(s)), null)
   }
 
   /** FSST-encode a block with an already-trained table. */

@@ -25,14 +25,10 @@ object Fsst {
   @inline private def lenMask(len: Int): Long =
     if (len >= 8) -1L else (1L << (len * 8)) - 1L
 
-  private val LE_LONG: java.lang.invoke.VarHandle =
-    java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
-      classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
-
   /** little-endian load of up to 8 bytes at pos (zero-padded past end) */
   @inline private def loadWord(data: Array[Byte], pos: Int, end: Int): Long = {
     if (pos + 8 <= end) {
-      LE_LONG.get(data, pos).asInstanceOf[Long]
+      Bits.loadLongLE(data, pos)
     } else {
       val n = end - pos
       var w = 0L

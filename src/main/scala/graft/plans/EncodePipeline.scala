@@ -117,6 +117,9 @@ object EncodePipeline {
     private var pending: Row = _
     private var blockInPart = 0
     private var lastPart = Int.MinValue
+    // per-column FSST tables reused across blocks of ONE partition (reset at
+    // part boundaries so each part's output is a pure function of its rows)
+    private val fsstCache = new Array[graft.core.Fsst.SymbolTable](plans.length)
 
     override def hasNext: Boolean = pending != null || it.hasNext
 
@@ -125,7 +128,10 @@ object EncodePipeline {
       val bins = Array.fill(plans.length)(new scala.collection.mutable.ArrayBuffer[Array[Byte]](blockSize))
       var row = if (pending != null) { val r = pending; pending = null; r } else it.next()
       val part = row.getInt(0)
-      if (part != lastPart) { blockInPart = 0; lastPart = part }
+      if (part != lastPart) {
+        blockInPart = 0; lastPart = part
+        java.util.Arrays.fill(fsstCache.asInstanceOf[Array[AnyRef]], null)
+      }
       var n = 0
       var done = false
       while (!done) {
@@ -157,7 +163,9 @@ object EncodePipeline {
             out(4 + c * 2) = vs.length * 8L
           case _ =>
             val vs = bins(c).toArray
-            out(3 + c * 2) = Codecs.encodeStrs(vs)
+            val (blob, table) = Codecs.encodeStrsCached(vs, fsstCache(c))
+            fsstCache(c) = table
+            out(3 + c * 2) = blob
             out(4 + c * 2) = vs.map(_.length.toLong).sum
         }
         c += 1
