@@ -274,6 +274,27 @@ object SparkEntry {
           size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("j"))
         .agg(count(lit(1)).as("n_pairs"), round(max(col("j")), 4).as("max_jaccard"))
     }),
+    "q_media_pipeline" -> ((s, dir) => {
+      // multimodal plumbing smoke: synthesized media table -> metadata decode,
+      // resize, frame sampling, feature extraction (stub decoders; real
+      // schema/expression/batch plumbing). Deterministic, rows-only check.
+      import graft.operators.MediaOps
+      val media = MediaOps.fakeMediaTable(s, 400, 8)
+      val imgs = media.filter(col("media_type") === "image/fake")
+      val vids = media.filter(col("media_type") === "video/fake")
+      val metaOk = imgs.select(MediaOps.image_meta(col("payload")).as("m"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(when(col("m.valid"), 1L).otherwise(0L)).as("n_valid"),
+          sum(col("m.width") * col("m.height") * col("m.channels")).as("total_pixels"))
+      val resized = imgs.select(MediaOps.image_meta(
+          MediaOps.image_resize(col("payload"), 224, 224)).as("m"))
+        .agg(sum(when(col("m.width") === 224 && col("m.height") === 224, 1L).otherwise(0L)).as("n_resized"))
+      val frames = vids.select(explode(MediaOps.frame_sample(col("payload"), 4)).as("f"))
+        .agg(count(lit(1)).as("n_frames"))
+      val feats = imgs.select(MediaOps.image_feature(col("payload"), 32).as("v"))
+        .agg(count(lit(1)).as("n_features"), max(size(col("v"))).as("dims"))
+      metaOk.crossJoin(resized).crossJoin(frames).crossJoin(feats)
+    }),
     "q_embed_dims" -> ((s, dir) => {
       tbl(s, dir, "embeddings").agg(
         count(lit(1)).cast("long").as("n_vecs"),

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftshim.Bridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** Multimodal column plumbing: image/audio/video as opaque BinaryType
+  * payloads with typed metadata, plus decode / resize / feature-extraction /
+  * frame-sampling operators.
+  *
+  * The Spark side — schemas, Catalyst expressions, batch iteration shape,
+  * partitioning — is real and tested. The pixel/sample DECODERS ARE STUBS
+  * (this container ships no image/audio libraries): payloads use a
+  * deterministic fake container format (header + seeded bytes) and the
+  * "decoded" pixels are a pure hash of the seed. Swapping in a real codec
+  * means replacing only the marked `decodeStub` internals; every signature,
+  * schema and plan shape stays.
+  *
+  * Fake container layout (little-endian):
+  *   image: 'G''I''M''G' w:int32 h:int32 channels:uint8 seed:int64
+  *   video: 'G''V''I''D' frames:int32 w:int32 h:int32 seed:int64
+  */
+object MediaOps {
+
+  final val ImageMagic = 0x474d4947 // "GIMG" LE
+  final val VideoMagic = 0x44495647 // "GVID" LE
+
+  // ---- deterministic fake payload generators (test/bench input) ----
+
+  def fakeImage(seed: Long, w: Int, h: Int, channels: Int = 3): Array[Byte] = {
+    val out = new graft.core.ByteWriter(21)
+    out.writeInt(ImageMagic); out.writeInt(w); out.writeInt(h)
+    out.writeByte(channels); out.writeLong(seed)
+    out.toArray
+  }
+
+  def fakeVideo(seed: Long, frames: Int, w: Int, h: Int): Array[Byte] = {
+    val out = new graft.core.ByteWriter(24)
+    out.writeInt(VideoMagic); out.writeInt(frames); out.writeInt(w); out.writeInt(h)
+    out.writeLong(seed)
+    out.toArray
+  }
+
+  // ---- header parsing (REAL: this is the typed-metadata layer) ----
+
+  final case class ImageMeta(valid: Boolean, width: Int, height: Int, channels: Int, seed: Long)
+
+  def parseImage(payload: Array[Byte]): ImageMeta = {
+    if (payload == null || payload.length < 21) return ImageMeta(false, 0, 0, 0, 0)
+    val r = new graft.core.ByteReader(payload)
+    if (r.readInt() != ImageMagic) return ImageMeta(false, 0, 0, 0, 0)
+    ImageMeta(valid = true, r.readInt(), r.readInt(), r.readByte() & 0xff, r.readLong())
+  }
+
+  /** STUB pixel decode: pixel(i) = mix(seed, i). A real implementation
+    * replaces exactly this function with an image-library call. */
+  private def decodeStub(meta: ImageMeta, i: Long): Byte =
+    (graft.sources.WebDocGen.mix(meta.seed ^ i) & 0xff).toByte
+
+  // ---- Catalyst expressions (schema-typed operators over the payload) ----
+
+  /** payload → struct(valid, width, height, channels) */
+  case class ImageMetaExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("valid", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false)))
+    override def prettyName: String = "image_meta"
+    override def nullSafeEval(input: Any): Any = {
+      val m = parseImage(input.asInstanceOf[Array[Byte]])
+      org.apache.spark.sql.catalyst.InternalRow(m.valid, m.width, m.height, m.channels)
+    }
+    override protected def withNewChildInternal(c: Expression): ImageMetaExpr = copy(child = c)
+  }
+
+  /** payload → payload with new dimensions (STUB resample; header math real) */
+  case class ResizeExpr(child: Expression, newW: Int, newH: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "image_resize"
+    override def nullSafeEval(input: Any): Any = {
+      val m = parseImage(input.asInstanceOf[Array[Byte]])
+      require(m.valid, "not a GIMG payload")
+      // STUB: re-seed deterministically from (seed, target dims); a real
+      // implementation would resample pixels here
+      fakeImage(graft.sources.WebDocGen.mix(m.seed ^ (newW.toLong << 32) ^ newH), newW, newH, m.channels)
+    }
+    override protected def withNewChildInternal(c: Expression): ResizeExpr = copy(child = c)
+  }
+
+  /** payload → float[dim] feature vector (STUB "vision encoder": seeded hash
+    * projection; deterministic, unit-normalized — the shape a real encoder
+    * produces) */
+  case class ImageFeatureExpr(child: Expression, dim: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def prettyName: String = "image_feature"
+    override def nullSafeEval(input: Any): Any = {
+      val m = parseImage(input.asInstanceOf[Array[Byte]])
+      val v = new Array[Float](dim)
+      var i = 0
+      var norm = 0.0
+      while (i < dim) {
+        val h = decodeStub(m, i.toLong) / 128.0f
+        v(i) = h
+        norm += h * h
+        i += 1
+      }
+      val inv = if (norm == 0) 0f else (1.0 / math.sqrt(norm)).toFloat
+      i = 0
+      while (i < dim) { v(i) *= inv; i += 1 }
+      new GenericArrayData(v.map(java.lang.Float.valueOf))
+    }
+    override protected def withNewChildInternal(c: Expression): ImageFeatureExpr = copy(child = c)
+  }
+
+  /** video payload → array of frame image payloads, every `everyN`-th frame
+    * (STUB frame extraction; container math real) */
+  case class FrameSampleExpr(child: Expression, everyN: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def prettyName: String = "frame_sample"
+    override def nullSafeEval(input: Any): Any = {
+      val payload = input.asInstanceOf[Array[Byte]]
+      val r = new graft.core.ByteReader(payload)
+      require(r.readInt() == VideoMagic, "not a GVID payload")
+      val frames = r.readInt(); val w = r.readInt(); val h = r.readInt()
+      val seed = r.readLong()
+      val picked = (0 until frames by everyN).map { f =>
+        fakeImage(graft.sources.WebDocGen.mix(seed ^ f.toLong), w, h): Any
+      }
+      new GenericArrayData(picked.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): FrameSampleExpr = copy(child = c)
+  }
+
+  // ---- Column API ----
+  def image_meta(c: Column): Column = toCol(ImageMetaExpr(toExpr(c)))
+  def image_resize(c: Column, w: Int, h: Int): Column = toCol(ResizeExpr(toExpr(c), w, h))
+  def image_feature(c: Column, dim: Int): Column = toCol(ImageFeatureExpr(toExpr(c), dim))
+  def frame_sample(c: Column, everyN: Int): Column = toCol(FrameSampleExpr(toExpr(c), everyN))
+
+  /** batch-shaped processing (the mapInPandas analog in Scala): the function
+    * sees fixed-size batches of payloads, never single rows and never a whole
+    * partition — the contract a model-inference UDF needs (pad/stack a tensor
+    * batch). Partitioning: spread by doc id hash so large blobs distribute. */
+  def processBatches[T: org.apache.spark.sql.Encoder](
+      df: DataFrame, idCol: String, payloadCol: String, batchSize: Int, partitions: Int)(
+      fn: Seq[(Long, Array[Byte])] => Iterator[T]): Dataset[T] = {
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .repartition(partitions, pmod(xxhash64(col(idCol)), lit(partitions)))
+      .mapPartitions { it =>
+        it.map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+          .grouped(batchSize)
+          .flatMap(batch => fn(batch))
+      }
+  }
+
+  /** deterministic synthetic media table (images + videos) */
+  def fakeMediaTable(spark: SparkSession, n: Long, partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val seed = graft.sources.WebDocGen.mix(i ^ 0xBEEF)
+      if (i % 4 == 3)
+        (i, "video/fake", fakeVideo(seed, frames = 16 + (i % 16).toInt, 64, 48))
+      else
+        (i, "image/fake", fakeImage(seed, 32 + (i % 64).toInt, 24 + (i % 48).toInt))
+    }.toDF("doc_id", "media_type", "payload")
+  }
+}
