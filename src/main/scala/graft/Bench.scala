@@ -102,12 +102,22 @@ object Bench {
           e + d
         }.min
       }
+      // wall budget: never let a steal-time burst keep the driver's bench
+      // from emitting its JSON line — skip remaining pairs when exceeded
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toLong
+      val benchStart = System.nanoTime()
+      def elapsed = (System.nanoTime() - benchStart) / 1e9
       val pairs = Seq((4, 16), (8, 32))
-      val measured = pairs.map { case (lo, hi) =>
-        val tLo = level(lo)
-        val tHi = level(hi)
-        val speedup = tLo / tHi
-        (lo, hi, tLo, tHi, speedup, speedup / (hi.toDouble / lo))
+      val measured = pairs.flatMap { case (lo, hi) =>
+        if (elapsed > budgetSec) {
+          System.err.println(s"[bench] budget exceeded (${elapsed.toInt}s), skipping $lo->$hi")
+          None
+        } else {
+          val tLo = level(lo)
+          val tHi = level(hi)
+          val speedup = tLo / tHi
+          Some((lo, hi, tLo, tHi, speedup, speedup / (hi.toDouble / lo)))
+        }
       }
       val probe = threadProbe()
       val gbHere = rawScale / 1e9
@@ -159,42 +169,40 @@ object Bench {
                               probe: Seq[(Int, Double)]): Unit = {
     val gbAll = raw / 1e9
     val pairRows = pairs.map { case (lo, hi, tLo, tHi, sp, eff) =>
-      f"|| encode+decode local[$lo] -> local[$hi] | $tLo%.2f s -> $tHi%.2f s | speedup $sp%.2fx of ${hi / lo}x ideal | efficiency $eff%.3f |"
+      f"| encode+decode local[$lo] -> local[$hi] | $tLo%.2f s -> $tHi%.2f s | speedup $sp%.2fx of ${hi / lo}x ideal | efficiency $eff%.3f |"
     }.mkString("\n")
     val probeMap = probe.toMap
     val probePairs = Seq((4, 16), (8, 32)).flatMap { case (lo, hi) =>
       for { a <- probeMap.get(lo); b <- probeMap.get(hi) }
-        yield f"|| raw JVM threads $lo -> $hi (no Spark) | ${a}%.0f -> ${b}%.0f MB/s | speedup ${b / a}%.2fx | machine ceiling ${(b / a) / (hi / lo)}%.3f |"
+        yield f"| raw JVM threads $lo -> $hi (no Spark) | ${a}%.0f -> ${b}%.0f MB/s | speedup ${b / a}%.2fx | machine ceiling ${(b / a) / (hi / lo)}%.3f |"
     }.mkString("\n")
     val md =
-      f"""# BENCH/BASELINE — measured numbers (graft engine)
+      f"""# BENCH/LAST_RUN — latest bench output (see HISTORY.md for all runs)
          |
          |Input: deterministic synthetic WebDoc table (WebDocGen, seed fixed),
          |$rows rows per scaling pass, ${gb}%.3f GB raw across url/warc_ts/html/text/lang.
-         |Machine: 32-vCPU container on a HEAVILY CONTENDED host — /proc/stat
-         |steal time is of the same order as user time and bursts unpredictably
-         |(identical single-thread runs vary up to 30x). All numbers below are
-         |min-of-N; the raw-JVM-thread probe rows give the machine's own
-         |scaling ceiling measured back-to-back with the engine runs.
+         |Machine: 32-vCPU container on a heavily contended host (bursty
+         |hypervisor steal); numbers are min-of-N within this run — see
+         |BENCH/BASELINE.md for the curated cross-run record.
          |
          || metric | value | | |
          ||---|---|---|---|
          || compression ratio (raw/encoded) | ${raw.toDouble / encB}%.3f | | |
          || encode throughput @ 32 cores | ${gbAll / encSec}%.4f GB/s | decode | ${gbAll / decSec}%.4f GB/s |
-         |$pairRows
-         |$probePairs
-         |
-         |Interpretation: the pipeline is one hash shuffle (salted host
-         |partitioning) followed by independent per-partition block encodes, so
-         |its scaling tracks the machine ceiling; on an uncontended cluster the
-         |N->4N efficiency target (>=0.8, BASELINE.json) is gated by the same
-         |embarrassingly-parallel structure the raw-thread probe demonstrates.
-         |Single-core kernel throughputs (sbt "runMain graft.KernelBench"):
-         |bitpack ~600 MB/s, delta ~550 MB/s, FSST compress ~36 MB/s +
-         |decompress ~700 MB/s, SWAR add_wrap ~3.9 GB/s.
+         |@PAIRS@
+         |@PROBES@
          |""".stripMargin
+        .replace("@PAIRS@", pairRows)
+        .replace("@PROBES@", probePairs)
     val dir = new java.io.File("BENCH")
     dir.mkdirs()
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/BASELINE.md"), md)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/LAST_RUN.md"), md)
+    val histLine = new java.util.Date().toString + " | ratio=" + f"${raw.toDouble / encB}%.3f" +
+      pairs.map { case (lo, hi, tLo, tHi, sp, eff) =>
+        f" | $lo->$hi: $tLo%.1fs->$tHi%.1fs eff=$eff%.3f"
+      }.mkString +
+      probe.map { case (n, m) => f" | thr$n=${m}%.0fMB/s" }.mkString + "\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/HISTORY.md"), histLine,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 }
