@@ -20,4 +20,9 @@ public final class Bits {
     public static long loadLongLE(byte[] data, int pos) {
         return (long) LE_LONG.get(data, pos);
     }
+
+    /** store 8 little-endian bytes at pos (caller guarantees pos+8 <= len) */
+    public static void storeLongLE(byte[] data, int pos, long v) {
+        LE_LONG.set(data, pos, v);
+    }
 }

@@ -11,8 +11,9 @@ import graft.sources.WebDocGen
   * synthetic WebDoc table, and — unless SPARK_GRAFT_SCALING=0 — evidences the
   * two-cluster-size scaling rule by running the identical pipeline at
   * local[LO] and local[HI] on the same input (sandbox stand-in for N vs 4N
-  * executors; BASELINE.md). Prints ONE JSON line; also refreshes
-  * BENCH/BASELINE.md with the measured numbers.
+  * executors; BASELINE.md). Prints ONE JSON line; also writes the raw
+  * measurements to BENCH/LAST_RUN.md and appends BENCH/HISTORY.md
+  * (BENCH/BASELINE.md is the manually curated cross-run record).
   */
 object Bench {
 
@@ -22,7 +23,12 @@ object Bench {
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", math.max(cpus, 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // <200 reducers would pick BypassMergeSortShuffleWriter: 128 writers
+      // x 128 tasks of buffered lz4 streams. Force the serialized
+      // (tungsten-sort) writer instead - one sorter, one spill file per task.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
       .getOrCreate()
@@ -67,13 +73,16 @@ object Bench {
     var spark = session(cpus)
 
     // ---- per-query timings on the driver's testdata ----
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).collect() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // (SPARK_GRAFT_QUERIES=0 skips them when iterating on pipeline scaling)
+    val results =
+      if (sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "0") Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).collect() } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
 
     // ---- pipeline throughput at the session's parallelism ----
     val warm = pipelinePass(spark, math.min(benchRows / 4, 50000L).max(1000L), cpus * 4)
@@ -88,7 +97,9 @@ object Bench {
     // for normalization.
     var scalingJson = ""
     if (doScaling) {
-      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "400000").toLong
+      // big enough that per-job fixed overhead (~1-2 s: scheduling 128 tasks,
+      // plan compile) doesn't swamp the measured kernel+shuffle work
+      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "1600000").toLong
       val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
       var rawScale = 0L
       def level(cores: Int): Double = {

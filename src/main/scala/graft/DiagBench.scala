@@ -18,7 +18,12 @@ object DiagBench {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // <200 reducers would pick BypassMergeSortShuffleWriter: 128 writers
+      // x 128 tasks of buffered lz4 streams. Force the serialized
+      // (tungsten-sort) writer instead - one sorter, one spill file per task.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.local.dir", "/dev/shm/spark-local")
       .config("spark.shuffle.compress", sys.env.getOrElse("DIAG_SHUF_COMPRESS", "true"))
       .config("spark.shuffle.spill.compress", sys.env.getOrElse("DIAG_SHUF_COMPRESS", "true"))

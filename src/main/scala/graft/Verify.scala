@@ -11,7 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // <200 reducers would pick BypassMergeSortShuffleWriter: 128 writers
+      // x 128 tasks of buffered lz4 streams. Force the serialized
+      // (tungsten-sort) writer instead - one sorter, one spill file per task.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

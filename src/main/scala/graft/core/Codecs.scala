@@ -34,11 +34,13 @@ object Codecs {
   final val ForId = 3
   final val DeltaId = 4
   final val RleLong = 5
+  final val NullLong = 6 // wrapper: null bitmap + inner long blob of non-nulls
   final val ConstStr = 16
   final val RawStr = 17
   final val DictId = 18
   final val RleDict = 19
   final val FsstId = 20
+  final val NullStr = 21 // wrapper: null bitmap + inner string blob of non-nulls
 
   def codecName(id: Int): String = id match {
     case ConstLong => "const"
@@ -51,10 +53,20 @@ object Codecs {
     case DictId    => "dict"
     case RleDict   => "rle_dict"
     case FsstId    => "fsst"
+    case NullLong | NullStr => "nulls"
     case other     => s"unknown($other)"
   }
 
-  def codecOf(blob: Array[Byte]): String = codecName(blob(0) & 0xff)
+  def codecOf(blob: Array[Byte]): String = {
+    val id = blob(0) & 0xff
+    if (id == NullLong || id == NullStr) {
+      // unwrap: [id][count:int][bitmap ceil(count/8)][inner blob?]
+      val count = (blob(1) & 0xff) | ((blob(2) & 0xff) << 8) |
+        ((blob(3) & 0xff) << 16) | ((blob(4) & 0xff) << 24)
+      val innerOff = 5 + ((count + 7) >> 3)
+      if (innerOff >= blob.length) "nulls" else codecName(blob(innerOff) & 0xff) + "+nulls"
+    } else codecName(id)
+  }
 
   // ======================== Long columns ========================
 
@@ -215,20 +227,49 @@ object Codecs {
   final case class StrStats(count: Int, totalBytes: Long, ndv: Int, runs: Int,
                             dictBytes: Long, maxLen: Int)
 
+  /** 64-bit content hash (splitmix-mixed 8-byte words) for ndv estimation. */
+  @inline private def hash64(b: Array[Byte]): Long = {
+    var h = 0x9e3779b97f4a7c15L ^ b.length
+    var i = 0
+    while (i + 8 <= b.length) { h = graft.sources.WebDocGen.mix(h ^ Bits.loadLongLE(b, i)); i += 8 }
+    if (i < b.length) {
+      var w = 0L; var k = 0
+      while (i + k < b.length) { w |= (b(i + k) & 0xffL) << (k * 8); k += 1 }
+      h = graft.sources.WebDocGen.mix(h ^ w)
+    }
+    h
+  }
+
+  /** One allocation-lean pass: ndv/dictBytes via an open-addressing set of
+    * 64-bit content hashes (a collision only perturbs the codec-choice
+    * estimate — the encoders themselves compute exact dictionaries). */
   def analyzeStrs(vs: Array[Array[Byte]]): StrStats = {
     require(vs.nonEmpty, "empty block")
-    val seen = new java.util.HashMap[java.nio.ByteBuffer, Integer]()
-    var total = 0L; var runs = 1; var dictBytes = 0L; var maxLen = 0
+    var cap = 16
+    while (cap < vs.length * 2) cap <<= 1
+    val slots = new Array[Long](cap) // 0 = empty (hash 0 remapped to 1)
+    val mask = cap - 1
+    var total = 0L; var runs = 1; var dictBytes = 0L; var maxLen = 0; var ndv = 0
     var i = 0
     while (i < vs.length) {
-      total += vs(i).length
-      if (vs(i).length > maxLen) maxLen = vs(i).length
-      if (i > 0 && !java.util.Arrays.equals(vs(i), vs(i - 1))) runs += 1
-      val key = java.nio.ByteBuffer.wrap(vs(i))
-      if (!seen.containsKey(key)) { seen.put(key, 1); dictBytes += vs(i).length }
+      val v = vs(i)
+      total += v.length
+      if (v.length > maxLen) maxLen = v.length
+      if (i > 0 && !java.util.Arrays.equals(v, vs(i - 1))) runs += 1
+      var h = hash64(v)
+      if (h == 0L) h = 1L
+      var idx = (h & mask).toInt
+      var inserted = false
+      var done = false
+      while (!done) {
+        if (slots(idx) == 0L) { slots(idx) = h; inserted = true; done = true }
+        else if (slots(idx) == h) done = true
+        else idx = (idx + 1) & mask
+      }
+      if (inserted) { ndv += 1; dictBytes += v.length }
       i += 1
     }
-    StrStats(vs.length, total, seen.size(), runs, dictBytes, maxLen)
+    StrStats(vs.length, total, ndv, runs, dictBytes, maxLen)
   }
 
   def estimateStr(s: StrStats, fsstRatio: Double): Map[Int, Long] = {
@@ -422,6 +463,240 @@ object Codecs {
         out
       case other => throw new IllegalArgumentException(s"not a string codec id: $other")
     }
+  }
+
+  // ======================== NULL support ========================
+  // Every codec path above is null-free (mirroring the reference, which has
+  // no null concept). Nullable columns wrap the same blobs:
+  //   [NullLong|NullStr][count:int][bitmap ceil(count/8), bit i set = NULL]
+  //   [inner blob over the non-null values — absent when all values null]
+  // The bitmap is itself bit-packed — the engine's own discipline — and the
+  // wrapper is only emitted when a block actually contains nulls, so
+  // null-free data pays zero overhead and stays byte-identical to v1 blobs.
+
+  /** encode with nulls; `nulls` may be null or all-false (then = encodeLongs).
+    * Only the first vs.length entries of `nulls` are read. */
+  def encodeLongsN(vs: Array[Long], nulls: Array[Boolean]): Array[Byte] = {
+    val n = vs.length
+    var nNulls = 0
+    if (nulls != null) { var i = 0; while (i < n) { if (nulls(i)) nNulls += 1; i += 1 } }
+    if (nNulls == 0) return encodeLongs(vs)
+    val bm = new Array[Byte]((n + 7) >> 3)
+    val nonNull = new Array[Long](n - nNulls)
+    var i = 0; var k = 0
+    while (i < n) {
+      if (nulls(i)) bm(i >> 3) = (bm(i >> 3) | (1 << (i & 7))).toByte
+      else { nonNull(k) = vs(i); k += 1 }
+      i += 1
+    }
+    val w = new ByteWriter(n + 16)
+    w.writeByte(NullLong); w.writeInt(n); w.writeBytes(bm)
+    if (k > 0) w.writeBytes(encodeLongs(nonNull))
+    w.toArray
+  }
+
+  /** decode possibly-null-wrapped longs: (values, isNull or null). Values at
+    * null positions are 0 (callers must consult the flag array). */
+  def decodeLongsN(blob: Array[Byte]): (Array[Long], Array[Boolean]) = {
+    if ((blob(0) & 0xff) != NullLong) return (decodeLongs(blob), null)
+    val r = new ByteReader(blob)
+    r.readByte()
+    val n = r.readInt()
+    val bm = r.readBytes((n + 7) >> 3)
+    val isNull = new Array[Boolean](n)
+    var nNulls = 0
+    var i = 0
+    while (i < n) {
+      if ((bm(i >> 3) & (1 << (i & 7))) != 0) { isNull(i) = true; nNulls += 1 }
+      i += 1
+    }
+    val out = new Array[Long](n)
+    if (nNulls < n) {
+      val inner = decodeLongs(r.readBytes(r.remaining))
+      var k = 0; i = 0
+      while (i < n) { if (!isNull(i)) { out(i) = inner(k); k += 1 }; i += 1 }
+    }
+    (out, isNull)
+  }
+
+  /** encode strings/binary where `vs` may contain null entries; returns the
+    * blob plus the FSST table to cache (as encodeStrsCached). */
+  def encodeStrsN(vs: Array[Array[Byte]], cached: Fsst.SymbolTable = null): (Array[Byte], Fsst.SymbolTable) = {
+    val n = vs.length
+    var nNulls = 0
+    var i = 0
+    while (i < n) { if (vs(i) == null) nNulls += 1; i += 1 }
+    if (nNulls == 0) return encodeStrsCached(vs, cached)
+    val bm = new Array[Byte]((n + 7) >> 3)
+    val nonNull = new Array[Array[Byte]](n - nNulls)
+    var k = 0; i = 0
+    while (i < n) {
+      if (vs(i) == null) bm(i >> 3) = (bm(i >> 3) | (1 << (i & 7))).toByte
+      else { nonNull(k) = vs(i); k += 1 }
+      i += 1
+    }
+    val w = new ByteWriter(64)
+    w.writeByte(NullStr); w.writeInt(n); w.writeBytes(bm)
+    if (k > 0) {
+      val (inner, table) = encodeStrsCached(nonNull, cached)
+      w.writeBytes(inner)
+      (w.toArray, table)
+    } else (w.toArray, null)
+  }
+
+  /** decode possibly-null-wrapped strings: null entries restored in place. */
+  def decodeStrsN(blob: Array[Byte]): Array[Array[Byte]] = {
+    if ((blob(0) & 0xff) != NullStr) return decodeStrs(blob)
+    val r = new ByteReader(blob)
+    r.readByte()
+    val n = r.readInt()
+    val bm = r.readBytes((n + 7) >> 3)
+    val out = new Array[Array[Byte]](n)
+    var nNulls = 0
+    var i = 0
+    while (i < n) { if ((bm(i >> 3) & (1 << (i & 7))) != 0) nNulls += 1; i += 1 }
+    if (nNulls < n) {
+      val inner = decodeStrs(r.readBytes(r.remaining))
+      var k = 0; i = 0
+      while (i < n) { if ((bm(i >> 3) & (1 << (i & 7))) == 0) { out(i) = inner(k); k += 1 }; i += 1 }
+    }
+    out
+  }
+
+  // ================= encoded-domain predicate evaluation =================
+  // Count/containment of a value WITHOUT materializing the block — the
+  // encoded-domain analog of predicate pushdown:
+  //  - const: one compare decides the whole block
+  //  - dict / rle_dict: search the (small) dictionary, then count codes /
+  //    sum run lengths — the payload strings are never rebuilt
+  //  - fsst: the encoder is a deterministic function, so equal raw bytes ⟺
+  //    equal compressed bytes: compress the target ONCE and compare spans
+  //  - bitpack / for: header range check ([0,2^w) / [ref, ref+2^w)) skips
+  //    whole blocks zone-map-style before any decode
+  //  - null wrappers recurse on the inner blob
+
+  /** number of values in a string blob equal to `target` */
+  def countEqStr(blob: Array[Byte], target: Array[Byte]): Long = {
+    val r = new ByteReader(blob)
+    val id = r.readByte() & 0xff
+    val count = r.readInt()
+    id match {
+      case NullStr =>
+        r.readBytes((count + 7) >> 3)
+        if (r.remaining == 0) 0L else countEqStr(r.readBytes(r.remaining), target)
+      case ConstStr =>
+        val len = r.readInt()
+        if (len == target.length && java.util.Arrays.equals(r.readBytes(len), target)) count.toLong else 0L
+      case RawStr =>
+        val lens = readLens(r, count)
+        var n = 0L
+        var i = 0
+        while (i < count) {
+          if (lens(i) == target.length &&
+              java.util.Arrays.equals(blob, r.pos, r.pos + lens(i), target, 0, target.length)) n += 1
+          r.pos += lens(i)
+          i += 1
+        }
+        n
+      case DictId | RleDict =>
+        val ndv = r.readInt()
+        val dictLens = readLens(r, ndv)
+        var targetCode = -1
+        var i = 0
+        while (i < ndv) {
+          if (targetCode < 0 && dictLens(i) == target.length &&
+              java.util.Arrays.equals(blob, r.pos, r.pos + dictLens(i), target, 0, target.length))
+            targetCode = i
+          r.pos += dictLens(i)
+          i += 1
+        }
+        if (targetCode < 0) return 0L
+        val codeW = r.readByte() & 0xff
+        if (id == DictId) {
+          val codes = BitPack.unpack(r.readBytes(r.remaining), codeW, count)
+          var n = 0L; var j = 0
+          while (j < count) { if (codes(j) == targetCode) n += 1; j += 1 }
+          n
+        } else {
+          val runs = r.readInt()
+          val lenW = r.readByte() & 0xff
+          val runVals = BitPack.unpack(r.readBytes(BitPack.packedByteLen(runs, codeW)), codeW, runs)
+          val runLens = BitPack.unpack(r.readBytes(r.remaining), lenW, runs)
+          var n = 0L; var j = 0
+          while (j < runs) { if (runVals(j) == targetCode) n += runLens(j); j += 1 }
+          n
+        }
+      case FsstId =>
+        val table = Fsst.SymbolTable.readFrom(r)
+        val comp = table.compress(target)
+        val lens = readLens(r, count)
+        var n = 0L
+        var i = 0
+        while (i < count) {
+          if (lens(i) == comp.length &&
+              java.util.Arrays.equals(blob, r.pos, r.pos + lens(i), comp, 0, comp.length)) n += 1
+          r.pos += lens(i)
+          i += 1
+        }
+        n
+      case other => throw new IllegalArgumentException(s"not a string codec id: $other")
+    }
+  }
+
+  /** number of values in a long blob equal to `target` (range-skips via the
+    * FoR/bitpack headers before decoding anything) */
+  def countEqLong(blob: Array[Byte], target: Long): Long = {
+    val r = new ByteReader(blob)
+    val id = r.readByte() & 0xff
+    val count = r.readInt()
+    id match {
+      case NullLong =>
+        r.readBytes((count + 7) >> 3)
+        if (r.remaining == 0) 0L else countEqLong(r.readBytes(r.remaining), target)
+      case ConstLong =>
+        if (r.readLong() == target) count.toLong else 0L
+      case BitPackId =>
+        val width = r.readByte() & 0xff
+        if (target < 0 || (width < 64 && target >= (1L << width))) return 0L // zone skip
+        val vs = BitPack.unpack(r.readBytes(r.remaining), width, count)
+        var n = 0L; var i = 0
+        while (i < count) { if (vs(i) == target) n += 1; i += 1 }
+        n
+      case ForId =>
+        val width = r.readByte() & 0xff
+        val ref = r.readLong()
+        val shifted = target - ref
+        if (shifted < 0 || (width < 64 && shifted >= (1L << width))) return 0L // zone skip
+        val vs = BitPack.unpack(r.readBytes(r.remaining), width, count)
+        var n = 0L; var i = 0
+        while (i < count) { if (vs(i) == shifted) n += 1; i += 1 }
+        n
+      case RleLong =>
+        val nRuns = r.readInt()
+        val valW = r.readByte() & 0xff
+        val lenW = r.readByte() & 0xff
+        val ref = r.readLong()
+        val shifted = target - ref
+        if (shifted < 0 || (valW < 64 && shifted >= (1L << valW))) return 0L
+        val runVals = BitPack.unpack(r.readBytes(BitPack.packedByteLen(nRuns, valW)), valW, nRuns)
+        val runLens = BitPack.unpack(r.readBytes(r.remaining), lenW, nRuns)
+        var n = 0L; var i = 0
+        while (i < nRuns) { if (runVals(i) == shifted) n += runLens(i); i += 1 }
+        n
+      case DeltaId =>
+        val vs = decodeLongs(blob)
+        var n = 0L; var i = 0
+        while (i < vs.length) { if (vs(i) == target) n += 1; i += 1 }
+        n
+      case other => throw new IllegalArgumentException(s"not a long codec id: $other")
+    }
+  }
+
+  /** whether a blob contains any nulls (for array_contains-faithful 3-valued
+    * logic in the pushdown expression) */
+  def blobHasNulls(blob: Array[Byte]): Boolean = {
+    val id = blob(0) & 0xff
+    id == NullStr || id == NullLong
   }
 
   // string helpers (UTF-8 view)

@@ -38,70 +38,116 @@ object Fsst {
     }
   }
 
-  /** A trained table: symbols(code) = byte sequence for code ∈ [0, n). */
+  /** A trained table: symbols(code) = byte sequence for code ∈ [0, n).
+    *
+    * Matching is two fixed-cost probes (the paper's §4.3 fast-encoder shape):
+    * symbols of length ≥ 2 are bucketed by their first TWO bytes
+    * (`candOff`/`candCodes`, a 65536-entry prefix-sum index, each bucket
+    * sorted length-descending — buckets hold ~0–2 candidates), and 1-byte
+    * symbols live in a direct 256-entry table. One word load + a couple of
+    * masked compares per emitted code — no per-byte candidate scans.
+    */
   final class SymbolTable(val symbols: Array[Array[Byte]]) extends Serializable {
     require(symbols.length <= MaxSymbols)
     private val symWord = symbols.map(s => loadWord(s, 0, s.length))
     private val symLen = symbols.map(_.length)
-    // per first byte: candidate codes sorted by length descending
-    private val byFirst: Array[Array[Int]] = {
-      val tmp = Array.fill(256)(List.empty[Int])
-      var c = symbols.length - 1
-      while (c >= 0) {
-        val fb = symbols(c)(0) & 0xff
-        tmp(fb) = c :: tmp(fb)
-        c -= 1
+    // direct map: byte value -> code of its 1-byte symbol, or -1
+    private val oneByte: Array[Int] = {
+      val a = Array.fill(256)(-1)
+      var c = 0
+      while (c < symbols.length) {
+        if (symLen(c) == 1) {
+          val b = (symWord(c) & 0xffL).toInt
+          if (a(b) < 0) a(b) = c
+        }
+        c += 1
       }
-      tmp.map(_.sortBy(c => -symLen(c)).toArray)
+      a
+    }
+    // codes with len >= 2 bucketed by first two LE bytes, each bucket len-desc
+    private val candOff: Array[Int] = new Array[Int](65537)
+    private val candCodes: Array[Int] = {
+      var c = 0
+      while (c < symbols.length) {
+        if (symLen(c) >= 2) candOff(((symWord(c) & 0xffffL).toInt) + 1) += 1
+        c += 1
+      }
+      var i = 0
+      while (i < 65536) { candOff(i + 1) += candOff(i); i += 1 }
+      val codes = new Array[Int](candOff(65536))
+      val fill = java.util.Arrays.copyOf(candOff, 65536)
+      var len = MaxSymbolLen
+      while (len >= 2) { // insert longest first: buckets come out len-desc
+        var c2 = 0
+        while (c2 < symbols.length) {
+          if (symLen(c2) == len) {
+            val p = (symWord(c2) & 0xffffL).toInt
+            codes(fill(p)) = c2
+            fill(p) += 1
+          }
+          c2 += 1
+        }
+        len -= 1
+      }
+      codes
     }
 
-    /** longest-match code for the word at data[pos), or -1 */
-    @inline def findLongest(window: Long, remaining: Int, firstByte: Int): Int = {
-      val cands = byFirst(firstByte)
-      var i = 0
-      while (i < cands.length) {
-        val c = cands(i)
-        val l = symLen(c)
-        if (l <= remaining && ((window ^ symWord(c)) & lenMask(l)) == 0L) return c
-        i += 1
+    /** longest-match code for the word at the cursor, or -1 (→ escape) */
+    @inline def findLongest(window: Long, remaining: Int): Int = {
+      if (remaining >= 2) {
+        val p = (window & 0xffffL).toInt
+        var i = candOff(p)
+        val end = candOff(p + 1)
+        while (i < end) {
+          val c = candCodes(i)
+          val l = symLen(c)
+          if (l <= remaining && ((window ^ symWord(c)) & lenMask(l)) == 0L) return c
+          i += 1
+        }
       }
-      -1
+      oneByte((window & 0xffL).toInt)
     }
 
     def compress(data: Array[Byte]): Array[Byte] = compress(data, 0, data.length)
 
     def compress(data: Array[Byte], from: Int, end: Int): Array[Byte] = {
-      val out = new ByteWriter((end - from) / 2 + 8)
+      // worst case: every byte escapes -> 2x; single alloc, raw-index writes
+      val out = new Array[Byte]((end - from) * 2 + 8)
+      var o = 0
       var pos = from
+      val safe = end - 8
       while (pos < end) {
-        val w = loadWord(data, pos, end)
-        val c = findLongest(w, end - pos, (w & 0xff).toInt)
+        val w = if (pos <= safe) Bits.loadLongLE(data, pos) else loadWord(data, pos, end)
+        val c = findLongest(w, end - pos)
         if (c >= 0) {
-          out.writeByte(c)
+          out(o) = c.toByte; o += 1
           pos += symLen(c)
         } else {
-          out.writeByte(EscapeCode)
-          out.writeByte(data(pos))
+          out(o) = EscapeCode.toByte; out(o + 1) = data(pos); o += 2
           pos += 1
         }
       }
-      out.toArray
+      java.util.Arrays.copyOf(out, o)
     }
 
     def decompress(comp: Array[Byte], from: Int, until: Int): Array[Byte] = {
-      val out = new ByteWriter((until - from) * 3 + 8)
+      // each input byte expands to <= 8 output bytes; +8 slack allows
+      // unconditional 8-byte word stores (tail truncated by the final copy)
+      val out = new Array[Byte]((until - from) * MaxSymbolLen + 8)
+      var o = 0
       var pos = from
       while (pos < until) {
         val code = comp(pos) & 0xff
         if (code == EscapeCode) {
-          out.writeByte(comp(pos + 1))
+          out(o) = comp(pos + 1); o += 1
           pos += 2
         } else {
-          out.writeBytes(symbols(code))
+          Bits.storeLongLE(out, o, symWord(code))
+          o += symLen(code)
           pos += 1
         }
       }
-      out.toArray
+      java.util.Arrays.copyOf(out, o)
     }
 
     def serializedSize: Int = 1 + symbols.map(_.length + 1).sum
@@ -140,7 +186,7 @@ object Fsst {
       var prevL = 0
       while (pos < sample.length) {
         val w = loadWord(sample, pos, sample.length)
-        val c = table.findLongest(w, sample.length - pos, (w & 0xff).toInt)
+        val c = table.findLongest(w, sample.length - pos)
         val (curW, curL) = if (c >= 0) {
           val l = table.symbols(c).length
           (w & lenMask(l), l)

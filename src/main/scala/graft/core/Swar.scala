@@ -164,10 +164,10 @@ final class LaneSpec private (val widths: Array[Int]) extends Serializable {
   def maxS(a: Long, b: Long): Long =
     interleave(b, a, spread(borrowLanes(a ^ hiMask, b ^ hiMask)))
 
-  /** shift every lane left by `amount`; bits crossing the lane top are
-    * discarded; amount ≥ lane width zeroes the lane (pint.hpp:1006-1017) */
-  def shiftLeft(word: Long, amount: Int): Long = {
-    if (amount <= 0) return word & fullMask
+  /** keep-mask of a left shift by `amount` (bits that survive lane clipping);
+    * a plan-time constant when the shift amount is fixed — the codegen path
+    * folds it into one AND, mirroring pint's compile-time mask dispatch */
+  def shiftLeftKeep(amount: Int): Long = {
     var keep = 0L; var i = 0
     while (i < count) {
       val w = widths(i)
@@ -175,13 +175,10 @@ final class LaneSpec private (val widths: Array[Int]) extends Serializable {
         keep |= BitPack.maskFor(w - amount) << (offsets(i) + amount)
       i += 1
     }
-    if (amount >= 64) 0L else (word << amount) & keep
+    keep
   }
 
-  /** logical right shift per lane; bits crossing the lane bottom are
-    * discarded; overshift zeroes the lane (pint.hpp:1019-1029) */
-  def shiftRightU(word: Long, amount: Int): Long = {
-    if (amount <= 0) return word & fullMask
+  def shiftRightKeep(amount: Int): Long = {
     var keep = 0L; var i = 0
     while (i < count) {
       val w = widths(i)
@@ -189,7 +186,21 @@ final class LaneSpec private (val widths: Array[Int]) extends Serializable {
         keep |= BitPack.maskFor(w - amount) << offsets(i)
       i += 1
     }
-    if (amount >= 64) 0L else (word >>> amount) & keep
+    keep
+  }
+
+  /** shift every lane left by `amount`; bits crossing the lane top are
+    * discarded; amount ≥ lane width zeroes the lane (pint.hpp:1006-1017) */
+  def shiftLeft(word: Long, amount: Int): Long = {
+    if (amount <= 0) return word & fullMask
+    if (amount >= 64) 0L else (word << amount) & shiftLeftKeep(amount)
+  }
+
+  /** logical right shift per lane; bits crossing the lane bottom are
+    * discarded; overshift zeroes the lane (pint.hpp:1019-1029) */
+  def shiftRightU(word: Long, amount: Int): Long = {
+    if (amount <= 0) return word & fullMask
+    if (amount >= 64) 0L else (word >>> amount) & shiftRightKeep(amount)
   }
 }
 

@@ -1,7 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
@@ -9,97 +9,231 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.Codecs
 
+/** Shared eval kernels for the codec expressions — called from both
+  * interpreted eval and the generated Java (object methods compile to static
+  * forwarders, so `graft.functions.CodecRuntime.x(...)` works in codegen). */
+object CodecRuntime {
+  def encodeLongs(input: ArrayData, forced: Int): Array[Byte] = {
+    val n = input.numElements()
+    val vs = new Array[Long](n)
+    var nulls: Array[Boolean] = null
+    var i = 0
+    while (i < n) {
+      if (input.isNullAt(i)) {
+        if (nulls == null) nulls = new Array[Boolean](n)
+        nulls(i) = true
+      } else vs(i) = input.getLong(i)
+      i += 1
+    }
+    if (nulls != null) Codecs.encodeLongsN(vs, nulls)
+    else if (forced < 0) Codecs.encodeLongs(vs)
+    else Codecs.encodeLongsAs(vs, forced)
+  }
+
+  def decodeLongs(blob: Array[Byte]): ArrayData = {
+    val (vs, nulls) = Codecs.decodeLongsN(blob)
+    if (nulls == null) UnsafeArrayData.fromPrimitiveArray(vs)
+    else {
+      val boxed = new Array[Any](vs.length)
+      var i = 0
+      while (i < vs.length) { if (!nulls(i)) boxed(i) = vs(i); i += 1 }
+      new GenericArrayData(boxed)
+    }
+  }
+
+  def encodeStrings(input: ArrayData, forced: Int): Array[Byte] = {
+    val vs = new Array[Array[Byte]](input.numElements())
+    var i = 0
+    var hasNull = false
+    while (i < vs.length) {
+      if (input.isNullAt(i)) hasNull = true
+      else vs(i) = input.getUTF8String(i).getBytes
+      i += 1
+    }
+    if (hasNull) Codecs.encodeStrsN(vs)._1
+    else if (forced < 0) Codecs.encodeStrs(vs)
+    else Codecs.encodeStrsAs(vs, forced)
+  }
+
+  def decodeStrings(blob: Array[Byte]): ArrayData = {
+    val out = Codecs.decodeStrsN(blob)
+    new GenericArrayData(out.map(b => if (b == null) null else UTF8String.fromBytes(b)))
+  }
+
+  def encodeBinary(input: ArrayData, forced: Int): Array[Byte] = {
+    val vs = new Array[Array[Byte]](input.numElements())
+    var i = 0
+    var hasNull = false
+    while (i < vs.length) {
+      if (input.isNullAt(i)) hasNull = true else vs(i) = input.getBinary(i)
+      i += 1
+    }
+    if (hasNull) Codecs.encodeStrsN(vs)._1
+    else if (forced < 0) Codecs.encodeStrs(vs)
+    else Codecs.encodeStrsAs(vs, forced)
+  }
+
+  def decodeBinary(blob: Array[Byte]): ArrayData =
+    new GenericArrayData(Codecs.decodeStrsN(blob).asInstanceOf[Array[Any]])
+
+  def blobCodec(blob: Array[Byte]): UTF8String = UTF8String.fromString(Codecs.codecOf(blob))
+
+  def countEq(blob: Array[Byte], v: Long): Long = Codecs.countEqLong(blob, v)
+  def countEq(blob: Array[Byte], v: UTF8String): Long = Codecs.countEqStr(blob, v.getBytes)
+  def countEq(blob: Array[Byte], v: Array[Byte]): Long = Codecs.countEqStr(blob, v)
+}
+
 /** Catalyst expressions wrapping the codec kernels. Each operates on one
   * column *block* (an array column assembled per partition or per group) and
   * returns / consumes the self-describing blob of Codecs.scala — the Spark
   * expression analog of the reference's pack/unpack kernels
   * (pint.hpp:390-407, 799-822) generalized to whole blocks.
   *
-  * CodegenFallback is deliberate: each eval call encodes/decodes thousands of
-  * values, so the per-call virtual dispatch is noise; the kernels themselves
-  * are tight primitive loops the JIT vectorizes.
+  * Codegen is a single static call: each eval encodes/decodes thousands of
+  * values so the kernel amortizes, but staying out of CodegenFallback keeps
+  * the expressions inside whole-stage pipelines and eligible for
+  * common-subexpression elimination.
   */
 case class EncodeLongs(child: Expression, forced: Int = -1)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "encode_longs"
-  override def nullSafeEval(input: Any): Any = {
-    val vs = input.asInstanceOf[ArrayData].toLongArray()
-    if (forced < 0) Codecs.encodeLongs(vs) else Codecs.encodeLongsAs(vs, forced)
-  }
+  override def nullSafeEval(input: Any): Any =
+    CodecRuntime.encodeLongs(input.asInstanceOf[ArrayData], forced)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodecRuntime.encodeLongs($c, $forced)")
   override protected def withNewChildInternal(newChild: Expression): EncodeLongs =
     copy(child = newChild)
 }
 
 case class DecodeLongs(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "decode_longs"
   override def nullSafeEval(input: Any): Any =
-    UnsafeArrayData.fromPrimitiveArray(Codecs.decodeLongs(input.asInstanceOf[Array[Byte]]))
+    CodecRuntime.decodeLongs(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodecRuntime.decodeLongs($c)")
   override protected def withNewChildInternal(newChild: Expression): DecodeLongs =
     copy(child = newChild)
 }
 
 case class EncodeStrings(child: Expression, forced: Int = -1)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "encode_strings"
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val vs = new Array[Array[Byte]](arr.numElements())
-    var i = 0
-    while (i < vs.length) { vs(i) = arr.getUTF8String(i).getBytes; i += 1 }
-    if (forced < 0) Codecs.encodeStrs(vs) else Codecs.encodeStrsAs(vs, forced)
-  }
+  override def nullSafeEval(input: Any): Any =
+    CodecRuntime.encodeStrings(input.asInstanceOf[ArrayData], forced)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodecRuntime.encodeStrings($c, $forced)")
   override protected def withNewChildInternal(newChild: Expression): EncodeStrings =
     copy(child = newChild)
 }
 
 case class DecodeStrings(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "decode_strings"
-  override def nullSafeEval(input: Any): Any = {
-    val out = Codecs.decodeStrs(input.asInstanceOf[Array[Byte]])
-    new GenericArrayData(out.map(UTF8String.fromBytes(_)))
-  }
+  override def nullSafeEval(input: Any): Any =
+    CodecRuntime.decodeStrings(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodecRuntime.decodeStrings($c)")
   override protected def withNewChildInternal(newChild: Expression): DecodeStrings =
     copy(child = newChild)
 }
 
 case class EncodeBinary(child: Expression, forced: Int = -1)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "encode_binary"
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val vs = new Array[Array[Byte]](arr.numElements())
-    var i = 0
-    while (i < vs.length) { vs(i) = arr.getBinary(i); i += 1 }
-    if (forced < 0) Codecs.encodeStrs(vs) else Codecs.encodeStrsAs(vs, forced)
-  }
+  override def nullSafeEval(input: Any): Any =
+    CodecRuntime.encodeBinary(input.asInstanceOf[ArrayData], forced)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodecRuntime.encodeBinary($c, $forced)")
   override protected def withNewChildInternal(newChild: Expression): EncodeBinary =
     copy(child = newChild)
 }
 
 case class DecodeBinary(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = true)
   override def prettyName: String = "decode_binary"
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(Codecs.decodeStrs(input.asInstanceOf[Array[Byte]]).asInstanceOf[Array[Any]])
+    CodecRuntime.decodeBinary(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodecRuntime.decodeBinary($c)")
   override protected def withNewChildInternal(newChild: Expression): DecodeBinary =
     copy(child = newChild)
 }
 
+/** Encoded-domain predicate: number of values in the blob equal to `value`,
+  * computed from headers/dictionaries/compressed spans without materializing
+  * the block (Codecs.countEqStr/countEqLong — dict code counting, FoR range
+  * skipping, deterministic-FSST compressed compare). */
+case class BlobCountEq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "blob_count_eq"
+  override def nullSafeEval(blob: Any, v: Any): Any = {
+    val b = blob.asInstanceOf[Array[Byte]]
+    v match {
+      case l: java.lang.Long    => Codecs.countEqLong(b, l)
+      case s: UTF8String        => Codecs.countEqStr(b, s.getBytes)
+      case bs: Array[Byte]      => Codecs.countEqStr(b, bs)
+      case i: java.lang.Integer => Codecs.countEqLong(b, i.longValue())
+      case other => throw new IllegalArgumentException(s"blob_count_eq: unsupported value $other")
+    }
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, v) => s"graft.functions.CodecRuntime.countEq($b, $v)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BlobCountEq =
+    copy(left = l, right = r)
+}
+
+/** Encoded-domain `array_contains(decode_*(blob), v)` with identical
+  * three-valued semantics: true if found; null if absent but the block holds
+  * nulls; false otherwise. Installed by graft.plans.EncodedFilterRule so a
+  * filter over a decoded block never actually decodes it. */
+case class BlobContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "blob_contains"
+  override def nullSafeEval(blob: Any, v: Any): Any = {
+    val b = blob.asInstanceOf[Array[Byte]]
+    val n = v match {
+      case l: java.lang.Long    => Codecs.countEqLong(b, l)
+      case s: UTF8String        => Codecs.countEqStr(b, s.getBytes)
+      case bs: Array[Byte]      => Codecs.countEqStr(b, bs)
+      case i: java.lang.Integer => Codecs.countEqLong(b, i.longValue())
+      case other => throw new IllegalArgumentException(s"blob_contains: unsupported value $other")
+    }
+    if (n > 0) java.lang.Boolean.TRUE
+    else if (Codecs.blobHasNulls(b)) null
+    else java.lang.Boolean.FALSE
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, v) => {
+      val n = ctx.freshName("cnt")
+      s"""long $n = graft.functions.CodecRuntime.countEq($b, $v);
+         |if ($n > 0L) { ${ev.value} = true; }
+         |else if (graft.core.Codecs.blobHasNulls($b)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = false; }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BlobContains =
+    copy(left = l, right = r)
+}
+
 /** codec name stored in a blob header (for metadata/metrics queries). */
 case class BlobCodec(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "blob_codec"
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(Codecs.codecOf(input.asInstanceOf[Array[Byte]]))
+    CodecRuntime.blobCodec(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodecRuntime.blobCodec($c)")
   override protected def withNewChildInternal(newChild: Expression): BlobCodec =
     copy(child = newChild)
 }
@@ -107,11 +241,14 @@ case class BlobCodec(child: Expression)
 /** minimal bits to represent an unsigned long — the runtime analog of the
   * reference's width selection (pint.hpp:724-734,789-795). */
 case class BitsNeeded(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bits_needed"
   override def nullSafeEval(input: Any): Any =
     graft.core.BitPack.bitsNeeded(input.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(java.lang.Math.max(64 - java.lang.Long.numberOfLeadingZeros($c), 1))")
   override protected def withNewChildInternal(newChild: Expression): BitsNeeded =
     copy(child = newChild)
 }
@@ -119,21 +256,25 @@ case class BitsNeeded(child: Expression)
 /** lossless double ↔ raw long bits (lets the long-codec suite cover
   * double/float columns; IEEE-754 bit pattern, no rounding). */
 case class DoubleBits(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "double_bits"
   override def nullSafeEval(input: Any): Any =
     java.lang.Double.doubleToRawLongBits(input.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Double.doubleToRawLongBits($c)")
   override protected def withNewChildInternal(newChild: Expression): DoubleBits =
     copy(child = newChild)
 }
 
 case class BitsDouble(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "bits_double"
   override def nullSafeEval(input: Any): Any =
     java.lang.Double.longBitsToDouble(input.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Double.longBitsToDouble($c)")
   override protected def withNewChildInternal(newChild: Expression): BitsDouble =
     copy(child = newChild)
 }

@@ -27,6 +27,8 @@ package object functions {
   def decode_binary(c: Column): Column = toCol(DecodeBinary(toExpr(c)))
 
   def blob_codec(c: Column): Column = toCol(BlobCodec(toExpr(c)))
+  def blob_count_eq(blob: Column, v: Column): Column = toCol(BlobCountEq(toExpr(blob), toExpr(v)))
+  def blob_contains(blob: Column, v: Column): Column = toCol(BlobContains(toExpr(blob), toExpr(v)))
   def bits_needed(c: Column): Column = toCol(BitsNeeded(toExpr(c)))
   def double_bits(c: Column): Column = toCol(DoubleBits(toExpr(c)))
   def bits_double(c: Column): Column = toCol(BitsDouble(toExpr(c)))

@@ -41,13 +41,15 @@ object TextOps {
 
   def langGuess(text: Column): Column = toCol(graft.functions.LangGuess(toExpr(text)))
 
-  /** simple quality signals: length, alpha/punct/whitespace ratios, mean token
-    * length, stopword-free ratio */
+  /** simple quality signals: char/token/alpha/punct counts plus the derived
+    * ratios (the counts are integer-exact — cross-engine comparable). */
   def qualityStats(text: Column): Column = {
     val len = length(text).cast("double")
     struct(
       length(text).as("n_chars"),
       tokenCount(text).as("n_tokens"),
+      length(regexp_replace(text, "[^\\p{L}]", "")).as("n_alpha"),
+      length(regexp_replace(text, "[^.,;:!?]", "")).as("n_punct"),
       (length(regexp_replace(text, "[^\\p{L}]", "")) / greatest(len, lit(1.0))).as("alpha_ratio"),
       (length(regexp_replace(text, "[^.,;:!?]", "")) / greatest(len, lit(1.0))).as("punct_ratio"),
       (len / greatest(tokenCount(text).cast("double"), lit(1.0))).as("mean_token_len"))
@@ -60,49 +62,80 @@ object TextOps {
         sum(when(col("count") > 1, col("count")).otherwise(0L)).cast("long").as("n_dup_rows"),
         max(col("count")).cast("long").as("max_group"))
 
-  /** MinHash+LSH near-duplicate candidate pairs, verified with exact shingle
-    * Jaccard. Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold.
+  /** MinHash+LSH near-duplicate pairs, verified with exact shingle Jaccard.
+    * Returns one row per *representative* pair:
+    * (id_a, id_b, j4, n_pairs) where j4 = ⌊10000·|∩|/|∪|⌋ (integer-exact, no
+    * float-order ambiguity) and n_pairs = number of underlying document pairs
+    * the row stands for. Rows with id_a = id_b are intra-group pairs among
+    * exact duplicates (j4 = 10000, n_pairs = C(g,2)).
     *
-    * Scale path: candidates come only from LSH-bucket self-joins (shuffle on
-    * band key — no all-pairs product); the Jaccard verification joins shingle
-    * sets back by id. */
+    * Scale path (the three defenses against the web's duplicate skew):
+    * 1. exact-dedup pre-pass — LSH runs over DISTINCT texts only, so a
+    *    million-fold exact duplicate contributes ONE signature, not 10^12
+    *    candidate pairs; its pair mass is reconstructed arithmetically.
+    * 2. candidates come only from LSH-band equi-joins (no all-pairs product).
+    * 3. bucket cap — any band bucket holding > maxBucket distinct texts is
+    *    dropped (a degenerate shingle cluster; true near-dups still meet in
+    *    their other bands with overwhelming probability). */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5, maxBucket: Int = 2000): DataFrame = {
+    val thresholdJ4 = math.round(threshold * 10000).toInt
+    // 1. exact-dedup: one representative (min id) + group size per distinct text
+    val groups = df.groupBy(col(textCol).as("t"))
+      .agg(min(col(idCol)).as("id"), count(lit(1)).as("g"))
     // materialize shingle sets + signatures once: they feed three joins, and
     // recomputing the tokenization per join side would dominate the runtime
-    val base = df.select(col(idCol).as("id"),
-      array_distinct(tokenShingles(col(textCol), shingleN)).as("sh"))
+    val base = groups.select(col("id"), col("g"),
+      array_distinct(tokenShingles(col("t"), shingleN)).as("sh"))
       .withColumn("sig", minhash(col("sh"), k))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"), explode(lshBands(col("sig"), bands, k / bands)).as("band"))
-    val cands = banded.as("x").join(banded.as("y"),
+    // 3. bucket-size cap (skew guard)
+    val capped = banded.join(
+      banded.groupBy("band").agg(count(lit(1)).as("bc")).filter(col("bc") <= maxBucket),
+      "band")
+    val cands = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     val withSets = cands
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    withSets.select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a"), col("g").as("g_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b"), col("g").as("g_b")), "id_b")
+    val cross = withSets.select(col("id_a"), col("id_b"),
+        expr("(CAST(10000 AS BIGINT) * size(array_intersect(sh_a, sh_b))) DIV size(array_union(sh_a, sh_b))").as("j4"),
+        (col("g_a") * col("g_b")).as("n_pairs"))
+      .filter(col("j4") >= thresholdJ4)
+    // intra-group pairs among exact duplicates: jaccard is exactly 1
+    val intra = base.filter(col("g") > 1)
+      .select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(10000L).as("j4"), (col("g") * (col("g") - 1) / 2).cast("long").as("n_pairs"))
+    cross.unionAll(intra)
   }
 
   /** SimHash near-duplicate pairs: self-join on 16-bit bands of the 64-bit
     * fingerprint (any pair within hamming ≤ 3 shares at least one exact band),
-    * verified by bit_count(xor) ≤ maxHamming. */
+    * verified by bit_count(xor) ≤ maxHamming. Same exact-dedup pre-pass and
+    * weighted-pair output as minhashDupPairs: (id_a, id_b, hamming, n_pairs),
+    * id_a = id_b rows are intra-exact-duplicate groups (hamming 0). */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("id"), simhash(col(textCol)).as("f"))
+    val groups = df.groupBy(col(textCol).as("t"))
+      .agg(min(col(idCol)).as("id"), count(lit(1)).as("g"))
+    val fp = groups.select(col("id"), col("g"), simhash(col("t")).as("f"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = fp.select(col("id"), col("f"),
+    val banded = fp.select(col("id"), col("g"), col("f"),
       explode(array((0 until 4).map(b => struct(lit(b).as("b"),
         shiftrightunsigned(col("f"), b * 16).bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("band"))
-    banded.as("x").join(banded.as("y"),
+    val cross = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.f").bitwiseXOR(col("y.f"))).as("hamming")).distinct()
+        bit_count(col("x.f").bitwiseXOR(col("y.f"))).as("hamming"),
+        (col("x.g") * col("y.g")).as("n_pairs")).distinct()
       .filter(col("hamming") <= maxHamming)
+    val intra = fp.filter(col("g") > 1)
+      .select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0).as("hamming"), (col("g") * (col("g") - 1) / 2).cast("long").as("n_pairs"))
+    cross.unionAll(intra)
   }
 
   /** Count runs of equal `valueCol` in global `orderCol` order, at scale:
@@ -166,6 +199,82 @@ object TextOps {
     val c = collection.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("cv"), col("qv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Driver-side Lloyd k-means on a (small, deterministic) sample — vectors
+    * L2-normalized so assignment by dot == cosine. Pure function of the
+    * sample: fixed seeds-by-stride init, fixed iteration count. */
+  private[operators] def kmeansCentroids(sample: Array[Array[Double]], k: Int,
+                                         iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty)
+    val dim = sample(0).length
+    val norm = sample.map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v.clone() else v.map(_ / n)
+    }
+    val kk = math.min(k, norm.length)
+    // stride init: evenly spaced sample points (sample order is deterministic)
+    var cents = Array.tabulate(kk)(i => norm(i * norm.length / kk).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Int](kk)
+      norm.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < kk) {
+          var dot = 0.0; var j = 0
+          while (j < dim) { dot += v(j) * cents(c)(j); j += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) cents(c) // empty cluster: keep previous centroid
+        else {
+          var s = 0.0; var j = 0
+          while (j < dim) { s += sums(c)(j) * sums(c)(j); j += 1 }
+          val n = math.sqrt(s)
+          if (n == 0.0) cents(c) else sums(c).map(_ / n)
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private def ivfAssign(v: Column, cents: Array[Array[Double]], nprobe: Int): Column =
+    toCol(graft.functions.IvfAssign(toExpr(v), cents, nprobe))
+
+  /** IVF ANN: k-means centroids trained driver-side on a deterministic sample
+    * (lowest-xxhash rows — stable at any parallelism), collection vectors
+    * assigned to their nearest centroid in one map pass (no shuffle beyond
+    * the candidate equi-join), queries probe the `nprobe` nearest clusters
+    * and exact-rerank only those candidates. The scale path between
+    * brute-force (exact, O(N·Q)) and LSH (fixed hash planes): recall/cost is
+    * tunable per query via nprobe without re-indexing. */
+  def ivfTopK(collection: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCentroids: Int = 16, nprobe: Int = 4,
+              sampleN: Int = 2048, iters: Int = 10): DataFrame = {
+    val c = collection.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val sample = c.orderBy(xxhash64(col("neighbor_id"))).limit(sampleN)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val cents = kmeansCentroids(sample, nCentroids, iters)
+    val assigned = c.withColumn("cid", element_at(ivfAssign(col("cv"), cents, 1), 1))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("cid", explode(ivfAssign(col("qv"), cents, nprobe)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(assigned, "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("cv"), col("qv")).as("sim"))
       .withColumn("rank", row_number().over(w))

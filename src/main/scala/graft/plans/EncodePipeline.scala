@@ -1,7 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Bridge
 import org.apache.spark.sql.types._
 
 import graft.core.Codecs
@@ -82,7 +85,15 @@ object EncodePipeline {
   def hashPart(key: String, partitions: Int): Column =
     pmod(xxhash64(col(key)), lit(partitions)).cast(IntegerType)
 
-  /** encode a table into block rows (one Spark job, one shuffle). */
+  /** encode a table into block rows (one Spark job, one shuffle).
+    *
+    * The block kernel runs at the InternalRow level (Bridge.toRdd →
+    * mapPartitions → Bridge.internalCreateDataFrame): a typed Dataset
+    * mapPartitions would wrap every input value in an external GenericRow and
+    * re-serialize every output (`DeserializeToObject createexternalrow` /
+    * `SerializeFromObject` in the plan) — measured at ~80× the kernel cost.
+    * Buffers are primitive arrays reused across blocks; nulls are captured in
+    * per-column bitmaps (Codecs.encodeLongsN/encodeStrsN). */
   def encode(df: DataFrame, key: String, partitions: Int, blockSize: Int = 4096,
              partExpr: Option[Column] = None): DataFrame = {
     val plans = plan(df.schema)
@@ -103,43 +114,63 @@ object EncodePipeline {
     ))
     val outSchema = StructType(outFields)
     val ps = plans.toArray
+    val bs = blockSize
 
-    canon.mapPartitions { it =>
-      new BlockIterator(it, ps, blockSize)
-    }(Encoders.row(outSchema))
+    val rdd = Bridge.toRdd(canon).mapPartitions { it => new BlockIterator(it, ps, bs) }
+    Bridge.internalCreateDataFrame(df.sparkSession, rdd, outSchema)
   }
 
   /** row-block accumulator: chunks a sorted partition iterator into blocks,
     * breaking at __part boundaries, and encodes each column with the
-    * auto-selecting codec. */
-  private final class BlockIterator(it: Iterator[Row], plans: Array[ColPlan], blockSize: Int)
-      extends Iterator[Row] {
-    private var pending: Row = _
+    * auto-selecting codec. Zero per-row allocation: longs land in reused
+    * primitive arrays; binaries are the one unavoidable copy out of the
+    * UnsafeRow page. */
+  private final class BlockIterator(it: Iterator[InternalRow], plans: Array[ColPlan], blockSize: Int)
+      extends Iterator[InternalRow] {
+    private val nCols = plans.length
+    private var pending: InternalRow = _ // row.copy() held across next() calls
     private var blockInPart = 0
     private var lastPart = Int.MinValue
     // per-column FSST tables reused across blocks of ONE partition (reset at
     // part boundaries so each part's output is a pure function of its rows)
-    private val fsstCache = new Array[graft.core.Fsst.SymbolTable](plans.length)
+    private val fsstCache = new Array[graft.core.Fsst.SymbolTable](nCols)
+    private val longBuf = new Array[Array[Long]](nCols)
+    private val binBuf = new Array[Array[Array[Byte]]](nCols)
+    private val nullBuf = new Array[Array[Boolean]](nCols)
+    private val nNulls = new Array[Int](nCols)
+    locally {
+      var c = 0
+      while (c < nCols) {
+        if (plans(c).kind == 'l') longBuf(c) = new Array[Long](blockSize)
+        else binBuf(c) = new Array[Array[Byte]](blockSize)
+        nullBuf(c) = new Array[Boolean](blockSize)
+        c += 1
+      }
+    }
 
     override def hasNext: Boolean = pending != null || it.hasNext
 
-    override def next(): Row = {
-      val longs = Array.fill(plans.length)(new scala.collection.mutable.ArrayBuffer[Long](blockSize))
-      val bins = Array.fill(plans.length)(new scala.collection.mutable.ArrayBuffer[Array[Byte]](blockSize))
+    override def next(): InternalRow = {
       var row = if (pending != null) { val r = pending; pending = null; r } else it.next()
       val part = row.getInt(0)
       if (part != lastPart) {
         blockInPart = 0; lastPart = part
         java.util.Arrays.fill(fsstCache.asInstanceOf[Array[AnyRef]], null)
       }
+      java.util.Arrays.fill(nNulls, 0)
       var n = 0
       var done = false
       while (!done) {
         var c = 0
-        while (c < plans.length) {
-          plans(c).kind match {
-            case 'l' => longs(c) += (if (row.isNullAt(c + 1)) 0L else row.getLong(c + 1))
-            case _   => bins(c) += row.getAs[Array[Byte]](c + 1) // 's' is binary post-canon
+        while (c < nCols) {
+          val f = c + 1
+          if (row.isNullAt(f)) {
+            nullBuf(c)(n) = true; nNulls(c) += 1
+            if (plans(c).kind == 'l') longBuf(c)(n) = 0L else binBuf(c)(n) = null
+          } else {
+            nullBuf(c)(n) = false
+            if (plans(c).kind == 'l') longBuf(c)(n) = row.getLong(f)
+            else binBuf(c)(n) = row.getBinary(f) // 's' is binary post-canon
           }
           c += 1
         }
@@ -147,46 +178,82 @@ object EncodePipeline {
         if (n >= blockSize || !it.hasNext) done = true
         else {
           row = it.next()
-          if (row.getInt(0) != part) { pending = row; done = true } // block breaks at part boundary
+          if (row.getInt(0) != part) { pending = row.copy(); done = true } // block breaks at part boundary
         }
       }
-      val out = new Array[Any](3 + plans.length * 2)
+      val out = new Array[Any](3 + nCols * 2)
       out(0) = part
       out(1) = blockInPart
       out(2) = n
       var c = 0
-      while (c < plans.length) {
-        plans(c).kind match {
-          case 'l' =>
-            val vs = longs(c).toArray
-            out(3 + c * 2) = Codecs.encodeLongs(vs)
-            out(4 + c * 2) = vs.length * 8L
-          case _ =>
-            val vs = bins(c).toArray
-            val (blob, table) = Codecs.encodeStrsCached(vs, fsstCache(c))
-            fsstCache(c) = table
-            out(3 + c * 2) = blob
-            out(4 + c * 2) = vs.map(_.length.toLong).sum
+      while (c < nCols) {
+        if (plans(c).kind == 'l') {
+          val vs = java.util.Arrays.copyOf(longBuf(c), n)
+          out(3 + c * 2) = Codecs.encodeLongsN(vs, if (nNulls(c) == 0) null else nullBuf(c))
+          out(4 + c * 2) = n * 8L
+        } else {
+          val vs: Array[Array[Byte]] = java.util.Arrays.copyOf(binBuf(c), n)
+          val (blob, table) = Codecs.encodeStrsN(vs, fsstCache(c))
+          fsstCache(c) = table
+          out(3 + c * 2) = blob
+          var raw = 0L
+          var j = 0
+          while (j < n) { if (vs(j) != null) raw += vs(j).length; j += 1 }
+          out(4 + c * 2) = raw
         }
         c += 1
       }
       blockInPart += 1
-      Row.fromSeq(out.toIndexedSeq)
+      new GenericInternalRow(out)
     }
   }
 
-  /** decode block rows back into the original schema (no join: zip+explode). */
+  /** decode block rows back into the original schema — join-free: each block
+    * row expands in place to its `__cnt` source rows. Same InternalRow-level
+    * path as encode (no external-Row boxing), then a cheap projection
+    * restores source types (timestamp/double/string casts). */
   def decode(enc: DataFrame, sourceSchema: StructType): DataFrame = {
     val plans = plan(sourceSchema)
-    val zipped = arrays_zip(plans.map { p =>
-      val blob = col("e_" + p.name)
-      (p.kind match {
-        case 'l' => decode_longs(blob)
-        case _   => decode_binary(blob) // strings restored via cast below
-      }).as(p.name)
-    }: _*)
-    enc.select(explode(zipped).as("__row"))
-      .select(plans.map(p => restoreCol(p, col("__row." + p.name))): _*)
+    val ps = plans.toArray
+    val canonSchema = StructType(plans.map(p =>
+      StructField(p.name, if (p.kind == 'l') LongType else BinaryType, nullable = true)))
+    val encSchema = enc.schema
+    val eIdx = plans.map(p => encSchema.fieldIndex("e_" + p.name)).toArray
+    val rdd = Bridge.toRdd(enc).mapPartitions { rows =>
+      val nCols = ps.length
+      rows.flatMap { r =>
+        val longVals = new Array[Array[Long]](nCols)
+        val longNulls = new Array[Array[Boolean]](nCols)
+        val binVals = new Array[Array[Array[Byte]]](nCols)
+        var n = 0
+        var c = 0
+        while (c < nCols) {
+          val blob = r.getBinary(eIdx(c))
+          if (ps(c).kind == 'l') {
+            val (v, nu) = Codecs.decodeLongsN(blob)
+            longVals(c) = v; longNulls(c) = nu; n = v.length
+          } else {
+            binVals(c) = Codecs.decodeStrsN(blob); n = binVals(c).length
+          }
+          c += 1
+        }
+        (0 until n).iterator.map { i =>
+          val vals = new Array[Any](nCols)
+          var c2 = 0
+          while (c2 < nCols) {
+            vals(c2) =
+              if (ps(c2).kind == 'l') {
+                if (longNulls(c2) != null && longNulls(c2)(i)) null
+                else java.lang.Long.valueOf(longVals(c2)(i))
+              } else binVals(c2)(i)
+            c2 += 1
+          }
+          new GenericInternalRow(vals): InternalRow
+        }
+      }
+    }
+    Bridge.internalCreateDataFrame(enc.sparkSession, rdd, canonSchema)
+      .select(plans.map(p => restoreCol(p, col(p.name))): _*)
   }
 
   /** per-(part, column) metrics: rows, blocks, raw vs encoded bytes, codecs. */

@@ -1,10 +1,13 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
 
-/** The single place this library touches a Spark-internal API.
+/** The single place this library touches Spark-internal APIs.
   *
   * Spark 4 made `Column` backend-agnostic (Spark Connect); the classic
   * Expression↔Column converters (`org.apache.spark.sql.classic.
@@ -13,8 +16,24 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * `org.apache.spark.sql` namespace — the established pattern used by
   * Catalyst-extension libraries. Everything else in the engine lives in
   * `graft.*` and uses only public Spark API.
+  *
+  * `toRdd`/`internalCreateDataFrame` expose the InternalRow boundary so the
+  * block encode/decode kernels can run without the external-Row boxing round
+  * trip (`DeserializeToObject createexternalrow` → `SerializeFromObject`)
+  * that a typed `Dataset.mapPartitions` inserts — at 100 TB every value
+  * would be boxed twice.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** physical InternalRow RDD of a DataFrame's executed plan */
+  def toRdd(df: DataFrame): RDD[InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.toRdd
+
+  /** DataFrame over raw InternalRows (inverse of toRdd) */
+  def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+                              schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

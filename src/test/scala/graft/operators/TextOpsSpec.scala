@@ -28,8 +28,27 @@ class TextOpsSpec extends SparkTestBase {
     val pairs = TextOps.minhashDupPairs(d, "doc_id", "text", shingleN = 3, k = 64,
       bands = 16, threshold = 0.5).collect()
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
-    assert(pairs.forall(_.getDouble(2) >= 0.5))
+    assert(pairs.forall(_.getLong(2) >= 5000L)) // j4 scale
     assert(pairs.length < 5, s"false positives: ${pairs.mkString(";")}")
+  }
+
+  test("minhash exact-dedup pre-pass reconstructs duplicate pair mass without candidate explosion") {
+    // 50 copies of A, 30 copies of B (near-dup of A), 5 unrelated docs:
+    // old shape would enumerate C(80,2)*16 bands of candidates; new shape
+    // runs LSH over 7 distinct texts and reconstructs the counts.
+    val a = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val b = (1 to 50).map(i => if (i == 25) "x" else s"tok$i").mkString(" ")
+    val rows = (0L until 50L).map(i => (i, a)) ++ (100L until 130L).map(i => (i, b)) ++
+      Seq((200L, "p q r s t u v w"), (201L, "z y x w v"), (202L, "completely different text here"))
+    val pairs = TextOps.minhashDupPairs(docs(rows: _*), "doc_id", "text").collect()
+    val intra = pairs.filter(r => r.getLong(0) == r.getLong(1))
+    val cross = pairs.filter(r => r.getLong(0) != r.getLong(1))
+    assert(intra.map(_.getAs[Long]("n_pairs")).sorted.toSeq === Seq(50L * 49 / 2, 30L * 29 / 2).sorted)
+    assert(intra.forall(_.getAs[Long]("j4") == 10000L))
+    assert(cross.length === 1) // A-rep x B-rep
+    assert(cross.head.getAs[Long]("n_pairs") === 50L * 30)
+    // total duplicate-pair mass: C(50,2) + C(30,2) + 50*30
+    assert(pairs.map(_.getAs[Long]("n_pairs")).sum === 1225L + 435L + 1500L)
   }
 
   test("simhash hamming distance separates near-dups from unrelated docs") {

@@ -45,11 +45,43 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
-  test("decode is join-free (zip+explode, no shuffle)") {
+  test("decode is join-free and shuffle-free (in-place block expansion)") {
     val docs = WebDocGen.dataset(spark, 100, 2).toDF()
     val enc = EncodePipeline.encode(docs, "url", 2, 64)
     val plan = planOf(EncodePipeline.decode(enc, docs.schema))
     assert(!plan.contains("Join"), plan)
-    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    // and no external-Row boxing round trip around the kernel
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject"), plan)
+  }
+
+  test("encoded-domain pushdown: filter over a decoded block never decodes it") {
+    import graft.functions._
+    val docs = WebDocGen.dataset(spark, 200, 2).toDF()
+    val enc = EncodePipeline.encode(docs, "url", 2, 64)
+    val filtered = enc.filter(array_contains(decode_strings(col("e_lang")), "de"))
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("blob_contains"), optimized)
+    assert(!optimized.contains("decode_strings"), optimized)
+    // and the rewrite answers identically to actually decoding every block
+    val viaBlob = filtered.count()
+    val viaDecode = enc.select(col("__part"), col("__block"),
+        explode(decode_strings(col("e_lang"))).as("lang"))
+      .filter(col("lang") === "de")
+      .select(col("__part"), col("__block")).distinct().count()
+    assert(viaBlob === viaDecode)
+    assert(viaBlob > 0) // the fixture actually contains 'de' blocks
+  }
+
+  test("encode lineage has exactly ONE shuffle") {
+    val docs = WebDocGen.dataset(spark, 100, 2).toDF()
+    val rdd = org.apache.spark.sql.graftshim.Bridge.toRdd(
+      EncodePipeline.encode(docs, "url", 2, 64))
+    def countShuffles(r: org.apache.spark.rdd.RDD[_]): Int =
+      r.dependencies.map {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] => 1
+        case d => countShuffles(d.rdd)
+      }.sum
+    assert(countShuffles(rdd) == 1, rdd.toDebugString)
   }
 }
