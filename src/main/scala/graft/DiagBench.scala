@@ -13,7 +13,7 @@ object DiagBench {
   def main(args: Array[String]): Unit = {
     val cores = if (args.nonEmpty) args(0).toInt else 32
     val rows = if (args.length > 1) args(1).toLong else 200000L
-    val parts = cores * 4
+    val parts = sys.env.getOrElse("DIAG_PARTS", (cores * 4).toString).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", parts.toString)
@@ -69,6 +69,20 @@ object DiagBench {
         enc.select(sum(octet_length(col("e_text")))).head()
       }
     }
+    // bench-equivalent full pass: encode -> persist -> agg -> decode -> count
+    (1 to 3).foreach { i =>
+      t(s"bench-like pass $i (enc+persist+agg+decode)") {
+        val enc = EncodePipeline.encode(docs, "url", parts, 4096, Some(partExpr))
+        enc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        enc.agg(sum(expr("r_url + r_warc_ts + r_html + r_text + r_lang")),
+          sum(expr("octet_length(e_url) + octet_length(e_warc_ts) + octet_length(e_html) + " +
+            "octet_length(e_text) + octet_length(e_lang)"))).head()
+        val n = EncodePipeline.decode(enc, docs.schema).count()
+        enc.unpersist()
+        if (n == 42) println("")
+      }
+    }
+
     // single-thread codec cost on the same data, for comparison
     val texts = docs.select("text").limit(20000).collect().map(_.getString(0).getBytes("UTF-8"))
     val htmls = docs.select("html").limit(20000).collect().map(_.getAs[Array[Byte]](0))

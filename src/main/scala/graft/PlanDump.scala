@@ -13,6 +13,10 @@ object PlanDump {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // AQE off for the dumps only: the AdaptiveSparkPlan wrapper hides the
+      // WholeStageCodegen `*(n)` span markers the plan commentary cites
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
@@ -27,8 +31,12 @@ object PlanDump {
     val docs = WebDocGen.dataset(spark, 2000, 4).toDF()
     val enc = EncodePipeline.encode(docs, "url", 8, 512,
       Some(EncodePipeline.saltedHostPart("url", 8, 4)))
-    dump("encode pipeline", enc)
-    dump("decode (join-free zip+explode)", EncodePipeline.decode(enc, docs.schema))
+    dump("encode pipeline (InternalRow block kernel over ONE shuffle)", enc)
+    dump("decode (join-free, shuffle-free in-place block expansion)",
+      EncodePipeline.decode(enc, docs.schema))
+    dump("encoded-domain pushdown (blob_contains, no decode under the filter)",
+      enc.filter(org.apache.spark.sql.functions.array_contains(
+        graft.functions.decode_strings(col("e_lang")), "de")))
     dump("verify (single full-outer join on key)",
       EncodePipeline.verifyRoundTrip(docs, EncodePipeline.decode(enc, docs.schema), "url"))
 
@@ -46,6 +54,11 @@ object PlanDump {
         spark.read.parquet(s"$sf/embeddings.parquet"),
         spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 5),
         "vec_id", "embedding", 5))
+    dump("ANN IVF (centroid equi-join probing, no cross product)",
+      graft.operators.TextOps.ivfTopK(
+        spark.read.parquet(s"$sf/embeddings.parquet"),
+        spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 5),
+        "vec_id", "embedding", 5, nCentroids = 8, nprobe = 2, sampleN = 256))
     spark.stop()
   }
 }

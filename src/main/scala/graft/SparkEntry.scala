@@ -210,7 +210,9 @@ object SparkEntry {
       enc.agg(
         sum(blob_count_eq(col("e_lang"), lit("de"))).cast("long").as("n_de"),
         sum(blob_count_eq(col("e_lang"), lit("zz"))).cast("long").as("n_zz"),
-        sum(blob_count_eq(col("e_doc_id"), lit(7L))).cast("long").as("n_id7"))
+        sum(blob_count_eq(col("e_doc_id"), lit(7L))).cast("long").as("n_id7"),
+        sum(blob_count_between(col("e_doc_id"), lit(100L), lit(199L))).cast("long").as("n_id_range"),
+        sum(blob_count_between(col("e_n_chars"), lit(0L), lit(Long.MaxValue))).cast("long").as("n_all"))
     }),
     "q_codec_plan" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
@@ -356,14 +358,25 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 5)
       val exact = TextOps.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = TextOps.ivfTopK(emb, q, "vec_id", "embedding", 5, nCentroids = 16, nprobe = 4)
+      val cands = TextOps.ivfCandidatePairs(emb, q, "vec_id", "embedding",
+        nCentroids = 16, nprobe = 4)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      val approx = cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
         .select(col("query_id"), col("neighbor_id"))
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      // cand_frac pins the cost side of the recall trade-off: fraction of the
+      // collection each query actually scored (nprobe/nCentroids of it)
+      val cost = cands.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(emb.agg(count(lit(1)).as("n_total")))
+        .crossJoin(q.agg(count(lit(1)).as("n_q")))
+        .select(round(col("n_cand") / (col("n_total") * col("n_q")), 3).as("cand_frac"))
       q.select(col("vec_id").as("query_id")).distinct()
         .join(hits, Seq("query_id"), "left")
         .select(coalesce(col("h"), lit(0L)).as("h"))
         .agg(count(lit(1)).as("n_queries"), round(avg(col("h")) / 5.0, 3).as("recall_at_5"))
+        .crossJoin(cost)
     })
   )
 
@@ -487,7 +500,9 @@ object SparkEntry {
     "q_encoded_filter" ->
       ("SELECT CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de, " +
         "CAST(0 AS BIGINT) AS n_zz, " +
-        "CAST(sum(CASE WHEN doc_id = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_id7 FROM documents"),
+        "CAST(sum(CASE WHEN doc_id = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_id7, " +
+        "CAST(sum(CASE WHEN doc_id BETWEEN 100 AND 199 THEN 1 ELSE 0 END) AS BIGINT) AS n_id_range, " +
+        "CAST(count(*) AS BIGINT) AS n_all FROM documents"),
     "q_ngram_jaccard" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "d AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+1], ' ') " +

@@ -692,6 +692,67 @@ object Codecs {
     }
   }
 
+  /** number of values in a long blob within [lo, hi] — the headers give the
+    * block's possible value range, so whole blocks are accepted (count with
+    * zero decode) or rejected (0) zone-map-style; only straddling blocks decode */
+  def countBetweenLong(blob: Array[Byte], lo: Long, hi: Long): Long = {
+    if (lo > hi) return 0L
+    val r = new ByteReader(blob)
+    val id = r.readByte() & 0xff
+    val count = r.readInt()
+    @inline def rangeOf(width: Int, ref: Long): (Long, Long) =
+      (ref, if (width >= 64) Long.MaxValue else ref + ((1L << width) - 1))
+    id match {
+      case NullLong =>
+        r.readBytes((count + 7) >> 3)
+        if (r.remaining == 0) 0L else countBetweenLong(r.readBytes(r.remaining), lo, hi)
+      case ConstLong =>
+        val v = r.readLong()
+        if (v >= lo && v <= hi) count.toLong else 0L
+      case BitPackId =>
+        val width = r.readByte() & 0xff
+        val (mn, mx) = rangeOf(width, 0L)
+        if (hi < mn || lo > mx) return 0L // zone reject
+        if (lo <= mn && hi >= mx) return count.toLong // zone accept
+        val vs = BitPack.unpack(r.readBytes(r.remaining), width, count)
+        var n = 0L; var i = 0
+        while (i < count) { if (vs(i) >= lo && vs(i) <= hi) n += 1; i += 1 }
+        n
+      case ForId =>
+        val width = r.readByte() & 0xff
+        val ref = r.readLong()
+        val (mn, mx) = rangeOf(width, ref)
+        if (hi < mn || lo > mx) return 0L
+        if (lo <= mn && hi >= mx) return count.toLong
+        val vs = BitPack.unpack(r.readBytes(r.remaining), width, count)
+        var n = 0L; var i = 0
+        while (i < count) { val v = vs(i) + ref; if (v >= lo && v <= hi) n += 1; i += 1 }
+        n
+      case RleLong =>
+        val nRuns = r.readInt()
+        val valW = r.readByte() & 0xff
+        val lenW = r.readByte() & 0xff
+        val ref = r.readLong()
+        val (mn, mx) = rangeOf(valW, ref)
+        if (hi < mn || lo > mx) return 0L
+        val runVals = BitPack.unpack(r.readBytes(BitPack.packedByteLen(nRuns, valW)), valW, nRuns)
+        val runLens = BitPack.unpack(r.readBytes(r.remaining), lenW, nRuns)
+        var n = 0L; var i = 0
+        while (i < nRuns) {
+          val v = runVals(i) + ref
+          if (v >= lo && v <= hi) n += runLens(i)
+          i += 1
+        }
+        n
+      case DeltaId =>
+        val vs = decodeLongs(blob)
+        var n = 0L; var i = 0
+        while (i < vs.length) { if (vs(i) >= lo && vs(i) <= hi) n += 1; i += 1 }
+        n
+      case other => throw new IllegalArgumentException(s"not a long codec id: $other")
+    }
+  }
+
   /** whether a blob contains any nulls (for array_contains-faithful 3-valued
     * logic in the pushdown expression) */
   def blobHasNulls(blob: Array[Byte]): Boolean = {

@@ -9,6 +9,21 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.Codecs
 
+/** analysis-time input validation (ADVICE r1): a mistyped column fails the
+  * query at analysis instead of a ClassCastException on an executor.
+  * (Spark 4 made ExpectsInputTypes/AbstractDataType private[sql]; plain
+  * checkInputDataTypes overrides are the supported route.) */
+private[functions] object TypeChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def expect(cond: Boolean, msg: => String): TypeCheckResult =
+    if (cond) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(msg)
+  def isArrayOf(dt: DataType, elem: DataType): Boolean = dt match {
+    case ArrayType(e, _) => e == elem
+    case _ => false
+  }
+}
+
 /** Shared eval kernels for the codec expressions — called from both
   * interpreted eval and the generated Java (object methods compile to static
   * forwarders, so `graft.functions.CodecRuntime.x(...)` works in codegen). */
@@ -98,6 +113,9 @@ case class EncodeLongs(child: Expression, forced: Int = -1)
     extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "encode_longs"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(TypeChecks.isArrayOf(child.dataType, LongType),
+      s"encode_longs expects array<bigint>, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
     CodecRuntime.encodeLongs(input.asInstanceOf[ArrayData], forced)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -110,6 +128,9 @@ case class DecodeLongs(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "decode_longs"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == BinaryType,
+      s"decode_longs expects binary blob, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
     CodecRuntime.decodeLongs(input.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -122,6 +143,9 @@ case class EncodeStrings(child: Expression, forced: Int = -1)
     extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "encode_strings"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(TypeChecks.isArrayOf(child.dataType, StringType),
+      s"encode_strings expects array<string>, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
     CodecRuntime.encodeStrings(input.asInstanceOf[ArrayData], forced)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -134,6 +158,9 @@ case class DecodeStrings(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "decode_strings"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == BinaryType,
+      s"decode_strings expects binary blob, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
     CodecRuntime.decodeStrings(input.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -146,6 +173,9 @@ case class EncodeBinary(child: Expression, forced: Int = -1)
     extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "encode_binary"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(TypeChecks.isArrayOf(child.dataType, BinaryType),
+      s"encode_binary expects array<binary>, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
     CodecRuntime.encodeBinary(input.asInstanceOf[ArrayData], forced)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -158,6 +188,9 @@ case class DecodeBinary(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(BinaryType, containsNull = true)
   override def prettyName: String = "decode_binary"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == BinaryType,
+      s"decode_binary expects binary blob, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
     CodecRuntime.decodeBinary(input.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -174,6 +207,11 @@ case class BlobCountEq(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "blob_count_eq"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(left.dataType == BinaryType &&
+      Seq(LongType, IntegerType, StringType, BinaryType).contains(right.dataType),
+      s"blob_count_eq expects (binary, bigint|int|string|binary), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def nullSafeEval(blob: Any, v: Any): Any = {
     val b = blob.asInstanceOf[Array[Byte]]
     v match {
@@ -190,6 +228,26 @@ case class BlobCountEq(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Encoded-domain range predicate: values in [lo, hi], zone-map accept/reject
+  * from the FoR/bitpack/RLE headers, decode only for straddling blocks. */
+case class BlobCountBetween(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "blob_count_between"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(first.dataType == BinaryType &&
+      second.dataType == LongType && third.dataType == LongType,
+      s"blob_count_between expects (binary, bigint, bigint), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
+  override def nullSafeEval(blob: Any, lo: Any, hi: Any): Any =
+    Codecs.countBetweenLong(blob.asInstanceOf[Array[Byte]],
+      lo.asInstanceOf[Long], hi.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, lo, hi) => s"graft.core.Codecs.countBetweenLong($b, $lo, $hi)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): BlobCountBetween =
+    copy(first = f, second = s, third = t)
+}
+
 /** Encoded-domain `array_contains(decode_*(blob), v)` with identical
   * three-valued semantics: true if found; null if absent but the block holds
   * nulls; false otherwise. Installed by graft.plans.EncodedFilterRule so a
@@ -199,6 +257,11 @@ case class BlobContains(left: Expression, right: Expression)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
   override def prettyName: String = "blob_contains"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(left.dataType == BinaryType &&
+      Seq(LongType, IntegerType, StringType, BinaryType).contains(right.dataType),
+      s"blob_contains expects (binary, bigint|int|string|binary), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def nullSafeEval(blob: Any, v: Any): Any = {
     val b = blob.asInstanceOf[Array[Byte]]
     val n = v match {
@@ -230,6 +293,9 @@ case class BlobCodec(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "blob_codec"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == BinaryType,
+      s"blob_codec expects binary blob, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
     CodecRuntime.blobCodec(input.asInstanceOf[Array[Byte]])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -244,6 +310,9 @@ case class BitsNeeded(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bits_needed"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == LongType,
+      s"bits_needed expects bigint, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
     graft.core.BitPack.bitsNeeded(input.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -259,6 +328,9 @@ case class DoubleBits(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "double_bits"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == DoubleType,
+      s"double_bits expects double, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
     java.lang.Double.doubleToRawLongBits(input.asInstanceOf[Double])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -271,6 +343,9 @@ case class BitsDouble(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "bits_double"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == LongType,
+      s"bits_double expects bigint, got ${child.dataType.simpleString}")
   override def nullSafeEval(input: Any): Any =
     java.lang.Double.longBitsToDouble(input.asInstanceOf[Long])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

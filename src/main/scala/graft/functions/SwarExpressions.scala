@@ -55,6 +55,11 @@ case class SwarBinaryOp(left: Expression, right: Expression, widths: Seq[Int], o
   @transient private lazy val spec = LaneSpec(widths.toArray)
   override def dataType: DataType = LongType
   override def prettyName: String = s"swar_$op"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (bigint, bigint), got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Long]; val y = b.asInstanceOf[Long]
     op match {
@@ -148,6 +153,11 @@ case class SwarPack(children: Seq[Expression], widths: Seq[Int])
   override def dataType: DataType = LongType
   override def nullable: Boolean = children.exists(_.nullable)
   override def prettyName: String = "swar_pack"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"swar_pack expects bigint lanes, got ${children.map(_.dataType.simpleString).mkString(",")}")
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val vs = new Array[Long](children.length)
     var i = 0

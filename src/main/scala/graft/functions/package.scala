@@ -29,6 +29,8 @@ package object functions {
   def blob_codec(c: Column): Column = toCol(BlobCodec(toExpr(c)))
   def blob_count_eq(blob: Column, v: Column): Column = toCol(BlobCountEq(toExpr(blob), toExpr(v)))
   def blob_contains(blob: Column, v: Column): Column = toCol(BlobContains(toExpr(blob), toExpr(v)))
+  def blob_count_between(blob: Column, lo: Column, hi: Column): Column =
+    toCol(BlobCountBetween(toExpr(blob), toExpr(lo), toExpr(hi)))
   def bits_needed(c: Column): Column = toCol(BitsNeeded(toExpr(c)))
   def double_bits(c: Column): Column = toCol(DoubleBits(toExpr(c)))
   def bits_double(c: Column): Column = toCol(BitsDouble(toExpr(c)))

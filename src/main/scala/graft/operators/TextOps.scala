@@ -265,6 +265,18 @@ object TextOps {
   def ivfTopK(collection: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCentroids: Int = 16, nprobe: Int = 4,
               sampleN: Int = 2048, iters: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    ivfCandidatePairs(collection, queries, idCol, vecCol, nCentroids, nprobe, sampleN, iters)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** the scored IVF candidate set (query_id, neighbor_id, sim) — exposed so
+    * callers can pin the recall-vs-cost trade-off: candidate count / (|Q|·N)
+    * is the scanned fraction the nprobe setting buys. */
+  def ivfCandidatePairs(collection: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, nCentroids: Int = 16, nprobe: Int = 4,
+                        sampleN: Int = 2048, iters: Int = 10): DataFrame = {
     val c = collection.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     val sample = c.orderBy(xxhash64(col("neighbor_id"))).limit(sampleN)
       .collect().map(_.getSeq[Double](1).toArray)
@@ -273,12 +285,9 @@ object TextOps {
     val probes = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("cid", explode(ivfAssign(col("qv"), cents, nprobe)))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
     probes.join(assigned, "cid")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("cv"), col("qv")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
   }
 
   /** LSH-bucketed approximate top-k: random-hyperplane signatures (seeded,
