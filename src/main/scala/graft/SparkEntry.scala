@@ -303,6 +303,39 @@ object SparkEntry {
       pairs.agg(coalesce(sum(col("n_pairs")), lit(0L)).cast("long").as("n_pairs"),
         coalesce(max(col("j4")), lit(0L)).cast("long").as("max_j4"))
     }),
+    "q_embed_dedup" -> ((s, dir) => {
+      // embedding-cosine near-dup dedup with PLANTED duplicates: scaled
+      // copies have cosine exactly 1 and identical hyperplane signatures, so
+      // LSH recall is guaranteed — the oracle re-derives the same 500 pairs
+      // by exact all-pairs cosine in DuckDB
+      val emb = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val copies = emb.select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("v"), x => x * 2.0).as("v"))
+      TextOps.embeddingDupPairs(emb.unionAll(copies), "vec_id", "v", threshold = 0.9)
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(when(col("cosine") >= 0.99, 1L).otherwise(0L)).cast("long").as("n_exact"))
+    }),
+    "q_bpe_tokens" -> ((s, dir) => {
+      // sub-word (BPE pre-tokenizer) counting vs whitespace counting over
+      // structured JSON-ish props — several times denser, oracle-exact
+      tbl(s, dir, "events").groupBy(col("event_type")).agg(
+          count(lit(1)).cast("long").as("n_events"),
+          sum(TextOps.bpeTokenCount(col("props"))).cast("long").as("sum_bpe_tokens"),
+          sum(size(split(col("props"), " "))).cast("long").as("sum_ws_tokens"))
+        .orderBy(col("event_type"))
+    }),
+    "q_fingerprint_dups" -> ((s, dir) => {
+      // winnowing fingerprints (rolling-hash document fingerprinting): pairs
+      // sharing >= 2 fingerprints via an inverted-index equi-join
+      // the synthetic corpus draws from a ~100-word vocabulary, so common
+      // 8-byte substrings are corpus-wide; copy-detection settings: drop
+      // fingerprints in >4% of docs, demand 8 shared survivors
+      val pairs = TextOps.fingerprintDupPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 8, window = 16, minShared = 8, maxDocFreq = 20)
+      pairs.agg(count(lit(1)).cast("long").as("n_pairs"),
+        coalesce(max(col("n_shared")), lit(0L)).cast("long").as("max_shared"))
+    }),
     "q_media_pipeline" -> ((s, dir) => {
       // multimodal plumbing smoke: synthesized media table -> metadata decode,
       // resize, frame sampling, feature extraction (stub decoders; real
@@ -492,11 +525,25 @@ object SparkEntry {
     // verify scale (sf0.01).
     "q_simhash_dups" ->
       "SELECT CAST(23 AS BIGINT) AS n_pairs, CAST(37 AS BIGINT) AS sum_hamming",
+    "q_fingerprint_dups" ->
+      "SELECT CAST(15 AS BIGINT) AS n_pairs, CAST(35 AS BIGINT) AS max_shared",
     "q_media_pipeline" ->
       ("SELECT CAST(300 AS BIGINT) AS n_images, CAST(300 AS BIGINT) AS n_valid, " +
         "CAST(2620428 AS BIGINT) AS total_pixels, CAST(300 AS BIGINT) AS n_resized, " +
         "CAST(650 AS BIGINT) AS n_frames, CAST(300 AS BIGINT) AS n_features, " +
         "CAST(32 AS BIGINT) AS dims"),
+    "q_embed_dedup" ->
+      ("WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
+        "e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 10000, list_transform(v, x -> x * 2) FROM e0), " +
+        "p AS (SELECT list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) c " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(count(*) FILTER (c >= 0.99) AS BIGINT) AS n_exact FROM p WHERE c >= 0.9"),
+    "q_bpe_tokens" ->
+      ("SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(sum(len(regexp_extract_all(props, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]'))) AS BIGINT) AS sum_bpe_tokens, " +
+        "CAST(sum(len(string_split(props, ' '))) AS BIGINT) AS sum_ws_tokens " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_encoded_filter" ->
       ("SELECT CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de, " +
         "CAST(0 AS BIGINT) AS n_zz, " +

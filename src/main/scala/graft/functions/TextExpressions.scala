@@ -111,6 +111,70 @@ case class LangGuess(child: Expression)
     copy(child = newChild)
 }
 
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+  * Local Algorithms for Document Fingerprinting", SIGMOD 2003): a polynomial
+  * ROLLING hash over every k-byte gram of the UTF-8 text (O(1) per position),
+  * then the minimum hash of each `window` consecutive grams is kept
+  * (rightmost-min tie break = robust winnowing). Guarantees: any shared
+  * substring of length ≥ window+k-1 yields at least one shared fingerprint,
+  * and fingerprint density is ~2/(window+1) — position-robust dedup evidence
+  * at a tunable cost. */
+case class WinnowFingerprints(child: Expression, k: Int = 8, window: Int = 16)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && window >= 2)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  private val Base = 0x100000001b3L
+  // Base^k for the rolling subtract (wrapping Long arithmetic)
+  @transient private lazy val baseK: Long = {
+    var p = 1L; var i = 0
+    while (i < k) { p *= Base; i += 1 }
+    p
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.length < k)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
+    val n = bytes.length - k + 1
+    val grams = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * Base + (bytes(i) & 0xffL); i += 1 }
+    grams(0) = h
+    i = 1
+    while (i < n) {
+      h = h * Base + (bytes(i + k - 1) & 0xffL) - baseK * (bytes(i - 1) & 0xffL)
+      grams(i) = h
+      i += 1
+    }
+    // winnow: rightmost minimum of each window, deduped by position
+    val picks = new scala.collection.mutable.ArrayBuffer[Long](n / window + 2)
+    var lastPos = -1
+    var w0 = 0
+    val nWin = math.max(n - window + 1, 1)
+    while (w0 < nWin) {
+      val end = math.min(w0 + window, n)
+      var best = w0
+      var j = w0 + 1
+      while (j < end) {
+        // unsigned compare; rightmost min (<=) = robust winnowing
+        if (java.lang.Long.compareUnsigned(grams(j), grams(best)) <= 0) best = j
+        j += 1
+      }
+      if (best != lastPos) {
+        picks += graft.sources.WebDocGen.mix(grams(best))
+        lastPos = best
+      }
+      w0 += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(picks.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
 /** k-entry MinHash signature over an array<string> of shingles, one pass:
   * each shingle hashed once, then k cheap seeded remixes (universal-hash
   * family h_i(x) = mix(x + GOLDEN*i)); sig[i] = min over shingles. A single

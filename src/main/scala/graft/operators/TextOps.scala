@@ -290,24 +290,82 @@ object TextOps {
       .select(col("query_id"), col("neighbor_id"), cosine(col("cv"), col("qv")).as("sim"))
   }
 
+  /** deterministic random-hyperplane signature bits: sign pattern of each
+    * pseudo-hyperplane from xxhash64 of (plane, dimension); dot sign → bit */
+  private def hyperplaneSigBits(v: Column, planes: Int): Column =
+    transform(sequence(lit(0), lit(planes - 1)), p =>
+      when(aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, d) => x * (pmod(xxhash64(p, d), lit(2)).cast("double") * 2.0 - 1.0)),
+        lit(0.0d), (acc, x) => acc + x) >= 0, 1L).otherwise(0L))
+
+  /** the signature split into `bands` hashed groups — vectors with equal
+    * direction get identical keys in EVERY band (guaranteed recall for
+    * exact-duplicate directions); nearby directions collide per band with
+    * probability (1 - θ/π)^(planes/bands) */
+  private def hyperplaneBandKeys(v: Column, planes: Int, bands: Int): Column = {
+    val bits = hyperplaneSigBits(v, planes)
+    val rows = planes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws(",", slice(bits, b * rows + 1, lit(rows)))))
+  }
+
+  /** embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
+    * generate candidates (band equi-join — no all-pairs product), exact
+    * cosine verifies. Returns (id_a, id_b, cosine). The dedup counterpart of
+    * lshTopK: same index, pair semantics instead of top-k. */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, planes: Int = 16, bands: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("id"),
+      explode(hyperplaneBandKeys(col("v"), planes, bands)).as("band"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** BPE-ish sub-word token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token (the pre-tokenizer split every
+    * byte-pair-encoding vocabulary starts from) — versus whitespace counting,
+    * structured text like JSON/HTML tokenizes several times denser. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("""\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"""), lit(0)))
+
+  /** winnowing fingerprints of a document (WinnowFingerprints expression) */
+  def winnow(text: Column, k: Int = 8, window: Int = 16): Column =
+    toCol(graft.functions.WinnowFingerprints(toExpr(text), k, window))
+
+  /** fingerprint-overlap near-duplicate pairs: inverted index on winnowing
+    * fingerprints (explode → equi-join on fingerprint), ubiquitous
+    * fingerprints dropped by a document-frequency cap (skew guard), pairs
+    * kept when they share ≥ minShared fingerprints. Finds shared PASSAGES
+    * (any common substring ≥ window+k-1 bytes shares a fingerprint) — the
+    * copy-detection complement of whole-document MinHash. */
+  def fingerprintDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, window: Int = 16, minShared: Int = 2,
+                          maxDocFreq: Int = 100): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+        explode(array_distinct(winnow(col(textCol), k, window))).as("fp"))
+    val rare = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df")).filter(col("df") <= maxDocFreq), "fp")
+    rare.as("x").join(rare.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** LSH-bucketed approximate top-k: random-hyperplane signatures (seeded,
     * deterministic), candidates share a signature band, exact cosine re-rank
     * within candidates. The scale path: no cross join, shuffle on band keys. */
   def lshTopK(collection: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
-    // deterministic pseudo-random hyperplanes: sign pattern from xxhash64 of
-    // (plane, dimension); dot sign per plane -> bit; banded like simhash
-    def sigBits(v: Column): Column =
-      transform(sequence(lit(0), lit(planes - 1)), p =>
-        when(aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, d) => x * (pmod(xxhash64(p, d), lit(2)).cast("double") * 2.0 - 1.0)),
-          lit(0.0d), (acc, x) => acc + x) >= 0, 1L).otherwise(0L))
-    def bandKeys(v: Column): Column = {
-      val bits = sigBits(v)
-      val rows = planes / bands
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, concat_ws(",", slice(bits, b * rows + 1, lit(rows)))))
-    }
+    def bandKeys(v: Column): Column = hyperplaneBandKeys(v, planes, bands)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("band", explode(bandKeys(col("qv"))))
     val c = collection.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))

@@ -116,6 +116,40 @@ class TextOpsSpec extends SparkTestBase {
     assert(recall >= 0.4, s"recall $recall too low") // LSH is approximate; banding keeps it ≥ chance
   }
 
+  test("winnowing fingerprints detect a shared passage, position-independent") {
+    val passage = "the quick brown fox jumps over the lazy dog again and again"
+    val a = "AAAA BBBB " + passage + " CCCC"
+    val b = "XXXXXXXX YYYY ZZZZ " + passage // same passage, different offset
+    val c = "totally unrelated words everywhere here nothing in common at all"
+    val d = docs((1L, a), (2L, b), (3L, c))
+    val pairs = TextOps.fingerprintDupPairs(d, "doc_id", "text", minShared = 2).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L), pairs.mkString(";"))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+    // fingerprints are position-independent: identical texts share ALL of them
+    val fps = d.select($"doc_id", TextOps.winnow($"text")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).size >= 2)
+  }
+
+  test("embedding dup pairs: scaled copies are found with cosine 1, strangers are not") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 50L).map(i => (i, Array.fill(16)(rnd.nextGaussian())))
+    val all = (base ++ base.map { case (i, v) => (i + 1000L, v.map(_ * 2.0)) })
+      .toDF("vec_id", "v")
+    val pairs = TextOps.embeddingDupPairs(all, "vec_id", "v", threshold = 0.9).collect()
+    assert(pairs.length === 50, s"expected exactly the 50 planted pairs, got ${pairs.length}")
+    pairs.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + 1000L)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("BPE-ish token count splits letters, digits and punctuation") {
+    val r = docs((1L, """{"key": 42, "x": "ab-cd"}""")).select(TextOps.bpeTokenCount($"text")).head()
+    // { " key " : 42 , " x " : " ab - cd " } = 17 tokens
+    assert(r.getInt(0) === 17)
+  }
+
   test("token shingles produce n-grams") {
     val got = docs((1L, "a b c d")).select(TextOps.tokenShingles($"text", 2).as("s"))
       .head().getSeq[String](0)
