@@ -48,6 +48,57 @@ class FunctionsSpec extends SparkTestBase {
     assert(got === Seq(1, 1, 2, 8, 9, 41))
   }
 
+  test("every SWAR op: whole-stage-codegen result equals the kernel on random words") {
+    // differential test over the generated-Java path: each op evaluated via
+    // DataFrame (codegen) must equal LaneSpec (the scala kernel the golden
+    // pint vectors pin). Mixed widths incl. a 1-bit lane.
+    import graft.core.LaneSpec
+    import graft.functions._
+    val widths = Seq(3, 1, 7, 10, 11)
+    val spec = LaneSpec(widths.toArray)
+    val rnd = new scala.util.Random(99)
+    val rows = Seq.fill(400)((rnd.nextLong() & spec.fullMask, rnd.nextLong() & spec.fullMask))
+    val df = rows.toDF("a", "b").cache()
+    val binOps: Seq[(String, org.apache.spark.sql.Column, (Long, Long) => Long)] = Seq(
+      ("add_wrap", swar_add_wrap($"a", $"b", widths), spec.addWrap),
+      ("add_sat_u", swar_add_sat_u($"a", $"b", widths), spec.addSatU),
+      ("add_sat_s", swar_add_sat_s($"a", $"b", widths), spec.addSatS),
+      ("sub_wrap", swar_sub_wrap($"a", $"b", widths), spec.subWrap),
+      ("sub_sat_u", swar_sub_sat_u($"a", $"b", widths), spec.subSatU),
+      ("sub_sat_s", swar_sub_sat_s($"a", $"b", widths), spec.subSatS),
+      ("min_u", swar_min_u($"a", $"b", widths), spec.minU),
+      ("max_u", swar_max_u($"a", $"b", widths), spec.maxU),
+      ("min_s", swar_min_s($"a", $"b", widths), spec.minS),
+      ("max_s", swar_max_s($"a", $"b", widths), spec.maxS))
+    binOps.foreach { case (name, colExpr, model) =>
+      val got = df.select($"a", $"b", colExpr.as("r")).collect()
+      got.foreach { r =>
+        assert(r.getLong(2) === model(r.getLong(0), r.getLong(1)),
+          s"$name(${r.getLong(0)}, ${r.getLong(1)})")
+      }
+    }
+    // shifts incl. overshift, per-lane gets (both signednesses), slice
+    (0 to 12).foreach { amt =>
+      val got = df.select($"a", swar_shift_left($"a", widths, amt).as("l"),
+        swar_shift_right_u($"a", widths, amt).as("r")).collect()
+      got.foreach { r =>
+        assert(r.getLong(1) === spec.shiftLeft(r.getLong(0), amt), s"shl $amt")
+        assert(r.getLong(2) === spec.shiftRightU(r.getLong(0), amt), s"shr $amt")
+      }
+    }
+    widths.indices.foreach { i =>
+      val got = df.select($"a", swar_get($"a", widths, i).as("u"),
+        swar_get_signed($"a", widths, i).as("s")).collect()
+      got.foreach { r =>
+        assert(r.getLong(1) === spec.get(r.getLong(0), i))
+        assert(r.getLong(2) === spec.getSigned(r.getLong(0), i))
+      }
+    }
+    val gotSl = df.select($"a", swar_slice($"a", widths, 1, 4).as("sl")).collect()
+    gotSl.foreach(r => assert(r.getLong(1) === spec.slice(r.getLong(0), 1, 4)._2))
+    df.unpersist()
+  }
+
   test("swar ops on lineitem lanes match plain SQL arithmetic") {
     val widths = Seq(4, 8, 8)
     val li = sf("lineitem")
