@@ -150,8 +150,15 @@ object Bench {
         }
         if (vs.isEmpty) None
         else {
+          // two estimators, robust to different failure modes: the median
+          // per-visit ratio cancels BETWEEN-visit drift; min-lo/min-hi uses
+          // each level's calmest window and survives WITHIN-visit drift
+          // (a visit whose hi half hit a slow phase). Report the smaller
+          // (conservative) as the headline speedup.
           val ratios = vs.map { case (l, h) => l / h }.sorted
-          val speedup = ratios(ratios.length / 2) // median per-visit ratio
+          val medianRatio = ratios(ratios.length / 2)
+          val minRatio = vs.map(_._1).min / vs.map(_._2).min
+          val speedup = math.min(medianRatio, minRatio)
           Some((lo, hi, vs.map(_._1).min, vs.map(_._2).min, speedup,
             speedup / (hi.toDouble / lo), vs))
         }

@@ -760,6 +760,44 @@ object Codecs {
     id == NullStr || id == NullLong
   }
 
+  /** conservative [min, max] value bounds of a long blob from its HEADER
+    * alone (no payload decode except delta): const/FoR/RLE are exact or
+    * near-exact, bitpack bounds by width. The zone-map column of the
+    * metadata table (Iceberg manifest `lower_bound`/`upper_bound` parity) —
+    * sound for pruning: true values always lie within. Returns null for
+    * an all-null block. */
+  def rangeOfLong(blob: Array[Byte]): (Long, Long) = {
+    val r = new ByteReader(blob)
+    val id = r.readByte() & 0xff
+    val count = r.readInt()
+    id match {
+      case NullLong =>
+        r.readBytes((count + 7) >> 3)
+        if (r.remaining == 0) null else rangeOfLong(r.readBytes(r.remaining))
+      case ConstLong =>
+        val v = r.readLong(); (v, v)
+      case BitPackId =>
+        val width = r.readByte() & 0xff
+        (0L, if (width >= 64) Long.MaxValue else (1L << width) - 1)
+      case ForId =>
+        val width = r.readByte() & 0xff
+        val ref = r.readLong()
+        (ref, if (width >= 64) Long.MaxValue else ref + ((1L << width) - 1))
+      case RleLong =>
+        val nRuns = r.readInt()
+        val valW = r.readByte() & 0xff
+        r.readByte()
+        val ref = r.readLong()
+        (ref, if (valW >= 64) Long.MaxValue else ref + ((1L << valW) - 1))
+      case DeltaId =>
+        val vs = decodeLongs(blob)
+        var mn = vs(0); var mx = vs(0); var i = 1
+        while (i < vs.length) { if (vs(i) < mn) mn = vs(i); if (vs(i) > mx) mx = vs(i); i += 1 }
+        (mn, mx)
+      case other => throw new IllegalArgumentException(s"not a long codec id: $other")
+    }
+  }
+
   // string helpers (UTF-8 view)
   def encodeStrings(vs: Array[String]): Array[Byte] =
     encodeStrs(vs.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))

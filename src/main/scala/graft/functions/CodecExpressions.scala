@@ -288,6 +288,29 @@ case class BlobContains(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** header-derived [min, max] bounds of a long blob — the zone-map /
+  * Iceberg-manifest lower_bound/upper_bound column of the metadata table.
+  * Null for all-null blocks. */
+case class BlobRange(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lo", LongType, nullable = false),
+    StructField("hi", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "blob_range"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == BinaryType,
+      s"blob_range expects binary blob, got ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any = {
+    val r = Codecs.rangeOfLong(input.asInstanceOf[Array[Byte]])
+    if (r == null) null
+    else org.apache.spark.sql.catalyst.InternalRow(r._1, r._2)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BlobRange =
+    copy(child = newChild)
+}
+
 /** codec name stored in a blob header (for metadata/metrics queries). */
 case class BlobCodec(child: Expression)
     extends UnaryExpression {

@@ -256,11 +256,17 @@ object EncodePipeline {
       .select(plans.map(p => restoreCol(p, col(p.name))): _*)
   }
 
-  /** per-(part, column) metrics: rows, blocks, raw vs encoded bytes, codecs. */
+  /** per-(part, column) metrics: rows, blocks, raw vs encoded bytes, codecs,
+    * plus header-derived value bounds for long-kind columns (the zone-map /
+    * Iceberg-manifest `lower_bound`/`upper_bound` parity columns — readers
+    * can skip whole parts whose [value_lo, value_hi] misses a predicate
+    * without touching data files). */
   def metadata(enc: DataFrame, sourceSchema: StructType): DataFrame = {
     val plans = plan(sourceSchema)
+    val nullRange = lit(null).cast("struct<lo:bigint,hi:bigint>")
     val perCol = plans.map { p =>
-      struct(lit(p.name).as("column"), col("e_" + p.name).as("blob"), col("r_" + p.name).as("raw"))
+      struct(lit(p.name).as("column"), col("e_" + p.name).as("blob"), col("r_" + p.name).as("raw"),
+        (if (p.kind == 'l') blob_range(col("e_" + p.name)) else nullRange).as("rng"))
     }
     enc.select(col("__part"), col("__cnt"), explode(array(perCol: _*)).as("c"))
       .groupBy(col("__part"), col("c.column"))
@@ -269,7 +275,9 @@ object EncodePipeline {
         count(lit(1)).as("blocks"),
         sum(col("c.raw")).as("raw_bytes"),
         sum(octet_length(col("c.blob"))).as("encoded_bytes"),
-        sort_array(collect_set(blob_codec(col("c.blob")))).as("codecs"))
+        sort_array(collect_set(blob_codec(col("c.blob")))).as("codecs"),
+        min(col("c.rng.lo")).as("value_lo"),
+        max(col("c.rng.hi")).as("value_hi"))
   }
 
   /** resumable multi-wave run: encode + write data, then commit metadata.
@@ -277,15 +285,17 @@ object EncodePipeline {
   def run(df: DataFrame, key: String, outDir: String, partitions: Int,
           blockSize: Int = 4096, waves: Int = 1, salts: Int = 4,
           useHostPartitioner: Boolean = false,
-          failAtWave: Int = -1 /* test hook: throw before committing wave N's metadata */): Unit = {
+          failAtWave: Int = -1 /* test hook: throw before committing wave N's metadata */,
+          customPart: Option[Column] = None /* e.g. a range partitioner so the
+            metadata zone maps prune; must be a pure function of the row */): Unit = {
     val spark = df.sparkSession
     val committed: Set[Int] = try {
       spark.read.parquet(s"$outDir/meta").select("__part").distinct()
         .collect().map(_.getInt(0)).toSet
     } catch { case _: Exception => Set.empty }
 
-    val partExpr =
-      if (useHostPartitioner) saltedHostPart(key, partitions, salts) else hashPart(key, partitions)
+    val partExpr = customPart.getOrElse(
+      if (useHostPartitioner) saltedHostPart(key, partitions, salts) else hashPart(key, partitions))
 
     var w = 0
     while (w < waves) {
@@ -316,6 +326,21 @@ object EncodePipeline {
     val committed = spark.read.parquet(s"$outDir/meta").select("__part").distinct()
     spark.read.parquet(s"$outDir/data")
       .join(broadcast(committed), Seq("__part"), "left_semi")
+  }
+
+  /** manifest-level pruning: read only committed parts whose metadata value
+    * bounds ([value_lo, value_hi] zone maps, written at encode time) admit
+    * `value` in `column` — the Iceberg manifest-skipping pattern. Parts whose
+    * bounds miss the predicate are never opened; within surviving parts,
+    * blob_count_eq / blob_count_between skip at block level. */
+  def readDataPruned(spark: SparkSession, outDir: String,
+                     column: String, value: Long): DataFrame = {
+    val parts = spark.read.parquet(s"$outDir/meta")
+      .filter(col("column") === column &&
+        col("value_lo") <= value && col("value_hi") >= value)
+      .select("__part").distinct()
+    spark.read.parquet(s"$outDir/data")
+      .join(broadcast(parts), Seq("__part"), "left_semi")
   }
 
   /** join-based bit-identical verification (SURVEY.md §3.4 step 4): returns

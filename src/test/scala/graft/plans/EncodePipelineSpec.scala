@@ -56,6 +56,15 @@ class EncodePipelineSpec extends SparkTestBase {
     val langCodecs = rows.filter(_.getAs[String]("column") == "lang")
       .flatMap(_.getSeq[String](rows.head.fieldIndex("codecs")))
     assert(langCodecs.forall(c => Set("dict", "rle_dict", "const").contains(c)), langCodecs.toSeq)
+    // zone-map parity: the metadata's value bounds contain the actual
+    // min/max of the timestamp column (micros), and are non-trivial
+    val tsBounds = rows.filter(_.getAs[String]("column") == "warc_ts")
+    val actual = docs.agg(min(unix_micros(col("warc_ts"))), max(unix_micros(col("warc_ts")))).head()
+    val lo = tsBounds.map(_.getAs[Long]("value_lo")).min
+    val hi = tsBounds.map(_.getAs[Long]("value_hi")).max
+    assert(lo <= actual.getLong(0) && hi >= actual.getLong(1), s"bounds [$lo,$hi] vs $actual")
+    assert(hi - lo < (actual.getLong(1) - actual.getLong(0)) * 2 + 1000000L,
+      "bounds uselessly loose") // header-derived, still tight enough to prune
     enc.unpersist()
   }
 
@@ -78,6 +87,28 @@ class EncodePipelineSpec extends SparkTestBase {
     assert(decoded.count() === 1200L)
     val summary = EncodePipeline.verifyRoundTrip(docs, decoded, "url").head()
     assert(summary.getLong(1) === 0L)
+  }
+
+  test("manifest zone maps prune parts without opening data files") {
+    // range-partitioned on event_id (zone maps only prune when the partition
+    // key correlates with the column — a hash partitioner would give every
+    // part full-range bounds)
+    val events = sf("events").select(col("event_id"), col("user_id"), col("event_type"))
+    val maxId = events.agg(max(col("event_id"))).head().getLong(0)
+    val rangePart = least(floor(col("event_id") / lit(maxId / 8 + 1)), lit(7)).cast("int")
+    val out = tmpDir()
+    EncodePipeline.run(events, "event_id", out, partitions = 8, blockSize = 128,
+      customPart = Some(rangePart))
+    val target = 17L // present in exactly one row
+    val pruned = EncodePipeline.readDataPruned(spark, out, "event_id", target)
+    val all = EncodePipeline.readData(spark, out)
+    val prunedParts = pruned.select("__part").distinct().count()
+    val allParts = all.select("__part").distinct().count()
+    assert(prunedParts < allParts, s"no pruning: $prunedParts of $allParts parts")
+    // soundness: decoding the pruned subset still finds the row
+    val found = EncodePipeline.decode(pruned, events.schema)
+      .filter(col("event_id") === target).count()
+    assert(found === 1L)
   }
 
   test("salted host partitioner splits hot hosts across partitions") {
