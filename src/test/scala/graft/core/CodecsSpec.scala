@@ -178,4 +178,92 @@ class CodecsSpec extends AnyFunSuite {
     val comp = table.compress(data)
     assert(java.util.Arrays.equals(back.decompress(comp, 0, comp.length), data))
   }
+
+  // ================= encoded-domain predicate kernels =================
+
+  private def strs(vs: String*): Array[Array[Byte]] = vs.map(_.getBytes(UTF_8)).toArray
+
+  test("countEqStr answers correctly for every string codec without decode") {
+    val block = strs("alpha", "beta", "alpha", "gamma", "beta", "alpha")
+    for (id <- Seq(Codecs.RawStr, Codecs.DictId, Codecs.RleDict, Codecs.FsstId)) {
+      val blob = Codecs.encodeStrsAs(block, id)
+      assert(Codecs.countEqStr(blob, "alpha".getBytes(UTF_8)) === 3L, s"codec $id")
+      assert(Codecs.countEqStr(blob, "beta".getBytes(UTF_8)) === 2L, s"codec $id")
+      assert(Codecs.countEqStr(blob, "missing".getBytes(UTF_8)) === 0L, s"codec $id")
+      // prefix of a present value must NOT match (length-aware compare)
+      assert(Codecs.countEqStr(blob, "alph".getBytes(UTF_8)) === 0L, s"codec $id")
+    }
+    val const = Codecs.encodeStrsAs(strs("x", "x", "x"), Codecs.ConstStr)
+    assert(Codecs.countEqStr(const, "x".getBytes(UTF_8)) === 3L)
+    assert(Codecs.countEqStr(const, "y".getBytes(UTF_8)) === 0L)
+  }
+
+  test("countEqStr on FSST relies on deterministic compression: long realistic block") {
+    // the FSST path compares COMPRESSED spans (equal raw ⟺ equal compressed
+    // because the greedy encoder is a deterministic function) — pin that on a
+    // block big enough to train a real symbol table
+    val words = "the of and to in is was for on that with data web page".split(" ")
+    val r = new scala.util.Random(5)
+    val block = Array.fill(300)((1 to 30).map(_ => words(r.nextInt(words.length))).mkString(" ").getBytes(UTF_8))
+    val target = block(137)
+    val expected = block.count(java.util.Arrays.equals(_, target))
+    val blob = Codecs.encodeStrsAs(block, Codecs.FsstId)
+    assert(Codecs.codecOf(blob) === "fsst")
+    assert(Codecs.countEqStr(blob, target) === expected.toLong)
+    assert(Codecs.countEqStr(blob, "absent words entirely".getBytes(UTF_8)) === 0L)
+  }
+
+  test("countEqStr recurses through the null wrapper and only counts non-nulls") {
+    val vs: Array[Array[Byte]] = Array("a".getBytes(UTF_8), null, "a".getBytes(UTF_8), null, "b".getBytes(UTF_8))
+    val (blob, _) = Codecs.encodeStrsN(vs)
+    assert(Codecs.codecOf(blob).endsWith("+nulls"))
+    assert(Codecs.countEqStr(blob, "a".getBytes(UTF_8)) === 2L)
+    assert(Codecs.countEqStr(blob, "b".getBytes(UTF_8)) === 1L)
+    assert(Codecs.blobHasNulls(blob))
+    val allNull: Array[Array[Byte]] = Array(null, null)
+    val (blobAllNull, _) = Codecs.encodeStrsN(allNull)
+    assert(Codecs.countEqStr(blobAllNull, "a".getBytes(UTF_8)) === 0L)
+    assert(Codecs.decodeStrsN(blobAllNull).toSeq === Seq(null, null))
+  }
+
+  test("countEqLong and countBetweenLong: every codec, zone accept/reject/straddle") {
+    val forBlock = Codecs.encodeLongsAs(Array(100L, 105L, 100L, 120L, 100L), Codecs.ForId)
+    assert(Codecs.countEqLong(forBlock, 100L) === 3L)
+    assert(Codecs.countEqLong(forBlock, 99L) === 0L)   // zone reject (below ref)
+    assert(Codecs.countEqLong(forBlock, 1000L) === 0L) // zone reject (above ref+2^w)
+    assert(Codecs.countBetweenLong(forBlock, 100L, 105L) === 4L) // straddle: decode
+    assert(Codecs.countBetweenLong(forBlock, 0L, 99L) === 0L)    // zone reject
+    assert(Codecs.countBetweenLong(forBlock, 0L, Long.MaxValue) === 5L) // zone accept, no decode
+    val rle = Codecs.encodeLongsAs(Array(7L, 7L, 7L, 9L, 9L, 7L), Codecs.RleLong)
+    assert(Codecs.countEqLong(rle, 7L) === 4L)
+    assert(Codecs.countBetweenLong(rle, 8L, 9L) === 2L)
+    val delta = Codecs.encodeLongsAs(Array(10L, 11L, 13L, 13L, 20L), Codecs.DeltaId)
+    assert(Codecs.countEqLong(delta, 13L) === 2L)
+    assert(Codecs.countBetweenLong(delta, 11L, 13L) === 3L)
+    val const = Codecs.encodeLongsAs(Array(5L, 5L), Codecs.ConstLong)
+    assert(Codecs.countEqLong(const, 5L) === 2L)
+    assert(Codecs.countBetweenLong(const, 6L, 9L) === 0L)
+    val bp = Codecs.encodeLongsAs(Array(1L, 2L, 3L, 2L), Codecs.BitPackId)
+    assert(Codecs.countEqLong(bp, 2L) === 2L)
+    assert(Codecs.countEqLong(bp, -1L) === 0L) // zone reject: bitpack is unsigned
+    // null wrapper recursion
+    val withNulls = Codecs.encodeLongsN(Array(4L, 0L, 4L), Array(false, true, false))
+    assert(Codecs.countEqLong(withNulls, 4L) === 2L)
+    assert(Codecs.countEqLong(withNulls, 0L) === 0L) // the null slot's 0 is NOT a value
+  }
+
+  test("rangeOfLong: header-derived bounds contain the data, null for all-null") {
+    val vs = Array(1000L, 1010L, 1040L, 1005L)
+    for (id <- Seq(Codecs.ForId, Codecs.RleLong, Codecs.DeltaId)) {
+      val (lo, hi) = Codecs.rangeOfLong(Codecs.encodeLongsAs(vs, id))
+      assert(lo <= 1000L && hi >= 1040L, s"codec $id: [$lo,$hi]")
+    }
+    val (clo, chi) = Codecs.rangeOfLong(Codecs.encodeLongsAs(Array(7L, 7L), Codecs.ConstLong))
+    assert(clo === 7L && chi === 7L)
+    val allNull = Codecs.encodeLongsN(Array(0L, 0L), Array(true, true))
+    assert(Codecs.rangeOfLong(allNull) === null)
+    val wrapped = Codecs.encodeLongsN(Array(50L, 0L, 60L), Array(false, true, false))
+    val (wlo, whi) = Codecs.rangeOfLong(wrapped)
+    assert(wlo <= 50L && whi >= 60L)
+  }
 }
