@@ -159,8 +159,11 @@ object Bench {
           val medianRatio = ratios(ratios.length / 2)
           val minRatio = vs.map(_._1).min / vs.map(_._2).min
           val speedup = math.min(medianRatio, minRatio)
-          Some((lo, hi, vs.map(_._1).min, vs.map(_._2).min, speedup,
-            speedup / (hi.toDouble / lo), vs))
+          // efficiency is fraction-of-ideal by definition; >1 can only be a
+          // host-drift artifact (the raw speedup and per-visit ratios stay
+          // in the JSON for the reader to judge)
+          val eff = math.min(speedup / (hi.toDouble / lo), 1.0)
+          Some((lo, hi, vs.map(_._1).min, vs.map(_._2).min, speedup, eff, vs))
         }
       }
       val probe = threadProbe()
