@@ -310,7 +310,7 @@ object SparkEntry {
       // by exact all-pairs cosine in DuckDB
       val emb = tbl(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val copies = emb.select((col("vec_id") + 10000).as("vec_id"),
+      val copies = emb.select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("v"), x => x * 2.0).as("v"))
       TextOps.embeddingDupPairs(emb.unionAll(copies), "vec_id", "v", threshold = 0.9)
         .agg(count(lit(1)).cast("long").as("n_pairs"),
@@ -534,7 +534,7 @@ object SparkEntry {
         "CAST(32 AS BIGINT) AS dims"),
     "q_embed_dedup" ->
       ("WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
-        "e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 10000, list_transform(v, x -> x * 2) FROM e0), " +
+        "e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 1000000, list_transform(v, x -> x * 2) FROM e0), " +
         "p AS (SELECT list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) c " +
         "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
         "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +

@@ -312,14 +312,30 @@ object TextOps {
   /** embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     * generate candidates (band equi-join — no all-pairs product), exact
     * cosine verifies. Returns (id_a, id_b, cosine). The dedup counterpart of
-    * lshTopK: same index, pair semantics instead of top-k. */
+    * lshTopK: same index, pair semantics instead of top-k.
+    *
+    * Banding geometry matters for PAIR queries much more than for top-k:
+    * band selectivity is 2^(planes/bands) buckets, and candidate volume is
+    * Σ bucket², so wide bands are mandatory — 48/6 = 8 bits/band puts two
+    * UNRELATED vectors in the same bucket with p ≈ 1/256 per band while a
+    * cosine-0.9 pair still collides in ≥1 band (and an exact-direction
+    * duplicate with p = 1 in every band). A 2-bit band (the top-k default
+    * reused naively) made candidates quadratic: measured 404 s on 10 k
+    * vectors; CLUSTERED embeddings (label centroids) need 16-bit bands —
+    * cluster members share most sign bits, so 8-bit buckets grew past the
+    * cap and dropped true pairs. maxBucket drops degenerate buckets
+    * outright (skew guard). */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, planes: Int = 16, bands: Int = 8): DataFrame = {
+                        threshold: Double, planes: Int = 96, bands: Int = 6,
+                        maxBucket: Int = 2000): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"),
       explode(hyperplaneBandKeys(col("v"), planes, bands)).as("band"))
-    val cands = banded.as("x").join(banded.as("y"),
+    val capped = banded.join(
+      banded.groupBy("band").agg(count(lit(1)).as("bc")).filter(col("bc") <= maxBucket),
+      "band")
+    val cands = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     cands
