@@ -25,4 +25,12 @@ public final class Bits {
     public static void storeLongLE(byte[] data, int pos, long v) {
         LE_LONG.set(data, pos, v);
     }
+
+    /** splitmix64 — public-domain mixer (Steele et al., JDK SplittableRandom). */
+    public static long mix(long x0) {
+        long x = x0 + 0x9e3779b97f4a7c15L;
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L;
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL;
+        return x ^ (x >>> 31);
+    }
 }

@@ -231,11 +231,11 @@ object Codecs {
   @inline private def hash64(b: Array[Byte]): Long = {
     var h = 0x9e3779b97f4a7c15L ^ b.length
     var i = 0
-    while (i + 8 <= b.length) { h = graft.sources.WebDocGen.mix(h ^ Bits.loadLongLE(b, i)); i += 8 }
+    while (i + 8 <= b.length) { h = Bits.mix(h ^ Bits.loadLongLE(b, i)); i += 8 }
     if (i < b.length) {
       var w = 0L; var k = 0
       while (i + k < b.length) { w |= (b(i + k) & 0xffL) << (k * 8); k += 1 }
-      h = graft.sources.WebDocGen.mix(h ^ w)
+      h = Bits.mix(h ^ w)
     }
     h
   }
@@ -643,6 +643,25 @@ object Codecs {
     }
   }
 
+  /** true iff `shifted` (the target minus the block reference) falls outside
+    * the representable range [0, 2^width - 1] of a packed block. Unsigned
+    * compare — `1L << 63` is Long.MinValue, so a signed `>=` test is
+    * vacuously true at width 63 and would zone-skip EVERY target on blocks
+    * whose packed width is 63 (reachable for xxhash64-derived ids). */
+  @inline private def outsidePackedRange(shifted: Long, width: Int): Boolean =
+    width < 64 && java.lang.Long.compareUnsigned(shifted, (1L << width) - 1) > 0
+
+  /** saturating `ref + (2^width - 1)` — the block's max possible value. The
+    * raw sum overflows when ref is near Long.MaxValue (FoR refs are block
+    * minima; width rounds the span UP, so ref + span can exceed the true
+    * max), which would make hi < lo and zone-REJECT blocks that contain
+    * matches. Saturate to Long.MaxValue: bounds stay sound for pruning. */
+  @inline private def packedHi(ref: Long, width: Int): Long = {
+    if (width >= 64) return Long.MaxValue
+    val hi = ref + ((1L << width) - 1)
+    if (hi < ref) Long.MaxValue else hi
+  }
+
   /** number of values in a long blob equal to `target` (range-skips via the
     * FoR/bitpack headers before decoding anything) */
   def countEqLong(blob: Array[Byte], target: Long): Long = {
@@ -657,7 +676,7 @@ object Codecs {
         if (r.readLong() == target) count.toLong else 0L
       case BitPackId =>
         val width = r.readByte() & 0xff
-        if (target < 0 || (width < 64 && target >= (1L << width))) return 0L // zone skip
+        if (target < 0 || outsidePackedRange(target, width)) return 0L // zone skip
         val vs = BitPack.unpack(r.readBytes(r.remaining), width, count)
         var n = 0L; var i = 0
         while (i < count) { if (vs(i) == target) n += 1; i += 1 }
@@ -665,8 +684,11 @@ object Codecs {
       case ForId =>
         val width = r.readByte() & 0xff
         val ref = r.readLong()
+        // target < ref guards signed wraparound in target - ref (a target far
+        // below a huge ref could otherwise alias into the packed range)
+        if (target < ref) return 0L
         val shifted = target - ref
-        if (shifted < 0 || (width < 64 && shifted >= (1L << width))) return 0L // zone skip
+        if (outsidePackedRange(shifted, width)) return 0L // zone skip
         val vs = BitPack.unpack(r.readBytes(r.remaining), width, count)
         var n = 0L; var i = 0
         while (i < count) { if (vs(i) == shifted) n += 1; i += 1 }
@@ -676,8 +698,9 @@ object Codecs {
         val valW = r.readByte() & 0xff
         val lenW = r.readByte() & 0xff
         val ref = r.readLong()
+        if (target < ref) return 0L
         val shifted = target - ref
-        if (shifted < 0 || (valW < 64 && shifted >= (1L << valW))) return 0L
+        if (outsidePackedRange(shifted, valW)) return 0L
         val runVals = BitPack.unpack(r.readBytes(BitPack.packedByteLen(nRuns, valW)), valW, nRuns)
         val runLens = BitPack.unpack(r.readBytes(r.remaining), lenW, nRuns)
         var n = 0L; var i = 0
@@ -700,8 +723,7 @@ object Codecs {
     val r = new ByteReader(blob)
     val id = r.readByte() & 0xff
     val count = r.readInt()
-    @inline def rangeOf(width: Int, ref: Long): (Long, Long) =
-      (ref, if (width >= 64) Long.MaxValue else ref + ((1L << width) - 1))
+    @inline def rangeOf(width: Int, ref: Long): (Long, Long) = (ref, packedHi(ref, width))
     id match {
       case NullLong =>
         r.readBytes((count + 7) >> 3)
@@ -778,17 +800,17 @@ object Codecs {
         val v = r.readLong(); (v, v)
       case BitPackId =>
         val width = r.readByte() & 0xff
-        (0L, if (width >= 64) Long.MaxValue else (1L << width) - 1)
+        (0L, packedHi(0L, width))
       case ForId =>
         val width = r.readByte() & 0xff
         val ref = r.readLong()
-        (ref, if (width >= 64) Long.MaxValue else ref + ((1L << width) - 1))
+        (ref, packedHi(ref, width))
       case RleLong =>
         val nRuns = r.readInt()
         val valW = r.readByte() & 0xff
         r.readByte()
         val ref = r.readLong()
-        (ref, if (valW >= 64) Long.MaxValue else ref + ((1L << valW) - 1))
+        (ref, packedHi(ref, valW))
       case DeltaId =>
         val vs = decodeLongs(blob)
         var mn = vs(0); var mx = vs(0); var i = 1

@@ -222,7 +222,7 @@ object Fsst {
 
     def add(w: Long, l: Int): Unit = {
       if (used > mask - (mask >> 2)) return // table ~75% full: stop admitting
-      var idx = (graft.sources.WebDocGen.mix(w ^ (l.toLong << 56)) & mask).toInt
+      var idx = (Bits.mix(w ^ (l.toLong << 56)) & mask).toInt
       var probes = 0
       while (probes < 64) {
         if (lens(idx) == 0) {

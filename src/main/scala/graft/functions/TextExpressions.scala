@@ -20,7 +20,7 @@ object TextHash {
       h *= 0x100000001b3L
       i += 1
     }
-    graft.sources.WebDocGen.mix(h)
+    graft.core.Bits.mix(h)
   }
 }
 
@@ -163,7 +163,7 @@ case class WinnowFingerprints(child: Expression, k: Int = 8, window: Int = 16)
         j += 1
       }
       if (best != lastPos) {
-        picks += graft.sources.WebDocGen.mix(grams(best))
+        picks += graft.core.Bits.mix(grams(best))
         lastPos = best
       }
       w0 += 1
@@ -192,7 +192,7 @@ case class MinHashSig(child: Expression, k: Int)
       val base = TextHash.hashBytes(arr.getUTF8String(i).getBytes)
       var j = 0
       while (j < k) {
-        val h = graft.sources.WebDocGen.mix(base + 0x9e3779b97f4a7c15L * j)
+        val h = graft.core.Bits.mix(base + 0x9e3779b97f4a7c15L * j)
         if (h < sig(j)) sig(j) = h
         j += 1
       }

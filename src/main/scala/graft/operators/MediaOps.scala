@@ -59,7 +59,7 @@ object MediaOps {
   /** STUB pixel decode: pixel(i) = mix(seed, i). A real implementation
     * replaces exactly this function with an image-library call. */
   private def decodeStub(meta: ImageMeta, i: Long): Byte =
-    (graft.sources.WebDocGen.mix(meta.seed ^ i) & 0xff).toByte
+    (graft.core.Bits.mix(meta.seed ^ i) & 0xff).toByte
 
   // ---- Catalyst expressions (schema-typed operators over the payload) ----
 
@@ -88,7 +88,7 @@ object MediaOps {
       require(m.valid, "not a GIMG payload")
       // STUB: re-seed deterministically from (seed, target dims); a real
       // implementation would resample pixels here
-      fakeImage(graft.sources.WebDocGen.mix(m.seed ^ (newW.toLong << 32) ^ newH), newW, newH, m.channels)
+      fakeImage(graft.core.Bits.mix(m.seed ^ (newW.toLong << 32) ^ newH), newW, newH, m.channels)
     }
     override protected def withNewChildInternal(c: Expression): ResizeExpr = copy(child = c)
   }
@@ -132,7 +132,7 @@ object MediaOps {
       val frames = r.readInt(); val w = r.readInt(); val h = r.readInt()
       val seed = r.readLong()
       val picked = (0 until frames by everyN).map { f =>
-        fakeImage(graft.sources.WebDocGen.mix(seed ^ f.toLong), w, h): Any
+        fakeImage(graft.core.Bits.mix(seed ^ f.toLong), w, h): Any
       }
       new GenericArrayData(picked.toArray)
     }
@@ -165,7 +165,7 @@ object MediaOps {
   def fakeMediaTable(spark: SparkSession, n: Long, partitions: Int = 8): DataFrame = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { i =>
-      val seed = graft.sources.WebDocGen.mix(i ^ 0xBEEF)
+      val seed = graft.core.Bits.mix(i ^ 0xBEEF)
       if (i % 4 == 3)
         (i, "video/fake", fakeVideo(seed, frames = 16 + (i % 16).toInt, 64, 48))
       else

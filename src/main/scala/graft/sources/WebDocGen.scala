@@ -20,13 +20,9 @@ object WebDocGen {
   final val JitterMicros = 50000L
   final val Hosts = 997
 
-  /** splitmix64 — public-domain mixer (Steele et al., JDK SplittableRandom). */
-  @inline def mix(x0: Long): Long = {
-    var x = x0 + 0x9e3779b97f4a7c15L
-    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-    x ^ (x >>> 31)
-  }
+  /** splitmix64 (delegates to the core mixer — the library must not depend
+    * on this test-data generator package). */
+  @inline def mix(x0: Long): Long = graft.core.Bits.mix(x0)
 
   private val langs = Array("en", "de", "fr", "es", "zh", "ja", "ru")
   // cumulative permille: en 60%, de 15%, fr 10%, es 8%, zh 4%, ja 2%, ru 1%

@@ -266,4 +266,48 @@ class CodecsSpec extends AnyFunSuite {
     val (wlo, whi) = Codecs.rangeOfLong(wrapped)
     assert(wlo <= 50L && whi >= 60L)
   }
+
+  test("zone maps at the 2^62 / 2^63 boundary: width-63 blocks and near-MaxValue refs") {
+    // width-63 bitpack (any non-negative column with max >= 2^62): a signed
+    // `target >= 1L << 63` zone test is vacuously true — every count came back 0
+    val big = (1L << 62) + 7L
+    val w63 = Array(5L, big, 5L, big + 1, 0L)
+    for (id <- Seq(Codecs.BitPackId, Codecs.ForId, Codecs.DeltaId)) {
+      val blob = Codecs.encodeLongsAs(w63, id)
+      assert(Codecs.countEqLong(blob, 5L) === 2L, s"codec $id")
+      assert(Codecs.countEqLong(blob, big) === 1L, s"codec $id")
+      assert(Codecs.countEqLong(blob, big + 2) === 0L, s"codec $id")
+      assert(Codecs.countBetweenLong(blob, 0L, Long.MaxValue) === 5L, s"codec $id")
+      assert(Codecs.countBetweenLong(blob, big, big + 1) === 2L, s"codec $id")
+      val (lo, hi) = Codecs.rangeOfLong(blob)
+      assert(lo <= 0L && hi >= big + 1, s"codec $id: [$lo,$hi]")
+    }
+    // RLE needs runs to be chosen; exercise its width-63 zone path directly
+    val rleW63 = Codecs.encodeLongsAs(Array(0L, 0L, big, big, big), Codecs.RleLong)
+    assert(Codecs.countEqLong(rleW63, big) === 3L)
+    assert(Codecs.countEqLong(rleW63, 1L) === 0L)
+    assert(Codecs.countBetweenLong(rleW63, big - 1, big + 1) === 3L)
+
+    // FoR/RLE ref near MaxValue: ref + (2^width - 1) overflows signed; the
+    // un-saturated hi < lo zone-rejected blocks that contain matches
+    val nearMax = Array.tabulate(11)(i => Long.MaxValue - 10 + i)
+    for (id <- Seq(Codecs.ForId, Codecs.RleLong, Codecs.DeltaId)) {
+      val blob = Codecs.encodeLongsAs(nearMax, id)
+      val (lo, hi) = Codecs.rangeOfLong(blob)
+      assert(lo <= Long.MaxValue - 10 && hi >= Long.MaxValue && hi >= lo, s"codec $id: [$lo,$hi]")
+      assert(Codecs.countBetweenLong(blob, Long.MaxValue - 2, Long.MaxValue) === 3L, s"codec $id")
+      assert(Codecs.countEqLong(blob, Long.MaxValue) === 1L, s"codec $id")
+      assert(Codecs.countEqLong(blob, Long.MinValue + 5) === 0L, s"codec $id (wraparound alias)")
+    }
+    // negative-ref FoR with a huge span (width 63): values straddle zero
+    val straddle = Array(-(1L << 62), 0L, (1L << 62) - 10)
+    for (id <- Seq(Codecs.ForId, Codecs.DeltaId)) {
+      val blob = Codecs.encodeLongsAs(straddle, id)
+      assert(Codecs.countEqLong(blob, 0L) === 1L, s"codec $id")
+      assert(Codecs.countEqLong(blob, -(1L << 62)) === 1L, s"codec $id")
+      assert(Codecs.countBetweenLong(blob, -1L, 1L) === 1L, s"codec $id")
+      val (lo, hi) = Codecs.rangeOfLong(blob)
+      assert(lo <= straddle.min && hi >= straddle.max, s"codec $id")
+    }
+  }
 }
