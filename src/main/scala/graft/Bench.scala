@@ -74,29 +74,13 @@ object Bench {
     // not dominated by per-job fixed overhead (~1-2 s)
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "400000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
-    val loCores = 8
-    val hiCores = 32
 
     var spark = session(cpus)
 
-    // ---- per-query timings on the driver's testdata ----
-    // (SPARK_GRAFT_QUERIES=0 skips them when iterating on pipeline scaling)
-    val results =
-      if (sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "0") Seq.empty
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).collect() } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-
-    // ---- pipeline throughput at the session's parallelism ----
-    val warm = pipelinePass(spark, math.min(benchRows / 4, 50000L).max(1000L), cpus * 4)
-    val (raw, encB, encSec, decSec) = pipelinePass(spark, benchRows, cpus * 4)
-    val gb = raw / 1e9
-
     // ---- two-parallelism scaling evidence (same input, same code) ----
+    // Runs FIRST: the scaling pairs are the BASELINE.json north-rule
+    // evidence and must land inside this JSON even if a steal storm or the
+    // driver's wall budget cuts the run short downstream.
     // The host's EFFECTIVE CPU speed swings >8x under contention (identical
     // encode stages measured 25 vs 204 thread-CPU-seconds on different
     // windows), so a lo-level and a hi-level measured half an hour apart are
@@ -106,11 +90,17 @@ object Bench {
     // ratios (drift cancels in the ratio), and thread probes bracket the
     // whole window to record the machine's own scaling ceiling.
     var scalingJson = ""
+    var scalingMeasured: Seq[(Int, Int, Double, Double, Double, Double)] = Seq.empty
+    var scalingProbe: Seq[(Int, Double)] = Seq.empty
+    var scalingRows = 0L
+    var scalingRaw = 0L
     if (doScaling) {
       // big enough that per-job fixed overhead (~1-2 s: scheduling 128 tasks,
-      // plan compile) doesn't swamp the measured kernel+shuffle work
-      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "1600000").toLong
-      val visits = sys.env.getOrElse("SPARK_GRAFT_SCALE_VISITS", "3").toInt
+      // plan compile) doesn't swamp the measured kernel+shuffle work, small
+      // enough that 2 visits of both pairs fit the driver's budget even on a
+      // slow host window (r2 lesson: 1.6M rows x 3 visits overran it)
+      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "1000000").toLong
+      val visits = sys.env.getOrElse("SPARK_GRAFT_SCALE_VISITS", "2").toInt
       val inputPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_INPUT", "/dev/shm/graft-bench-input")
       var rawScale = 0L
       // snapshot the deterministic input once; every visit re-reads it (tmpfs)
@@ -181,9 +171,40 @@ object Bench {
         .mkString("[", ",", "]")
       scalingJson = f""","scaling":{"rows":$scaleRows,"pairs":$pairJson,""" +
         f""""probe_pre":$probePreJson,"raw_thread_probe":$probeJson}"""
-      writeBaselineMd(scaleRows, raw, encB, encSec, decSec, gbHere,
-        measured.map(m => (m._1, m._2, m._3, m._4, m._5, m._6)), probe)
+      scalingMeasured = measured.map(m => (m._1, m._2, m._3, m._4, m._5, m._6))
+      scalingProbe = probe
+      scalingRows = scaleRows
+      scalingRaw = rawScale
+      // scaling left `spark` at the last visit's core count — restore
+      spark.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      spark = session(cpus)
     }
+
+    // ---- per-query timings on the driver's testdata ----
+    // (SPARK_GRAFT_QUERIES=0 skips them when iterating on pipeline scaling;
+    // SPARK_GRAFT_QUERY_FILTER=a,b,c restricts to named queries)
+    val qFilter = sys.env.get("SPARK_GRAFT_QUERY_FILTER").map(_.split(",").toSet)
+    val results =
+      if (sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "0") Seq.empty
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => qFilter.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).collect() } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+
+    // ---- pipeline throughput at the session's parallelism ----
+    val warm = pipelinePass(spark, math.min(benchRows / 4, 50000L).max(1000L), cpus * 4)
+    val (raw, encB, encSec, decSec) = pipelinePass(spark, benchRows, cpus * 4)
+    val gb = raw / 1e9
+
+    if (doScaling)
+      writeBaselineMd(scalingRows, raw, encB, encSec, decSec, scalingRaw / 1e9,
+        scalingMeasured, scalingProbe)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

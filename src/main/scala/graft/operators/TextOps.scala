@@ -79,8 +79,10 @@ object TextOps {
     *    their other bands with overwhelming probability). */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.5, maxBucket: Int = 2000): DataFrame = {
+                      threshold: Double = 0.5, maxBucket: Int = 2000,
+                      estMargin: Double = 0.2): DataFrame = {
     val thresholdJ4 = math.round(threshold * 10000).toInt
+    val margin4 = math.round(estMargin * 10000).toInt
     // 1. exact-dedup: one representative (min id) + group size per distinct text
     val groups = df.groupBy(col(textCol).as("t"))
       .agg(min(col(idCol)).as("id"), count(lit(1)).as("g"))
@@ -98,7 +100,23 @@ object TextOps {
     val cands = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    val withSets = cands
+    // 4. signature-estimate pre-filter: the agreeing fraction of the k
+    //    minhashes is an unbiased Jaccard estimate (σ ≈ √(J(1-J)/k)), so
+    //    candidates estimated ≥ estMargin below threshold are dropped BEFORE
+    //    the exact-verify join — the signatures are k longs, the shingle
+    //    arrays are multi-KB, and band collisions over a small vocabulary
+    //    make the estimate join ~10× cheaper in bytes shuffled than
+    //    verifying every candidate. Exact verification still decides; the
+    //    added miss probability (a true pair estimating k·estMargin/σ below
+    //    its mean) is dominated by the banding miss probability itself.
+    val withSigs = cands
+      .join(base.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+    val agree = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+    val likely = withSigs
+      .filter(agree * lit(10000L) >= lit(math.max(0, thresholdJ4 - margin4).toLong) * k)
+      .select("id_a", "id_b")
+    val withSets = likely
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a"), col("g").as("g_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b"), col("g").as("g_b")), "id_b")
     val cross = withSets.select(col("id_a"), col("id_b"),
@@ -302,12 +320,21 @@ object TextOps {
     * direction get identical keys in EVERY band (guaranteed recall for
     * exact-duplicate directions); nearby directions collide per band with
     * probability (1 - θ/π)^(planes/bands) */
-  private def hyperplaneBandKeys(v: Column, planes: Int, bands: Int): Column = {
-    val bits = hyperplaneSigBits(v, planes)
+  private def hyperplaneBandKeys(v: Column, planes: Int, bands: Int): Column =
+    bandKeysFromBits(hyperplaneSigBits(v, planes), planes, bands)
+
+  private def bandKeysFromBits(bits: Column, planes: Int, bands: Int): Column = {
     val rows = planes / bands
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, concat_ws(",", slice(bits, b * rows + 1, lit(rows)))))
   }
+
+  /** the 0/1 bit array packed into ⌈planes/64⌉ longs (bit order is
+    * irrelevant — only xor/bit_count consume it) */
+  private def packSigBits(bits: Column, planes: Int): Column =
+    transform(sequence(lit(0), lit((planes - 1) / 64)), w =>
+      aggregate(slice(bits, w * 64 + 1, lit(64)), lit(0L),
+        (acc, b) => shiftleft(acc, 1).bitwiseOR(b)))
 
   /** embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     * generate candidates (band equi-join — no all-pairs product), exact
@@ -327,18 +354,38 @@ object TextOps {
     * outright (skew guard). */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planes: Int = 96, bands: Int = 6,
-                        maxBucket: Int = 2000): DataFrame = {
+                        maxBucket: Int = 2000, estMargin: Double = 0.25): DataFrame = {
+    // the hyperplane bits are computed ONCE per vector (planes × dim
+    // multiply-adds — the dominant map-side cost) and persisted; band keys
+    // and the packed hamming signature both derive from them downstream
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bits", hyperplaneSigBits(col("v"), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"),
-      explode(hyperplaneBandKeys(col("v"), planes, bands)).as("band"))
+      explode(bandKeysFromBits(col("bits"), planes, bands)).as("band"))
     val capped = banded.join(
       banded.groupBy("band").agg(count(lit(1)).as("bc")).filter(col("bc") <= maxBucket),
       "band")
     val cands = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    cands
+    // signature-hamming pre-filter: h/planes estimates θ/π, so requiring
+    // cos(π·h/planes) ≥ threshold − estMargin bounds h ≤ maxH and drops
+    // far-apart candidates BEFORE the join that ships full vectors — the
+    // packed signature is ⌈planes/64⌉ longs vs dim doubles. Exact cosine
+    // still decides every surviving pair; exact-direction duplicates have
+    // h = 0 identically, so planted-copy recall stays deterministic.
+    val cutoff = math.max(-1.0, math.min(1.0, threshold - estMargin))
+    val maxH = math.floor(planes * math.acos(cutoff) / math.Pi).toLong
+    val sigOf = packSigBits(col("bits"), planes)
+    val withSigs = cands
+      .join(base.select(col("id").as("id_a"), sigOf.as("sig_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), sigOf.as("sig_b")), "id_b")
+    val ham = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (a, b) => a + b)
+    val likely = withSigs.filter(ham <= maxH).select("id_a", "id_b")
+    likely
       .join(base.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
