@@ -149,6 +149,15 @@ object SparkEntry {
       val k2 = swar_pack(W, lit(14L), lit(250L), lit(0L))
       val k3 = swar_pack(W, lit(9L), lit(60L), lit(1L))
       val k4 = swar_pack(W, lit(2L), lit(30L), lit(5L))
+      // signed-op constants: raw lanes chosen so signed interpretations mix
+      // positive, negative, and saturating outcomes across the data range
+      // (ln ∈ [1,7], qty ∈ [1,50], disc ∈ [0,10])
+      val k5 = swar_pack(W, lit(6L), lit(100L), lit(120L)) // sval (6, 100, 120)
+      val k6 = swar_pack(W, lit(12L), lit(200L), lit(250L)) // sval (-4, -56, -6)
+      val k7 = swar_pack(W, lit(3L), lit(25L), lit(5L))
+      val k8 = swar_pack(W, lit(5L), lit(160L), lit(8L)) // sval (5, -96, 8)
+      val k9 = swar_pack(W, lit(14L), lit(30L), lit(130L)) // sval (-2, 30, -126)
+      val k10 = swar_pack(W, lit(12L), lit(220L), lit(250L))
       packed.select(
         (swar_get(swar_add_wrap(col("w"), k, W), W, 0) +
           swar_get(swar_add_wrap(col("w"), k, W), W, 1) +
@@ -166,13 +175,40 @@ object SparkEntry {
           swar_get(swar_shift_left(col("w"), W, 2), W, 1) +
           swar_get(swar_shift_left(col("w"), W, 2), W, 2)).as("sh"),
         (swar_get(swar_slice(col("w"), W, 1, 3), Seq(8, 8), 0) +
-          swar_get(swar_slice(col("w"), W, 1, 3), Seq(8, 8), 1)).as("sl"))
+          swar_get(swar_slice(col("w"), W, 1, 3), Seq(8, 8), 1)).as("sl"),
+        (swar_get_signed(swar_add_sat_s(col("w"), k5, W), W, 0) +
+          swar_get_signed(swar_add_sat_s(col("w"), k5, W), W, 1) +
+          swar_get_signed(swar_add_sat_s(col("w"), k5, W), W, 2) +
+          swar_get_signed(swar_add_sat_s(col("w"), k6, W), W, 0) +
+          swar_get_signed(swar_add_sat_s(col("w"), k6, W), W, 1) +
+          swar_get_signed(swar_add_sat_s(col("w"), k6, W), W, 2)).as("ass"),
+        (swar_get(swar_sub_sat_u(col("w"), k7, W), W, 0) +
+          swar_get(swar_sub_sat_u(col("w"), k7, W), W, 1) +
+          swar_get(swar_sub_sat_u(col("w"), k7, W), W, 2)).as("ssu"),
+        (swar_get_signed(swar_sub_sat_s(col("w"), k8, W), W, 0) +
+          swar_get_signed(swar_sub_sat_s(col("w"), k8, W), W, 1) +
+          swar_get_signed(swar_sub_sat_s(col("w"), k8, W), W, 2)).as("sss"),
+        (swar_get_signed(swar_min_s(col("w"), k9, W), W, 0) +
+          swar_get_signed(swar_max_s(col("w"), k9, W), W, 1) +
+          swar_get_signed(swar_min_s(col("w"), k9, W), W, 2)).as("mms"),
+        (swar_get_signed(swar_add_wrap(col("w"), k10, W), W, 0) +
+          swar_get_signed(swar_add_wrap(col("w"), k10, W), W, 1) +
+          swar_get_signed(swar_add_wrap(col("w"), k10, W), W, 2)).as("gs"),
+        (swar_get(swar_shift_right_u(col("w"), W, 2), W, 0) +
+          swar_get(swar_shift_right_u(col("w"), W, 2), W, 1) +
+          swar_get(swar_shift_right_u(col("w"), W, 2), W, 2)).as("sr"))
         .agg(sum(col("aw")).cast("long").as("s_addwrap"),
           sum(col("as_")).cast("long").as("s_addsat"),
           sum(col("sw")).cast("long").as("s_subwrap"),
           sum(col("mm")).cast("long").as("s_minmax"),
           sum(col("sh")).cast("long").as("s_shift"),
-          sum(col("sl")).cast("long").as("s_slice"))
+          sum(col("sl")).cast("long").as("s_slice"),
+          sum(col("ass")).cast("long").as("s_addsats"),
+          sum(col("ssu")).cast("long").as("s_subsatu"),
+          sum(col("sss")).cast("long").as("s_subsats"),
+          sum(col("mms")).cast("long").as("s_minmaxs"),
+          sum(col("gs")).cast("long").as("s_getsigned"),
+          sum(col("sr")).cast("long").as("s_shiftr"))
     }),
 
     // ---- table pipeline metrics ----
@@ -457,7 +493,22 @@ object SparkEntry {
         "CAST(sum(((ln-9)%16+16)%16 + ((qty-60)%256+256)%256 + ((disc-1)%256+256)%256) AS BIGINT) AS s_subwrap, " +
         "CAST(sum(least(ln,2) + greatest(qty,30) + least(disc,5)) AS BIGINT) AS s_minmax, " +
         "CAST(sum((ln*4)%16 + (qty*4)%256 + (disc*4)%256) AS BIGINT) AS s_shift, " +
-        "CAST(sum(qty + disc) AS BIGINT) AS s_slice FROM t"
+        "CAST(sum(qty + disc) AS BIGINT) AS s_slice, " +
+        // signed saturating add vs k5 (6,100,120) and k6 (-4,-56,-6)
+        "CAST(sum(least(ln+6,7) + least(qty+100,127) + least(disc+120,127) " +
+        "+ (ln-4) + (qty-56) + (disc-6)) AS BIGINT) AS s_addsats, " +
+        // unsigned saturating sub vs k7 (3,25,5): clamp at 0
+        "CAST(sum(greatest(ln-3,0) + greatest(qty-25,0) + greatest(disc-5,0)) AS BIGINT) AS s_subsatu, " +
+        // signed saturating sub vs k8 (5,-96,8): qty+96 clamps at 127
+        "CAST(sum((ln-5) + least(qty+96,127) + (disc-8)) AS BIGINT) AS s_subsats, " +
+        // signed min/max vs k9 (-2,30,-126): min_s(ln,-2)=-2, max_s(qty,30), min_s(disc,-126)=-126
+        "CAST(sum(greatest(qty,30) - 128) AS BIGINT) AS s_minmaxs, " +
+        // sign-extended reads of add_wrap(w, k10=(12,220,250)) lanes
+        "CAST(sum(((ln+12)%16) - (CASE WHEN (ln+12)%16 >= 8 THEN 16 ELSE 0 END) " +
+        "+ ((qty+220)%256) - (CASE WHEN (qty+220)%256 >= 128 THEN 256 ELSE 0 END) " +
+        "+ ((disc+250)%256) - (CASE WHEN (disc+250)%256 >= 128 THEN 256 ELSE 0 END)) AS BIGINT) AS s_getsigned, " +
+        // lane-wise logical right shift by 2
+        "CAST(sum(ln//4 + qty//4 + disc//4) AS BIGINT) AS s_shiftr FROM t"
     },
     "q_topk_sources" ->
       ("SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents " +
