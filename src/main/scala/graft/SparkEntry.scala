@@ -248,7 +248,15 @@ object SparkEntry {
         sum(blob_count_eq(col("e_lang"), lit("zz"))).cast("long").as("n_zz"),
         sum(blob_count_eq(col("e_doc_id"), lit(7L))).cast("long").as("n_id7"),
         sum(blob_count_between(col("e_doc_id"), lit(100L), lit(199L))).cast("long").as("n_id_range"),
-        sum(blob_count_between(col("e_n_chars"), lit(0L), lit(Long.MaxValue))).cast("long").as("n_all"))
+        sum(blob_count_between(col("e_n_chars"), lit(0L), lit(Long.MaxValue))).cast("long").as("n_all"),
+        // the optimizer-rule forms: exists(...) → blob_contains_between and
+        // size(filter(...)) → blob_count_between — decoded-block predicates
+        // that never decode (EncodedFilterRule); values pinned by the oracle
+        sum(when(expr("exists(decode_longs(e_doc_id), x -> x BETWEEN 300 AND 399)"),
+          blob_count_between(col("e_doc_id"), lit(300L), lit(399L))).otherwise(0L))
+          .cast("long").as("n_id_range2"),
+        sum(expr("size(filter(decode_longs(e_doc_id), x -> x >= 400 AND x < 500))"))
+          .cast("long").as("n_id_range3"))
     }),
     "q_codec_plan" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
@@ -600,7 +608,10 @@ object SparkEntry {
         "CAST(0 AS BIGINT) AS n_zz, " +
         "CAST(sum(CASE WHEN doc_id = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_id7, " +
         "CAST(sum(CASE WHEN doc_id BETWEEN 100 AND 199 THEN 1 ELSE 0 END) AS BIGINT) AS n_id_range, " +
-        "CAST(count(*) AS BIGINT) AS n_all FROM documents"),
+        "CAST(count(*) AS BIGINT) AS n_all, " +
+        "CAST(sum(CASE WHEN doc_id BETWEEN 300 AND 399 THEN 1 ELSE 0 END) AS BIGINT) AS n_id_range2, " +
+        "CAST(sum(CASE WHEN doc_id >= 400 AND doc_id < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_id_range3 " +
+        "FROM documents"),
     "q_ngram_jaccard" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
         "d AS (SELECT doc_id, list_distinct([array_to_string(toks[i:i+1], ' ') " +

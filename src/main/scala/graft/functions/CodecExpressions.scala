@@ -288,6 +288,42 @@ case class BlobContains(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Encoded-domain `exists(decode_longs(blob), x -> x BETWEEN lo AND hi)` with
+  * identical three-valued semantics: true if any value falls in [lo, hi];
+  * null if none do but the block holds nulls (each null element makes the
+  * lambda null); false otherwise. Installed by graft.plans.EncodedFilterRule
+  * — zone-map accept/reject from the FoR/bitpack/RLE headers means most
+  * blocks answer without decoding (Codecs.countBetweenLong). */
+case class BlobContainsBetween(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "blob_contains_between"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(first.dataType == BinaryType &&
+      second.dataType == LongType && third.dataType == LongType,
+      s"blob_contains_between expects (binary, bigint, bigint), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
+  override def nullSafeEval(blob: Any, lo: Any, hi: Any): Any = {
+    val b = blob.asInstanceOf[Array[Byte]]
+    val n = Codecs.countBetweenLong(b, lo.asInstanceOf[Long], hi.asInstanceOf[Long])
+    if (n > 0) java.lang.Boolean.TRUE
+    else if (Codecs.blobHasNulls(b)) null
+    else java.lang.Boolean.FALSE
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, lo, hi) => {
+      val n = ctx.freshName("cnt")
+      s"""long $n = graft.core.Codecs.countBetweenLong($b, $lo, $hi);
+         |if ($n > 0L) { ${ev.value} = true; }
+         |else if (graft.core.Codecs.blobHasNulls($b)) { ${ev.isNull} = true; }
+         |else { ${ev.value} = false; }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): BlobContainsBetween =
+    copy(first = f, second = s, third = t)
+}
+
 /** header-derived [min, max] bounds of a long blob — the zone-map /
   * Iceberg-manifest lower_bound/upper_bound column of the metadata table.
   * Null for all-null blocks. */

@@ -31,6 +31,8 @@ package object functions {
   def blob_contains(blob: Column, v: Column): Column = toCol(BlobContains(toExpr(blob), toExpr(v)))
   def blob_count_between(blob: Column, lo: Column, hi: Column): Column =
     toCol(BlobCountBetween(toExpr(blob), toExpr(lo), toExpr(hi)))
+  def blob_contains_between(blob: Column, lo: Column, hi: Column): Column =
+    toCol(BlobContainsBetween(toExpr(blob), toExpr(lo), toExpr(hi)))
   def blob_range(blob: Column): Column = toCol(BlobRange(toExpr(blob)))
   def bits_needed(c: Column): Column = toCol(BitsNeeded(toExpr(c)))
   def double_bits(c: Column): Column = toCol(DoubleBits(toExpr(c)))

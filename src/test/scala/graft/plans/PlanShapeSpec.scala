@@ -73,6 +73,47 @@ class PlanShapeSpec extends SparkTestBase {
     assert(viaBlob > 0) // the fixture actually contains 'de' blocks
   }
 
+  test("encoded-domain RANGE pushdown: exists/size-filter forms never decode") {
+    import graft.functions._
+    val docs = WebDocGen.dataset(spark, 200, 2).toDF()
+    val enc = EncodePipeline.encode(docs, "url", 2, 64)
+
+    val lo = WebDocGen.BaseMicros + 50000L
+    val hi = WebDocGen.BaseMicros + 100000L
+
+    // exists(decode_longs(b), x -> x between lo and hi) → blob_contains_between
+    val existsF = enc.filter(expr(s"exists(decode_longs(e_warc_ts), x -> x BETWEEN $lo AND $hi)"))
+    val existsPlan = existsF.queryExecution.optimizedPlan.toString
+    assert(existsPlan.contains("blob_contains_between"), existsPlan)
+    assert(!existsPlan.contains("decode_longs"), existsPlan)
+
+    // size(filter(decode_longs(b), x -> range)) → cast(blob_count_between)
+    val sizeF = enc.select(expr(s"size(filter(decode_longs(e_warc_ts), x -> x >= $lo))").as("n"))
+    val sizePlan = sizeF.queryExecution.optimizedPlan.toString
+    assert(sizePlan.contains("blob_count_between"), sizePlan)
+    assert(!sizePlan.contains("decode_longs"), sizePlan)
+
+    // both answer identically to actually decoding every block
+    val viaBlob = existsF.count()
+    val viaDecode = enc.select(col("__part"), col("__block"),
+        explode(decode_longs(col("e_warc_ts"))).as("n"))
+      .filter(col("n").between(lo, hi))
+      .select(col("__part"), col("__block")).distinct().count()
+    assert(viaBlob === viaDecode)
+    assert(viaBlob > 0)
+    val nBlob = sizeF.agg(sum("n")).head().getLong(0)
+    val nDecode = enc.select(explode(decode_longs(col("e_warc_ts"))).as("n"))
+      .filter(col("n") >= lo).count()
+    assert(nBlob === nDecode)
+    assert(nBlob > 0)
+    // a one-sided strict bound through the mirror patterns
+    val strict = enc.filter(expr(s"exists(decode_longs(e_warc_ts), x -> $lo < x)"))
+    assert(strict.queryExecution.optimizedPlan.toString.contains("blob_contains_between"))
+    assert(strict.count() ===
+      enc.select(col("__part"), col("__block"), explode(decode_longs(col("e_warc_ts"))).as("n"))
+        .filter(col("n") > lo).select(col("__part"), col("__block")).distinct().count())
+  }
+
   test("encode lineage has exactly ONE shuffle") {
     val docs = WebDocGen.dataset(spark, 100, 2).toDF()
     val rdd = org.apache.spark.sql.graftshim.Bridge.toRdd(
