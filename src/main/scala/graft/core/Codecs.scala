@@ -820,6 +820,67 @@ object Codecs {
     }
   }
 
+  /** truncated lower bound: truncation only lowers, so a plain prefix stays
+    * a valid lower bound (Iceberg manifest truncate(L, lower_bound)) */
+  private def truncLo(v: Array[Byte], trunc: Int): Array[Byte] =
+    if (v.length <= trunc) v else java.util.Arrays.copyOf(v, trunc)
+
+  /** truncated upper bound: prefix with the last non-0xff byte incremented
+    * (everything extending the original prefix compares below it); null when
+    * impossible (all 0xff) = unbounded above */
+  private def truncHi(v: Array[Byte], trunc: Int): Array[Byte] = {
+    if (v.length <= trunc) return v
+    val p = java.util.Arrays.copyOf(v, trunc)
+    var i = trunc - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) return null
+    val out = java.util.Arrays.copyOf(p, i + 1)
+    out(i) = (out(i) + 1).toByte
+    out
+  }
+
+  /** conservative truncated [lo, hi] byte-string bounds of a string blob —
+    * the string-column counterpart of rangeOfLong (Iceberg manifest
+    * lower_bound/upper_bound parity). Dict codecs answer from the sorted
+    * dictionary header alone (first/last entry — every entry is referenced
+    * by construction); const is exact; raw/FSST scan the block's values
+    * (metadata-time cost, paid once at encode). hi may be null (unbounded)
+    * when upper-truncation is impossible; the pair is null for an all-null
+    * block. Sound for pruning: every value lies within [lo, hi]. */
+  def rangeOfStr(blob: Array[Byte], trunc: Int = 16): (Array[Byte], Array[Byte]) = {
+    val r = new ByteReader(blob)
+    val id = r.readByte() & 0xff
+    val count = r.readInt()
+    id match {
+      case NullStr =>
+        r.readBytes((count + 7) >> 3)
+        if (r.remaining == 0) null else rangeOfStr(r.readBytes(r.remaining), trunc)
+      case ConstStr =>
+        val len = r.readInt()
+        val v = r.readBytes(len)
+        (truncLo(v, trunc), truncHi(v, trunc))
+      case DictId | RleDict =>
+        val ndv = r.readInt()
+        val dictLens = readLens(r, ndv)
+        val first = r.readBytes(dictLens(0))
+        var i = 1
+        while (i < ndv - 1) { r.pos += dictLens(i); i += 1 }
+        val last = if (ndv == 1) first else r.readBytes(dictLens(ndv - 1))
+        (truncLo(first, trunc), truncHi(last, trunc))
+      case RawStr | FsstId =>
+        val vs = decodeStrs(blob)
+        var mn = vs(0); var mx = vs(0)
+        var i = 1
+        while (i < vs.length) {
+          if (java.util.Arrays.compareUnsigned(vs(i), mn) < 0) mn = vs(i)
+          if (java.util.Arrays.compareUnsigned(vs(i), mx) > 0) mx = vs(i)
+          i += 1
+        }
+        (truncLo(mn, trunc), truncHi(mx, trunc))
+      case other => throw new IllegalArgumentException(s"not a string codec id: $other")
+    }
+  }
+
   // string helpers (UTF-8 view)
   def encodeStrings(vs: Array[String]): Array[Byte] =
     encodeStrs(vs.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)))

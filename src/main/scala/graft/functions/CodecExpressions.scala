@@ -347,6 +347,30 @@ case class BlobRange(child: Expression)
     copy(child = newChild)
 }
 
+/** truncated [lo, hi] byte-string bounds of a string blob — the string
+  * counterpart of blob_range (Iceberg manifest string lower_bound /
+  * upper_bound, 16-byte truncation: lo a plain prefix, hi incremented to
+  * stay an upper bound, null hi = unbounded). Null for all-null blocks. */
+case class BlobRangeStr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lo", BinaryType, nullable = false),
+    StructField("hi", BinaryType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "blob_range_str"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == BinaryType,
+      s"blob_range_str expects binary blob, got ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any = {
+    val r = Codecs.rangeOfStr(input.asInstanceOf[Array[Byte]])
+    if (r == null) null
+    else org.apache.spark.sql.catalyst.InternalRow(r._1, r._2)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BlobRangeStr =
+    copy(child = newChild)
+}
+
 /** codec name stored in a blob header (for metadata/metrics queries). */
 case class BlobCodec(child: Expression)
     extends UnaryExpression {

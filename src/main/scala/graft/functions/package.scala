@@ -34,6 +34,7 @@ package object functions {
   def blob_contains_between(blob: Column, lo: Column, hi: Column): Column =
     toCol(BlobContainsBetween(toExpr(blob), toExpr(lo), toExpr(hi)))
   def blob_range(blob: Column): Column = toCol(BlobRange(toExpr(blob)))
+  def blob_range_str(blob: Column): Column = toCol(BlobRangeStr(toExpr(blob)))
   def bits_needed(c: Column): Column = toCol(BitsNeeded(toExpr(c)))
   def double_bits(c: Column): Column = toCol(DoubleBits(toExpr(c)))
   def bits_double(c: Column): Column = toCol(BitsDouble(toExpr(c)))

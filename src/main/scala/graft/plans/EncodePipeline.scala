@@ -264,10 +264,16 @@ object EncodePipeline {
   def metadata(enc: DataFrame, sourceSchema: StructType): DataFrame = {
     val plans = plan(sourceSchema)
     val nullRange = lit(null).cast("struct<lo:bigint,hi:bigint>")
+    val nullRangeS = lit(null).cast("struct<lo:binary,hi:binary>")
     val perCol = plans.map { p =>
       struct(lit(p.name).as("column"), col("e_" + p.name).as("blob"), col("r_" + p.name).as("raw"),
-        (if (p.kind == 'l') blob_range(col("e_" + p.name)) else nullRange).as("rng"))
+        (if (p.kind == 'l') blob_range(col("e_" + p.name)) else nullRange).as("rng"),
+        (if (p.kind != 'l') blob_range_str(col("e_" + p.name)) else nullRangeS).as("rng_s"))
     }
+    // string upper bounds: a null block hi (upper-truncation impossible)
+    // means unbounded above and must dominate the part max — max() would
+    // silently ignore it
+    val hiUnbounded = max(when(col("c.rng_s").isNotNull && col("c.rng_s.hi").isNull, 1).otherwise(0)) === 1
     enc.select(col("__part"), col("__cnt"), explode(array(perCol: _*)).as("c"))
       .groupBy(col("__part"), col("c.column"))
       .agg(
@@ -277,7 +283,9 @@ object EncodePipeline {
         sum(octet_length(col("c.blob"))).as("encoded_bytes"),
         sort_array(collect_set(blob_codec(col("c.blob")))).as("codecs"),
         min(col("c.rng.lo")).as("value_lo"),
-        max(col("c.rng.hi")).as("value_hi"))
+        max(col("c.rng.hi")).as("value_hi"),
+        min(col("c.rng_s.lo")).as("str_lo"),
+        when(hiUnbounded, lit(null).cast(BinaryType)).otherwise(max(col("c.rng_s.hi"))).as("str_hi"))
   }
 
   /** resumable multi-wave run: encode + write data, then commit metadata.
@@ -311,7 +319,15 @@ object EncodePipeline {
       val written = spark.read.parquet(s"$outDir/data")
         .filter(pmod(col("__part"), lit(waves)) === w &&
           (if (committed.isEmpty) lit(true) else !col("__part").isin(committed.toSeq: _*)))
+      // Iceberg-manifest parity: record the data files each part committed —
+      // readers open exactly the recorded files (orphans from a crashed
+      // attempt are invisible even inside a committed part directory)
+      val partFiles = written
+        .select(col("__part"), input_file_name().as("__file"))
+        .groupBy(col("__part"))
+        .agg(sort_array(collect_set(col("__file"))).as("data_files"))
       metadata(written, df.schema)
+        .join(partFiles, Seq("__part"))
         .withColumn("wave", lit(w))
         .withColumn("wall_millis", lit(System.currentTimeMillis() - waveStart))
         .withColumn("attempt", lit(1))
@@ -320,12 +336,24 @@ object EncodePipeline {
     }
   }
 
-  /** read back the committed blocks (parts present in metadata), dropping any
-    * orphan data from a crashed, uncommitted wave. */
+  /** read back the committed blocks — exactly the data files the manifest
+    * recorded at commit time (Iceberg semantics: the file list IS the table;
+    * orphan files from crashed waves are invisible even when they share a
+    * committed part directory). Falls back to part-level committed-set
+    * filtering for metadata written before the file-path column existed. */
   def readData(spark: SparkSession, outDir: String): DataFrame = {
-    val committed = spark.read.parquet(s"$outDir/meta").select("__part").distinct()
-    spark.read.parquet(s"$outDir/data")
-      .join(broadcast(committed), Seq("__part"), "left_semi")
+    val meta = spark.read.parquet(s"$outDir/meta")
+    if (meta.columns.contains("data_files")) {
+      val files = meta.select(explode(col("data_files")).as("__file")).distinct()
+      spark.read.parquet(s"$outDir/data")
+        .withColumn("__file", input_file_name())
+        .join(broadcast(files), Seq("__file"), "left_semi")
+        .drop("__file")
+    } else {
+      val committed = meta.select("__part").distinct()
+      spark.read.parquet(s"$outDir/data")
+        .join(broadcast(committed), Seq("__part"), "left_semi")
+    }
   }
 
   /** manifest-level pruning: read only committed parts whose metadata value
@@ -338,6 +366,21 @@ object EncodePipeline {
     val parts = spark.read.parquet(s"$outDir/meta")
       .filter(col("column") === column &&
         col("value_lo") <= value && col("value_hi") >= value)
+      .select("__part").distinct()
+    spark.read.parquet(s"$outDir/data")
+      .join(broadcast(parts), Seq("__part"), "left_semi")
+  }
+
+  /** string-column manifest pruning: parts whose truncated byte-string zone
+    * maps ([str_lo, str_hi], unsigned-lexicographic, null str_hi = unbounded
+    * above) admit `value`. A part with str_lo null holds no values for the
+    * column at all (every block all-null) and is skipped. */
+  def readDataPruned(spark: SparkSession, outDir: String,
+                     column: String, value: String): DataFrame = {
+    val vb = lit(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val parts = spark.read.parquet(s"$outDir/meta")
+      .filter(col("column") === column && col("str_lo").isNotNull &&
+        col("str_lo") <= vb && (col("str_hi").isNull || col("str_hi") >= vb))
       .select("__part").distinct()
     spark.read.parquet(s"$outDir/data")
       .join(broadcast(parts), Seq("__part"), "left_semi")

@@ -108,6 +108,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "blob_count_between" -> { case Seq(b, lo, hi) => BlobCountBetween(b, lo, hi) },
     "blob_contains_between" -> { case Seq(b, lo, hi) => BlobContainsBetween(b, lo, hi) },
     "blob_range" -> { case Seq(c) => BlobRange(c) },
+    "blob_range_str" -> { case Seq(c) => BlobRangeStr(c) },
     "bits_needed" -> { case Seq(c) => BitsNeeded(c) },
     "double_bits" -> { case Seq(c) => DoubleBits(c) },
     "bits_double" -> { case Seq(c) => BitsDouble(c) })

@@ -267,6 +267,38 @@ class CodecsSpec extends AnyFunSuite {
     assert(wlo <= 50L && whi >= 60L)
   }
 
+  test("rangeOfStr: truncated byte-string bounds contain the data for every codec") {
+    def cmp(a: Array[Byte], b: Array[Byte]): Int = java.util.Arrays.compareUnsigned(a, b)
+    val vs = Array("delta", "alpha", "zebra", "alpha", "mike").map(_.getBytes(UTF_8))
+    for (id <- Seq(Codecs.RawStr, Codecs.DictId, Codecs.RleDict, Codecs.FsstId)) {
+      val (lo, hi) = Codecs.rangeOfStr(Codecs.encodeStrsAs(vs, id))
+      assert(cmp(lo, "alpha".getBytes(UTF_8)) <= 0, s"codec $id")
+      assert(cmp(hi, "zebra".getBytes(UTF_8)) >= 0, s"codec $id")
+    }
+    val xx = Array("x".getBytes(UTF_8), "x".getBytes(UTF_8))
+    val (clo, chi) = Codecs.rangeOfStr(Codecs.encodeStrsAs(xx, Codecs.ConstStr))
+    assert(new String(clo, UTF_8) === "x" && new String(chi, UTF_8) === "x")
+    // truncation: bounds stay sound and short for long values
+    val long1 = ("a" * 40).getBytes(UTF_8); val long2 = ("b" * 40).getBytes(UTF_8)
+    val (tlo, thi) = Codecs.rangeOfStr(Codecs.encodeStrsAs(Array(long1, long2), Codecs.RawStr))
+    assert(tlo.length <= 16 && thi.length <= 16)
+    assert(cmp(tlo, long1) <= 0 && cmp(thi, long2) >= 0)
+    // 0xff tail past the truncation point: last non-0xff byte increments
+    val ffTail = Array.fill[Byte](20)(-1); ffTail(0) = 'q'.toByte
+    val (_, fhi) = Codecs.rangeOfStr(Codecs.encodeStrsAs(Array(ffTail, "a".getBytes(UTF_8)), Codecs.RawStr))
+    assert(fhi != null && cmp(fhi, ffTail) > 0)
+    // all-0xff prefix: upper bound impossible → null = unbounded
+    val allFf = Array.fill[Byte](20)(-1)
+    val (_, nhi) = Codecs.rangeOfStr(Codecs.encodeStrsAs(Array(allFf, allFf), Codecs.RawStr))
+    assert(nhi === null)
+    // null wrapper recursion and all-null blocks
+    val (wrapped, _) = Codecs.encodeStrsN(Array("kk".getBytes(UTF_8), null, "aa".getBytes(UTF_8)), null)
+    val (wlo, whi) = Codecs.rangeOfStr(wrapped)
+    assert(new String(wlo, UTF_8) === "aa" && new String(whi, UTF_8) === "kk")
+    val (allNull, _) = Codecs.encodeStrsN(Array(null, null), null)
+    assert(Codecs.rangeOfStr(allNull) === null)
+  }
+
   test("zone maps at the 2^62 / 2^63 boundary: width-63 blocks and near-MaxValue refs") {
     // width-63 bitpack (any non-negative column with max >= 2^62): a signed
     // `target >= 1L << 63` zone test is vacuously true — every count came back 0

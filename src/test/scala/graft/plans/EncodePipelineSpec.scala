@@ -111,6 +111,43 @@ class EncodePipelineSpec extends SparkTestBase {
     assert(found === 1L)
   }
 
+  test("string zone maps prune parts by lang without opening data files") {
+    // partition by lang hash so the per-part [str_lo, str_hi] byte-string
+    // bounds are selective (host/hash partitioning would give every part
+    // the full lang range)
+    val docs = sf("documents").select(col("doc_id"), col("lang"), col("source"))
+    val out = tmpDir()
+    EncodePipeline.run(docs, "doc_id", out, partitions = 8, blockSize = 128,
+      customPart = Some(pmod(xxhash64(col("lang")), lit(8)).cast("int")))
+    // absent probe: 'zz' sorts above every real lang → ZERO parts opened
+    assert(EncodePipeline.readDataPruned(spark, out, "lang", "zz").count() === 0L)
+    // present probe: a strict subset of parts survives, and decoding only
+    // the surviving parts still finds every matching row (soundness)
+    val pruned = EncodePipeline.readDataPruned(spark, out, "lang", "de")
+    val all = EncodePipeline.readData(spark, out)
+    assert(pruned.select("__part").distinct().count() < all.select("__part").distinct().count())
+    val nDe = EncodePipeline.decode(pruned, docs.schema).filter(col("lang") === "de").count()
+    assert(nDe === docs.filter(col("lang") === "de").count())
+    assert(nDe > 0)
+  }
+
+  test("manifest file list makes orphan data files invisible to readData") {
+    val docs = WebDocGen.dataset(spark, 400, 4).toDF()
+    val out = tmpDir()
+    EncodePipeline.run(docs, "url", out, partitions = 4, blockSize = 128)
+    val before = EncodePipeline.readData(spark, out).count()
+    assert(before > 0)
+    // plant an orphan inside a committed part directory: a copy of a real
+    // data file under a new name (as a crashed second attempt would leave)
+    val partDir = new java.io.File(s"$out/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__part=")).head
+    val dataFile = partDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(dataFile.toPath,
+      partDir.toPath.resolve("part-99999-orphan.snappy.parquet"))
+    // a directory listing would double-count; the manifest file list must not
+    assert(EncodePipeline.readData(spark, out).count() === before)
+  }
+
   test("salted host partitioner splits hot hosts across partitions") {
     val docs = WebDocGen.dataset(spark, 4000, 4).toDF()
     val parts = docs.select(EncodePipeline.saltedHostPart("url", 16, 4).as("p"))
