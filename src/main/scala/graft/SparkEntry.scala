@@ -386,8 +386,14 @@ object SparkEntry {
       // schema/expression/batch plumbing). Deterministic, rows-only check.
       import graft.operators.MediaOps
       val media = MediaOps.fakeMediaTable(s, 400, 8)
-      val imgs = media.filter(col("media_type") === "image/fake")
+      val imgs = media.filter(col("media_type").startsWith("image/"))
       val vids = media.filter(col("media_type") === "video/fake")
+      // the REAL decode path: BMP payloads parsed/decoded by the pure-Scala
+      // Bmp codec; the checksum aggregates actual pixel bytes read from the
+      // container (encode→decode identity pinned in MediaOpsSpec)
+      val bmps = media.filter(col("media_type") === "image/bmp")
+        .select(MediaOps.pixel_checksum(col("payload")).as("ck"))
+        .agg(count(lit(1)).as("n_bmp"), sum(col("ck")).as("bmp_pixel_sum"))
       val metaOk = imgs.select(MediaOps.image_meta(col("payload")).as("m"))
         .agg(count(lit(1)).as("n_images"),
           sum(when(col("m.valid"), 1L).otherwise(0L)).as("n_valid"),
@@ -399,7 +405,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_frames"))
       val feats = imgs.select(MediaOps.image_feature(col("payload"), 32).as("v"))
         .agg(count(lit(1)).as("n_features"), max(size(col("v"))).as("dims"))
-      metaOk.crossJoin(resized).crossJoin(frames).crossJoin(feats)
+      metaOk.crossJoin(resized).crossJoin(frames).crossJoin(feats).crossJoin(bmps)
     }),
     "q_embed_dims" -> ((s, dir) => {
       tbl(s, dir, "embeddings").agg(
@@ -587,10 +593,14 @@ object SparkEntry {
     "q_fingerprint_dups" ->
       "SELECT CAST(15 AS BIGINT) AS n_pairs, CAST(35 AS BIGINT) AS max_shared",
     "q_media_pipeline" ->
+      // bmp_pixel_sum re-derived independently (python splitmix64 over the
+      // generator definition = 111418251): the REAL BMP decode path returns
+      // exactly the pixel bytes that were encoded into the container
       ("SELECT CAST(300 AS BIGINT) AS n_images, CAST(300 AS BIGINT) AS n_valid, " +
         "CAST(2620428 AS BIGINT) AS total_pixels, CAST(300 AS BIGINT) AS n_resized, " +
         "CAST(650 AS BIGINT) AS n_frames, CAST(300 AS BIGINT) AS n_features, " +
-        "CAST(32 AS BIGINT) AS dims"),
+        "CAST(32 AS BIGINT) AS dims, CAST(100 AS BIGINT) AS n_bmp, " +
+        "CAST(111418251 AS BIGINT) AS bmp_pixel_sum"),
     "q_embed_dedup" ->
       ("WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
         "e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 1000000, list_transform(v, x -> x * 2) FROM e0), " +

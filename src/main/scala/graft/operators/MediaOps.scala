@@ -50,10 +50,29 @@ object MediaOps {
   final case class ImageMeta(valid: Boolean, width: Int, height: Int, channels: Int, seed: Long)
 
   def parseImage(payload: Array[Byte]): ImageMeta = {
+    if (Bmp.isBmp(payload)) {
+      // REAL format: dimensions read from the actual BMP info header
+      val (w, h, _) = Bmp.decode(payload)
+      return ImageMeta(valid = true, w, h, channels = 3, seed = 0L)
+    }
     if (payload == null || payload.length < 21) return ImageMeta(false, 0, 0, 0, 0)
     val r = new graft.core.ByteReader(payload)
     if (r.readInt() != ImageMagic) return ImageMeta(false, 0, 0, 0, 0)
     ImageMeta(valid = true, r.readInt(), r.readInt(), r.readByte() & 0xff, r.readLong())
+  }
+
+  /** decoded top-down row-major RGB/interleaved bytes of an image payload:
+    * REAL pixel decode for BMP payloads (Bmp.decode); deterministic stub
+    * bytes for the fake GIMG container (no codec libs for other formats). */
+  def decodePixels(payload: Array[Byte]): Array[Byte] = {
+    if (Bmp.isBmp(payload)) return Bmp.decode(payload)._3
+    val m = parseImage(payload)
+    require(m.valid, "not a decodable image payload")
+    val n = m.width * m.height * m.channels
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = decodeStub(m, i.toLong); i += 1 }
+    out
   }
 
   /** STUB pixel decode: pixel(i) = mix(seed, i). A real implementation
@@ -78,19 +97,49 @@ object MediaOps {
     override protected def withNewChildInternal(c: Expression): ImageMetaExpr = copy(child = c)
   }
 
-  /** payload → payload with new dimensions (STUB resample; header math real) */
+  /** payload → payload with new dimensions. REAL nearest-neighbor resample
+    * for BMP (decode → sample → re-encode); STUB re-seed for the fake GIMG
+    * container (header math real). */
   case class ResizeExpr(child: Expression, newW: Int, newH: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
     override def prettyName: String = "image_resize"
     override def nullSafeEval(input: Any): Any = {
-      val m = parseImage(input.asInstanceOf[Array[Byte]])
-      require(m.valid, "not a GIMG payload")
+      val payload = input.asInstanceOf[Array[Byte]]
+      if (Bmp.isBmp(payload)) {
+        val (w, h, rgb) = Bmp.decode(payload)
+        return Bmp.encode(newW, newH, Bmp.resizeRgb(w, h, rgb, newW, newH))
+      }
+      val m = parseImage(payload)
+      require(m.valid, "not a decodable image payload")
       // STUB: re-seed deterministically from (seed, target dims); a real
       // implementation would resample pixels here
       fakeImage(graft.core.Bits.mix(m.seed ^ (newW.toLong << 32) ^ newH), newW, newH, m.channels)
     }
     override protected def withNewChildInternal(c: Expression): ResizeExpr = copy(child = c)
+  }
+
+  /** payload → decoded pixel bytes (REAL for BMP, stub for GIMG) */
+  case class ImagePixelsExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "image_pixels"
+    override def nullSafeEval(input: Any): Any = decodePixels(input.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): ImagePixelsExpr = copy(child = c)
+  }
+
+  /** payload → sum of unsigned decoded pixel bytes (cheap whole-image
+    * content check, aggregable; REAL pixels for BMP) */
+  case class PixelChecksumExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "pixel_checksum"
+    override def nullSafeEval(input: Any): Any = {
+      val px = decodePixels(input.asInstanceOf[Array[Byte]])
+      var s = 0L
+      var i = 0
+      while (i < px.length) { s += (px(i) & 0xff); i += 1 }
+      s
+    }
+    override protected def withNewChildInternal(c: Expression): PixelChecksumExpr = copy(child = c)
   }
 
   /** payload → float[dim] feature vector (STUB "vision encoder": seeded hash
@@ -101,16 +150,31 @@ object MediaOps {
     override def dataType: DataType = ArrayType(FloatType, containsNull = false)
     override def prettyName: String = "image_feature"
     override def nullSafeEval(input: Any): Any = {
-      val m = parseImage(input.asInstanceOf[Array[Byte]])
+      val payload = input.asInstanceOf[Array[Byte]]
       val v = new Array[Float](dim)
-      var i = 0
-      var norm = 0.0
-      while (i < dim) {
-        val h = decodeStub(m, i.toLong) / 128.0f
-        v(i) = h
-        norm += h * h
-        i += 1
+      if (Bmp.isBmp(payload)) {
+        // REAL pixels: dim-bucket mean pooling over the decoded bytes,
+        // centered to [-1, 1] — the shape (deterministic, content-derived)
+        // a real vision encoder produces
+        val px = Bmp.decode(payload)._3
+        val counts = new Array[Int](dim)
+        var j = 0
+        while (j < px.length) {
+          val b = (j.toLong * dim / px.length).toInt
+          v(b) += (px(j) & 0xff) / 128.0f - 1.0f
+          counts(b) += 1
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { if (counts(i) > 0) v(i) /= counts(i); i += 1 }
+      } else {
+        val m = parseImage(payload)
+        var i = 0
+        while (i < dim) { v(i) = decodeStub(m, i.toLong) / 128.0f; i += 1 }
       }
+      var norm = 0.0
+      var i = 0
+      while (i < dim) { norm += v(i) * v(i); i += 1 }
       val inv = if (norm == 0) 0f else (1.0 / math.sqrt(norm)).toFloat
       i = 0
       while (i < dim) { v(i) *= inv; i += 1 }
@@ -141,6 +205,8 @@ object MediaOps {
 
   // ---- Column API ----
   def image_meta(c: Column): Column = toCol(ImageMetaExpr(toExpr(c)))
+  def image_pixels(c: Column): Column = toCol(ImagePixelsExpr(toExpr(c)))
+  def pixel_checksum(c: Column): Column = toCol(PixelChecksumExpr(toExpr(c)))
   def image_resize(c: Column, w: Int, h: Int): Column = toCol(ResizeExpr(toExpr(c), w, h))
   def image_feature(c: Column, dim: Int): Column = toCol(ImageFeatureExpr(toExpr(c), dim))
   def frame_sample(c: Column, everyN: Int): Column = toCol(FrameSampleExpr(toExpr(c), everyN))
@@ -161,15 +227,28 @@ object MediaOps {
       }
   }
 
-  /** deterministic synthetic media table (images + videos) */
+  /** deterministic RGB pixel field (seeded hash per byte) for BMP payloads */
+  def seededRgb(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < out.length) { out(i) = (graft.core.Bits.mix(seed ^ i) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** deterministic synthetic media table: fake GIMG images, REAL BMP images
+    * (every 4th row — fully decodable by the pure-Scala Bmp codec), videos */
   def fakeMediaTable(spark: SparkSession, n: Long, partitions: Int = 8): DataFrame = {
     import spark.implicits._
     spark.range(0, n, 1, partitions).map { i =>
       val seed = graft.core.Bits.mix(i ^ 0xBEEF)
+      val w = 32 + (i % 64).toInt
+      val h = 24 + (i % 48).toInt
       if (i % 4 == 3)
         (i, "video/fake", fakeVideo(seed, frames = 16 + (i % 16).toInt, 64, 48))
+      else if (i % 4 == 1)
+        (i, "image/bmp", Bmp.encode(w, h, seededRgb(seed, w, h)))
       else
-        (i, "image/fake", fakeImage(seed, 32 + (i % 64).toInt, 24 + (i % 48).toInt))
+        (i, "image/fake", fakeImage(seed, w, h))
     }.toDF("doc_id", "media_type", "payload")
   }
 }

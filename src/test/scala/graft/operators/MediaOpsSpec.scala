@@ -53,6 +53,50 @@ class MediaOpsSpec extends SparkTestBase {
     assert(rows.forall(r => r.getBoolean(0) && r.getInt(1) === 64))
   }
 
+  test("BMP codec: encode→decode is the identity on real pixel bytes") {
+    // 3x2 image with distinct per-pixel colors, hand-laid-out
+    val rgb = Array[Byte](
+      10, 20, 30,   40, 50, 60,   70, 80, 90,      // row 0 (top)
+      -1, 0, 1,     100, -100, 50, 5, 6, 7)        // row 1
+    val bmp = Bmp.encode(3, 2, rgb)
+    assert(bmp(0) === 'B'.toByte && bmp(1) === 'M'.toByte)
+    val (w, h, back) = Bmp.decode(bmp)
+    assert(w === 3 && h === 2)
+    assert(back.toSeq === rgb.toSeq)
+    // the stored bytes are genuinely bottom-up BGR with row padding:
+    // first stored pixel = bottom-left = rgb(row1,col0) = (-1, 0, 1) as B,G,R
+    assert(bmp(54) === 1.toByte && bmp(55) === 0.toByte && bmp(56) === -1.toByte)
+    // row stride 3*3=9 padded to 12
+    assert(bmp.length === 54 + 2 * 12)
+  }
+
+  test("BMP in the media pipeline: real meta, real resample, real checksum") {
+    // media_type = image/bmp rows decode through the REAL codec
+    val media = MediaOps.fakeMediaTable(spark, 40, 4)
+    val bmps = media.filter($"media_type" === "image/bmp")
+    assert(bmps.count() === 10)
+    val metas = bmps.select(MediaOps.image_meta($"payload").as("m"))
+      .select($"m.valid", $"m.width", $"m.height", $"m.channels").collect()
+    assert(metas.forall(r => r.getBoolean(0) && r.getInt(3) === 3))
+    // nearest-neighbor resize of a solid-color BMP keeps the color everywhere
+    val solid = Bmp.encode(5, 4, Array.fill[Byte](5 * 4 * 3)(42))
+    val resizedPayload = Seq(Tuple1(solid)).toDF("payload")
+      .select(MediaOps.image_resize($"payload", 8, 8)).head().getAs[Array[Byte]](0)
+    val (rw, rh, rp) = Bmp.decode(resizedPayload)
+    assert(rw === 8 && rh === 8 && rp.forall(_ === 42.toByte))
+    // checksum equals the plain sum of the generator's pixel bytes
+    val seed = graft.core.Bits.mix(1L ^ 0xBEEF) // doc_id 1 is a BMP row
+    val w = 33; val h = 25 // 32 + 1 % 64, 24 + 1 % 48
+    val expected = MediaOps.seededRgb(seed, w, h).map(_ & 0xff).map(_.toLong).sum
+    val got = bmps.filter($"doc_id" === 1)
+      .select(MediaOps.pixel_checksum($"payload")).head().getLong(0)
+    assert(got === expected)
+    // feature vectors from real pixels are unit-norm and content-dependent
+    val feats = bmps.select(MediaOps.image_feature($"payload", 16).as("v"))
+      .select(expr("aggregate(v, 0d, (a, x) -> a + double(x) * double(x))")).collect()
+    assert(feats.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-3))
+  }
+
   test("batch-shaped processing sees fixed-size batches, not rows or whole partitions") {
     val df = MediaOps.fakeMediaTable(spark, 100, 2)
     val batchSizes = MediaOps.processBatches(df, "doc_id", "payload", batchSize = 16, partitions = 4) {
