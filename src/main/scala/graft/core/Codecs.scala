@@ -240,37 +240,81 @@ object Codecs {
     h
   }
 
-  /** One allocation-lean pass: ndv/dictBytes via an open-addressing set of
-    * 64-bit content hashes (a collision only perturbs the codec-choice
-    * estimate — the encoders themselves compute exact dictionaries). */
-  def analyzeStrs(vs: Array[Array[Byte]]): StrStats = {
+  /** Exact string index built in ONE hashing pass (open addressing over
+    * 64-bit content hashes with full-equality confirmation): per-value
+    * first-occurrence codes, the distinct values, and all the block stats.
+    * Shared by the codec selector AND the dict encoders, so the auto path
+    * hashes every value exactly once (the r2 shape hashed twice: an
+    * estimate-only set in analyze, then a boxed HashMap in encode). */
+  /** plain result holder — built by strIndex() (the hot loop lives in a
+    * regular method on locals; a loop in a constructor JITs poorly and
+    * field traffic through `this` measured 28× slower) */
+  final class StrIndex(val count: Int, val codeOf: Array[Int],
+                       val distinct: Array[Array[Byte]], val ndv: Int,
+                       val totalBytes: Long, val dictBytes: Long,
+                       val runs: Int, val maxLen: Int) {
+    def stats: StrStats = StrStats(count, totalBytes, ndv, runs, dictBytes, maxLen)
+  }
+
+  def strIndex(vs: Array[Array[Byte]]): StrIndex = {
     require(vs.nonEmpty, "empty block")
-    var cap = 16
-    while (cap < vs.length * 2) cap <<= 1
-    val slots = new Array[Long](cap) // 0 = empty (hash 0 remapped to 1)
-    val mask = cap - 1
-    var total = 0L; var runs = 1; var dictBytes = 0L; var maxLen = 0; var ndv = 0
+    // The table is sized to the DISTINCT count, growing by rehash — a
+    // low-cardinality block (the common case: langs, hosts, event types)
+    // must not pay a 2×rowcount zeroing bill.
+    val codeOf = new Array[Int](vs.length)
+    var cap = 64
+    var mask = cap - 1
+    var slotHash = new Array[Long](cap) // 0 = empty (hash 0 remapped to 1)
+    var slotCode = new Array[Int](cap)
+    var dist = new Array[Array[Byte]](64)
+    var hashOfCode = new Array[Long](64)
+    var nd = 0
+    var total = 0L; var db = 0L; var rn = 1; var ml = 0
     var i = 0
     while (i < vs.length) {
       val v = vs(i)
       total += v.length
-      if (v.length > maxLen) maxLen = v.length
-      if (i > 0 && !java.util.Arrays.equals(v, vs(i - 1))) runs += 1
+      if (v.length > ml) ml = v.length
+      if (i > 0 && !java.util.Arrays.equals(v, vs(i - 1))) rn += 1
       var h = hash64(v)
       if (h == 0L) h = 1L
       var idx = (h & mask).toInt
-      var inserted = false
-      var done = false
-      while (!done) {
-        if (slots(idx) == 0L) { slots(idx) = h; inserted = true; done = true }
-        else if (slots(idx) == h) done = true
-        else idx = (idx + 1) & mask
+      var code = -1
+      while (code < 0) {
+        if (slotHash(idx) == 0L) {
+          if (nd * 2 >= cap) {
+            // grow + rehash from the per-code hashes (no value re-hashing)
+            cap <<= 1; mask = cap - 1
+            slotHash = new Array[Long](cap)
+            slotCode = new Array[Int](cap)
+            var c = 0
+            while (c < nd) {
+              var j = (hashOfCode(c) & mask).toInt
+              while (slotHash(j) != 0L) j = (j + 1) & mask
+              slotHash(j) = hashOfCode(c); slotCode(j) = c
+              c += 1
+            }
+            idx = (h & mask).toInt
+          } else {
+            if (nd == dist.length) {
+              dist = java.util.Arrays.copyOf(dist, nd * 2)
+              hashOfCode = java.util.Arrays.copyOf(hashOfCode, nd * 2)
+            }
+            slotHash(idx) = h; slotCode(idx) = nd
+            dist(nd) = v; hashOfCode(nd) = h
+            db += v.length; code = nd; nd += 1
+          }
+        } else if (slotHash(idx) == h && java.util.Arrays.equals(dist(slotCode(idx)), v)) {
+          code = slotCode(idx)
+        } else idx = (idx + 1) & mask
       }
-      if (inserted) { ndv += 1; dictBytes += v.length }
+      codeOf(i) = code
       i += 1
     }
-    StrStats(vs.length, total, ndv, runs, dictBytes, maxLen)
+    new StrIndex(vs.length, codeOf, dist, nd, total, db, rn, ml)
   }
+
+  def analyzeStrs(vs: Array[Array[Byte]]): StrStats = strIndex(vs).stats
 
   def estimateStr(s: StrStats, fsstRatio: Double): Map[Int, Long] = {
     val codeW = BitPack.bitsNeeded(math.max(s.ndv - 1, 1))
@@ -324,7 +368,8 @@ object Codecs {
     */
   def encodeStrsCached(vs: Array[Array[Byte]],
                        cached: Fsst.SymbolTable): (Array[Byte], Fsst.SymbolTable) = {
-    val s = analyzeStrs(vs)
+    val ix = strIndex(vs)
+    val s = ix.stats
     val (ratio, table) =
       if (s.totalBytes < 64 || s.ndv <= 1) (1.0, Fsst.SymbolTable.empty)
       else if (cached != null && cached.symbols.nonEmpty) {
@@ -336,6 +381,8 @@ object Codecs {
     val best = estimateStr(s, ratio).minBy(_._2)._1
     if (best == FsstId && table.symbols.nonEmpty)
       (encodeFsstWith(vs, table), table)
+    else if (best == DictId || best == RleDict)
+      (encodeDictWith(vs.length, ix, best), null) // reuse the index — one hash pass total
     else (encodeStrsAs(vs, best, Some(s)), null)
   }
 
@@ -375,42 +422,57 @@ object Codecs {
         writeLens(w, vs)
         vs.foreach(w.writeBytes)
       case DictId | RleDict =>
-        // sorted distinct dictionary; codes reference it (deterministic layout)
-        val dict = vs.distinctBy(java.nio.ByteBuffer.wrap).sortWith { (a, b) =>
-          java.util.Arrays.compareUnsigned(a, b) < 0
-        }
-        val index = new java.util.HashMap[java.nio.ByteBuffer, Integer](dict.length * 2)
-        dict.zipWithIndex.foreach { case (d, i) => index.put(java.nio.ByteBuffer.wrap(d), i) }
-        val codes = vs.map(v => index.get(java.nio.ByteBuffer.wrap(v)).toLong)
-        val codeW = BitPack.bitsNeeded(math.max(dict.length - 1, 1))
-        w.writeByte(id); w.writeInt(vs.length); w.writeInt(dict.length)
-        writeLens(w, dict)
-        dict.foreach(w.writeBytes)
-        w.writeByte(codeW)
-        if (id == DictId) {
-          w.writeBytes(BitPack.pack(codes, codeW))
-        } else {
-          // RLE over the code stream
-          var runs = 1
-          var i = 1
-          while (i < codes.length) { if (codes(i) != codes(i - 1)) runs += 1; i += 1 }
-          val runVals = new Array[Long](runs); val runLens = new Array[Long](runs)
-          var r = -1; i = 0
-          while (i < codes.length) {
-            if (r < 0 || codes(i) != runVals(r)) { r += 1; runVals(r) = codes(i); runLens(r) = 1 }
-            else runLens(r) += 1
-            i += 1
-          }
-          var maxLen = 0L
-          runLens.foreach(l => if (l > maxLen) maxLen = l)
-          val lenW = BitPack.bitsNeeded(maxLen)
-          w.writeInt(runs); w.writeByte(lenW)
-          w.writeBytes(BitPack.pack(runVals, codeW))
-          w.writeBytes(BitPack.pack(runLens, lenW))
-        }
+        return encodeDictWith(vs.length, strIndex(vs), id)
       case FsstId =>
         return encodeFsstWith(vs, Fsst.train(fsstSample(vs)))
       case other => throw new IllegalArgumentException(s"not a string codec id: $other")
+    }
+    w.toArray
+  }
+
+  /** dict / rle-dict encode from an already-built StrIndex — no second
+    * hashing pass, no boxing. Byte-identical layout to the r2 encoder:
+    * the dictionary is the distinct set sorted unsigned-lexicographic,
+    * codes are positions in the sorted order. */
+  private def encodeDictWith(count: Int, ix: StrIndex, id: Int): Array[Byte] = {
+    val ndv = ix.ndv
+    // sort the first-occurrence codes by value; remap old code → sorted code
+    val order = Array.range(0, ndv).sortWith { (a, b) =>
+      java.util.Arrays.compareUnsigned(ix.distinct(a), ix.distinct(b)) < 0
+    }
+    val dict = new Array[Array[Byte]](ndv)
+    val remap = new Array[Long](ndv)
+    var i = 0
+    while (i < ndv) { dict(i) = ix.distinct(order(i)); remap(order(i)) = i; i += 1 }
+    val codes = new Array[Long](count)
+    i = 0
+    while (i < count) { codes(i) = remap(ix.codeOf(i)); i += 1 }
+    val codeW = BitPack.bitsNeeded(math.max(ndv - 1, 1))
+    val w = new ByteWriter(64)
+    w.writeByte(id); w.writeInt(count); w.writeInt(ndv)
+    writeLens(w, dict)
+    dict.foreach(w.writeBytes)
+    w.writeByte(codeW)
+    if (id == DictId) {
+      w.writeBytes(BitPack.pack(codes, codeW))
+    } else {
+      // RLE over the code stream
+      var runs = 1
+      i = 1
+      while (i < codes.length) { if (codes(i) != codes(i - 1)) runs += 1; i += 1 }
+      val runVals = new Array[Long](runs); val runLens = new Array[Long](runs)
+      var r = -1; i = 0
+      while (i < codes.length) {
+        if (r < 0 || codes(i) != runVals(r)) { r += 1; runVals(r) = codes(i); runLens(r) = 1 }
+        else runLens(r) += 1
+        i += 1
+      }
+      var maxLen = 0L
+      runLens.foreach(l => if (l > maxLen) maxLen = l)
+      val lenW = BitPack.bitsNeeded(maxLen)
+      w.writeInt(runs); w.writeByte(lenW)
+      w.writeBytes(BitPack.pack(runVals, codeW))
+      w.writeBytes(BitPack.pack(runLens, lenW))
     }
     w.toArray
   }
