@@ -40,12 +40,16 @@ object Fsst {
 
   /** A trained table: symbols(code) = byte sequence for code ∈ [0, n).
     *
-    * Matching is two fixed-cost probes (the paper's §4.3 fast-encoder shape):
-    * symbols of length ≥ 2 are bucketed by their first TWO bytes
-    * (`candOff`/`candCodes`, a 65536-entry prefix-sum index, each bucket
-    * sorted length-descending — buckets hold ~0–2 candidates), and 1-byte
-    * symbols live in a direct 256-entry table. One word load + a couple of
-    * masked compares per emitted code — no per-byte candidate scans.
+    * Matching is the paper's §4.3 lossy-perfect-hash encoder: symbols of
+    * length ≥ 3 hash by their first THREE bytes into a single-probe table
+    * (16 KB — L1-resident, unlike the r2 65536-entry prefix-sum bucket
+    * index); on a slot collision the higher-gain symbol keeps the slot
+    * (symbols arrive gain-ordered from training) and the loser becomes
+    * unreachable through the hash — compression gets marginally worse,
+    * "lossy", while the matcher is ONE load + one masked compare. Symbols
+    * of length ≤ 2 resolve in one combined `shortCodes` lookup: the 2-byte
+    * symbol for the window's low two bytes if present, else the 1-byte
+    * symbol for the low byte, else -1 (escape).
     */
   final class SymbolTable(val symbols: Array[Array[Byte]]) extends Serializable {
     require(symbols.length <= MaxSymbols)
@@ -64,48 +68,46 @@ object Fsst {
       }
       a
     }
-    // codes with len >= 2 bucketed by first two LE bytes, each bucket len-desc
-    private val candOff: Array[Int] = new Array[Int](65537)
-    private val candCodes: Array[Int] = {
+    private val HashBits = 12
+    @inline private def hash3(w: Long): Int =
+      (((w & 0xffffffL) * 0x9E3779B97F4A7C15L) >>> (64 - HashBits)).toInt
+    // single-slot lossy hash over first-3-byte prefixes, len >= 3 symbols
+    private val hashTab: Array[Int] = {
+      val a = Array.fill(1 << HashBits)(-1)
       var c = 0
       while (c < symbols.length) {
-        if (symLen(c) >= 2) candOff(((symWord(c) & 0xffffL).toInt) + 1) += 1
+        if (symLen(c) >= 3) {
+          val idx = hash3(symWord(c))
+          if (a(idx) < 0) a(idx) = c // first (= highest-gain) wins
+        }
         c += 1
       }
-      var i = 0
-      while (i < 65536) { candOff(i + 1) += candOff(i); i += 1 }
-      val codes = new Array[Int](candOff(65536))
-      val fill = java.util.Arrays.copyOf(candOff, 65536)
-      var len = MaxSymbolLen
-      while (len >= 2) { // insert longest first: buckets come out len-desc
-        var c2 = 0
-        while (c2 < symbols.length) {
-          if (symLen(c2) == len) {
-            val p = (symWord(c2) & 0xffffL).toInt
-            codes(fill(p)) = c2
-            fill(p) += 1
-          }
-          c2 += 1
-        }
-        len -= 1
+      a
+    }
+    // two-bytes -> 2-byte symbol code | 1-byte symbol code of low byte | -1
+    private val shortCodes: Array[Int] = {
+      val a = new Array[Int](65536)
+      var p = 0
+      while (p < 65536) { a(p) = oneByte(p & 0xff); p += 1 }
+      var c = 0
+      while (c < symbols.length) {
+        if (symLen(c) == 2) a((symWord(c) & 0xffffL).toInt) = c
+        c += 1
       }
-      codes
+      a
     }
 
     /** longest-match code for the word at the cursor, or -1 (→ escape) */
     @inline def findLongest(window: Long, remaining: Int): Int = {
-      if (remaining >= 2) {
-        val p = (window & 0xffffL).toInt
-        var i = candOff(p)
-        val end = candOff(p + 1)
-        while (i < end) {
-          val c = candCodes(i)
+      if (remaining >= 3) {
+        val c = hashTab(hash3(window))
+        if (c >= 0) {
           val l = symLen(c)
           if (l <= remaining && ((window ^ symWord(c)) & lenMask(l)) == 0L) return c
-          i += 1
         }
       }
-      oneByte((window & 0xffL).toInt)
+      if (remaining >= 2) shortCodes((window & 0xffffL).toInt)
+      else oneByte((window & 0xffL).toInt)
     }
 
     def compress(data: Array[Byte]): Array[Byte] = compress(data, 0, data.length)
@@ -237,18 +239,31 @@ object Fsst {
       }
     }
 
-    /** top-N byte sequences by gain = count * (2*len - 1) (escape-relative) */
+    /** top-N byte sequences by gain = count * (2*len - 1) (escape-relative).
+      * Prefix-aware for the lossy-hash matcher: of several length ≥ 3
+      * candidates sharing a first-3-byte prefix only the highest-gain one
+      * is admitted — the others could never be matched (one hash slot per
+      * prefix), so admitting them would waste code space that a reachable
+      * symbol can use instead. */
     def topSymbols(n: Int): Array[Array[Byte]] = {
       val order = (0 to mask).filter(i => lens(i) > 0)
         .sortBy(i => -cnts(i).toLong * (2L * lens(i) - 1L))
-        .take(n)
-      order.map { i =>
+      val seen3 = new java.util.HashSet[Integer]()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var oi = 0
+      while (oi < order.length && out.length < n) {
+        val i = order(oi)
         val l = lens(i)
-        val out = new Array[Byte](l)
-        var k = 0
-        while (k < l) { out(k) = ((words(i) >>> (k * 8)) & 0xff).toByte; k += 1 }
-        out
-      }.toArray
+        val admit = l < 3 || seen3.add((words(i) & 0xffffffL).toInt)
+        if (admit) {
+          val b = new Array[Byte](l)
+          var k = 0
+          while (k < l) { b(k) = ((words(i) >>> (k * 8)) & 0xff).toByte; k += 1 }
+          out += b
+        }
+        oi += 1
+      }
+      out.toArray
     }
   }
 }
