@@ -126,16 +126,22 @@ object Bench {
       val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toLong
       val benchStart = System.nanoTime()
       def elapsed = (System.nanoTime() - benchStart) / 1e9
-      val pairs = Seq((4, 16), (8, 32))
-      val measured = pairs.flatMap { case (lo, hi) =>
-        val vs = (1 to visits).flatMap { v =>
+      // 8->32 gets an extra visit: its per-visit cost is small (no 4-core
+      // leg) and min-of-ratios then survives one in-visit steal storm — the
+      // r3 first run lost the pair to a storm that pinned a 4-thread probe
+      // at 14 MB/s (vs 669 minutes earlier)
+      val pairs = Seq((4, 16, visits), (8, 32, visits + 1))
+      val measured = pairs.flatMap { case (lo, hi, nVisits) =>
+        val vs = (1 to nVisits).flatMap { v =>
           if (elapsed > budgetSec) {
             System.err.println(s"[bench] budget exceeded (${elapsed.toInt}s), skipping $lo->$hi visit $v")
             None
           } else {
             val tLo = timedAt(lo)
+            val pMid = quickProbeMbps()
             val tHi = timedAt(hi)
-            Some((tLo, tHi))
+            val pEnd = quickProbeMbps()
+            Some((tLo, tHi, pMid, pEnd))
           }
         }
         if (vs.isEmpty) None
@@ -145,7 +151,7 @@ object Bench {
           // each level's calmest window and survives WITHIN-visit drift
           // (a visit whose hi half hit a slow phase). Report the smaller
           // (conservative) as the headline speedup.
-          val ratios = vs.map { case (l, h) => l / h }.sorted
+          val ratios = vs.map { case (l, h, _, _) => l / h }.sorted
           val medianRatio = ratios(ratios.length / 2)
           val minRatio = vs.map(_._1).min / vs.map(_._2).min
           val speedup = math.min(medianRatio, minRatio)
@@ -159,8 +165,10 @@ object Bench {
       val probe = threadProbe()
       val gbHere = rawScale / 1e9
       val pairJson = measured.map { case (lo, hi, tLo, tHi, sp, eff, vs) =>
-        val visitJson = vs.map { case (l, h) => f"""{"sec_lo":$l%.3f,"sec_hi":$h%.3f,"ratio":${l / h}%.3f}""" }
-          .mkString("[", ",", "]")
+        val visitJson = vs.map { case (l, h, pm, pe) =>
+          f"""{"sec_lo":$l%.3f,"sec_hi":$h%.3f,"ratio":${l / h}%.3f,""" +
+            f""""probe_mid_mbps":$pm%.1f,"probe_end_mbps":$pe%.1f}"""
+        }.mkString("[", ",", "]")
         f"""{"cores_lo":$lo,"cores_hi":$hi,"sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,""" +
           f""""gbps_lo":${gbHere / tLo}%.4f,"gbps_hi":${gbHere / tHi}%.4f,""" +
           f""""speedup":$sp%.3f,"efficiency":$eff%.3f,"visits":$visitJson}"""
@@ -215,25 +223,44 @@ object Bench {
     spark.stop()
   }
 
-  /** pure-JVM FSST-compress thread-scaling probe: the host ceiling. */
-  private def threadProbe(): Seq[(Int, Double)] = {
+  // shared probe fixture (built once; threadProbe and the per-leg spot
+  // checks must measure the HOST, not their own setup)
+  private lazy val probeBuf: Array[Byte] = {
     val rnd = new scala.util.Random(42)
     val words = ("the of and to in is was for on that with as by at from it an " +
       "be this are which has had were their one all data page web site news").split(" ")
     val sb = new StringBuilder
     while (sb.length < (4 << 20)) sb.append(words(rnd.nextInt(words.length))).append(' ')
-    val buf = sb.toString.getBytes("UTF-8")
-    val table = graft.core.Fsst.train(java.util.Arrays.copyOf(buf, 1 << 14))
+    sb.toString.getBytes("UTF-8")
+  }
+  private lazy val probeTable: graft.core.Fsst.SymbolTable =
+    graft.core.Fsst.train(java.util.Arrays.copyOf(probeBuf, 1 << 14))
+
+  /** sub-second host-speed spot check (2 threads, 1 rep) — brackets each
+    * scaling leg so an in-visit steal storm is visible in the JSON (the
+    * r3 first run's 8→32 pair was destroyed by a storm that pinned this
+    * probe at 14 MB/s vs 669 MB/s minutes earlier) */
+  private def quickProbeMbps(): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to 2).map(_ => new Thread(() => {
+      val c = probeTable.compress(probeBuf); if (c.length == 0) println("")
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    2.0 * probeBuf.length / ((System.nanoTime() - t0) / 1e9) / 1e6
+  }
+
+  /** pure-JVM FSST-compress thread-scaling probe: the host ceiling. */
+  private def threadProbe(): Seq[(Int, Double)] = {
     def run(threads: Int): Double = {
       val best = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ts = (1 to threads).map(_ => new Thread(() => {
-          val c = table.compress(buf); if (c.length == 0) println("")
+          val c = probeTable.compress(probeBuf); if (c.length == 0) println("")
         }))
         ts.foreach(_.start()); ts.foreach(_.join())
         (System.nanoTime() - t0) / 1e9
       }.min
-      threads * buf.length / best / 1e6
+      threads * probeBuf.length / best / 1e6
     }
     run(2)
     Seq(4, 8, 16, 32).map(n => n -> run(n))
