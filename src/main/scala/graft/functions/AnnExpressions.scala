@@ -66,3 +66,81 @@ case class IvfAssign(child: Expression, centroids: Array[Array[Double]], nprobe:
   override protected def withNewChildInternal(newChild: Expression): IvfAssign =
     copy(child = newChild)
 }
+
+/** Random-hyperplane signature, packed: bit p of the output = sign of the
+  * dot product with pseudo-hyperplane p (Rademacher ±1 entries from
+  * splitmix64 of (plane, dim) — deterministic, seedless). Returns
+  * ⌈planes/64⌉ longs. The r2 Column-algebra formulation (nested
+  * transform/aggregate lambdas) interpreted planes × dim closures PER ROW —
+  * the dominant cost of embedding dedup candidate generation; this is the
+  * same arithmetic as one primitive loop. Vectors with equal direction get
+  * identical signatures (the guaranteed-recall property the planted-copy
+  * oracle relies on). */
+case class HyperplaneSig(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(planes >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) { v(i) = arr.getDouble(i); i += 1 }
+    val words = new Array[Long]((planes + 63) >> 6)
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      val base = p.toLong << 32
+      var d = 0
+      while (d < n) {
+        // ±1 from the low bit of the (plane, dim) hash
+        val sign = 1.0 - 2.0 * (graft.core.Bits.mix(base | d) & 1L)
+        dot += v(d) * sign
+        d += 1
+      }
+      if (dot >= 0) words(p >> 6) |= 1L << (p & 63)
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(words)
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** LSH band keys from a packed hyperplane signature: band b covers bits
+  * [b·rows, (b+1)·rows), mixed with the band index so equal bit groups in
+  * different bands land in different buckets. Cheap bit extraction — the
+  * signature is computed once (HyperplaneSig) and both the band keys and
+  * the hamming pre-filter read it. */
+case class BandKeysFromSig(child: Expression, planes: Int, bands: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(bands >= 1 && planes % bands == 0, s"bands $bands must divide planes $planes")
+  private val rows = planes / bands
+  require(rows <= 64, "band width must fit one word")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_keys_from_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val words = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < words.length) { words(i) = arr.getLong(i); i += 1 }
+    val keys = new Array[Long](bands)
+    val rowMask = if (rows >= 64) -1L else (1L << rows) - 1
+    var b = 0
+    while (b < bands) {
+      val bit = b * rows
+      val w = bit >> 6
+      val off = bit & 63
+      var bits = words(w) >>> off
+      if (off + rows > 64 && w + 1 < words.length) bits |= words(w + 1) << (64 - off)
+      keys(b) = graft.core.Bits.mix((bits & rowMask) ^ (b.toLong * 0x9e3779b97f4a7c15L))
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BandKeysFromSig =
+    copy(child = newChild)
+}

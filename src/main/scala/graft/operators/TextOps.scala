@@ -308,33 +308,19 @@ object TextOps {
       .select(col("query_id"), col("neighbor_id"), cosine(col("cv"), col("qv")).as("sim"))
   }
 
-  /** deterministic random-hyperplane signature bits: sign pattern of each
-    * pseudo-hyperplane from xxhash64 of (plane, dimension); dot sign → bit */
-  private def hyperplaneSigBits(v: Column, planes: Int): Column =
-    transform(sequence(lit(0), lit(planes - 1)), p =>
-      when(aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, d) => x * (pmod(xxhash64(p, d), lit(2)).cast("double") * 2.0 - 1.0)),
-        lit(0.0d), (acc, x) => acc + x) >= 0, 1L).otherwise(0L))
+  /** packed deterministic random-hyperplane signature (⌈planes/64⌉ longs) —
+    * a native expression: the Column-algebra formulation interpreted
+    * planes × dim lambda closures per row and dominated candidate-generation
+    * cost (graft.functions.HyperplaneSig) */
+  private def hyperplaneSig(v: Column, planes: Int): Column =
+    toCol(graft.functions.HyperplaneSig(toExpr(v), planes))
 
-  /** the signature split into `bands` hashed groups — vectors with equal
+  /** the signature split into `bands` hashed keys — vectors with equal
     * direction get identical keys in EVERY band (guaranteed recall for
     * exact-duplicate directions); nearby directions collide per band with
     * probability (1 - θ/π)^(planes/bands) */
   private def hyperplaneBandKeys(v: Column, planes: Int, bands: Int): Column =
-    bandKeysFromBits(hyperplaneSigBits(v, planes), planes, bands)
-
-  private def bandKeysFromBits(bits: Column, planes: Int, bands: Int): Column = {
-    val rows = planes / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, concat_ws(",", slice(bits, b * rows + 1, lit(rows)))))
-  }
-
-  /** the 0/1 bit array packed into ⌈planes/64⌉ longs (bit order is
-    * irrelevant — only xor/bit_count consume it) */
-  private def packSigBits(bits: Column, planes: Int): Column =
-    transform(sequence(lit(0), lit((planes - 1) / 64)), w =>
-      aggregate(slice(bits, w * 64 + 1, lit(64)), lit(0L),
-        (acc, b) => shiftleft(acc, 1).bitwiseOR(b)))
+    toCol(graft.functions.BandKeysFromSig(toExpr(hyperplaneSig(v, planes)), planes, bands))
 
   /** embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
     * generate candidates (band equi-join — no all-pairs product), exact
@@ -355,14 +341,14 @@ object TextOps {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planes: Int = 96, bands: Int = 6,
                         maxBucket: Int = 2000, estMargin: Double = 0.25): DataFrame = {
-    // the hyperplane bits are computed ONCE per vector (planes × dim
-    // multiply-adds — the dominant map-side cost) and persisted; band keys
-    // and the packed hamming signature both derive from them downstream
+    // the packed hyperplane signature is computed ONCE per vector (planes ×
+    // dim multiply-adds — the dominant map-side cost) and persisted; band
+    // keys and the hamming pre-filter both derive from it downstream
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bits", hyperplaneSigBits(col("v"), planes))
+      .withColumn("sig", hyperplaneSig(col("v"), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"),
-      explode(bandKeysFromBits(col("bits"), planes, bands)).as("band"))
+      explode(toCol(graft.functions.BandKeysFromSig(toExpr(col("sig")), planes, bands))).as("band"))
     val capped = banded.join(
       banded.groupBy("band").agg(count(lit(1)).as("bc")).filter(col("bc") <= maxBucket),
       "band")
@@ -377,10 +363,9 @@ object TextOps {
     // h = 0 identically, so planted-copy recall stays deterministic.
     val cutoff = math.max(-1.0, math.min(1.0, threshold - estMargin))
     val maxH = math.floor(planes * math.acos(cutoff) / math.Pi).toLong
-    val sigOf = packSigBits(col("bits"), planes)
     val withSigs = cands
-      .join(base.select(col("id").as("id_a"), sigOf.as("sig_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), sigOf.as("sig_b")), "id_b")
+      .join(base.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
     val ham = aggregate(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (a, b) => a + b)
