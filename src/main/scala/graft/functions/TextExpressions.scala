@@ -176,9 +176,13 @@ case class WinnowFingerprints(child: Expression, k: Int = 8, window: Int = 16)
 }
 
 /** k-entry MinHash signature over an array<string> of shingles, one pass:
-  * each shingle hashed once, then k cheap seeded remixes (universal-hash
-  * family h_i(x) = mix(x + GOLDEN*i)); sig[i] = min over shingles. A single
-  * eval replaces k nested Catalyst lambda evaluations of the shingle array. */
+  * each shingle hashed once, then the k per-permutation hashes come from
+  * Kirsch–Mitzenmacher double hashing — h_j(x) = h1(x) + j·h2(x) with h2
+  * forced odd — so the inner loop is one ADD + compare per permutation
+  * (the r2 family re-mixed per j: 2 multiplies each; at TB scale the
+  * signature pass is shingles × k). sig[j] = min over shingles. A single
+  * eval replaces k nested Catalyst lambda evaluations of the shingle
+  * array. */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   require(k >= 1 && k <= 1024)
@@ -190,10 +194,12 @@ case class MinHashSig(child: Expression, k: Int)
     var i = 0
     while (i < arr.numElements()) {
       val base = TextHash.hashBytes(arr.getUTF8String(i).getBytes)
+      val h2 = graft.core.Bits.mix(base ^ 0x5851f42d4c957f2dL) | 1L
+      var h = graft.core.Bits.mix(base)
       var j = 0
       while (j < k) {
-        val h = graft.core.Bits.mix(base + 0x9e3779b97f4a7c15L * j)
         if (h < sig(j)) sig(j) = h
+        h += h2
         j += 1
       }
       i += 1
