@@ -110,6 +110,51 @@ object Bmp {
     out
   }
 
+  // ---- PPM (P6 binary, the other trivially-parseable public format) ----
+
+  def isPpm(payload: Array[Byte]): Boolean =
+    payload != null && payload.length >= 2 &&
+      payload(0) == 'P'.toByte && payload(1) == '6'.toByte
+
+  /** binary PPM: "P6\n<w> <h>\n255\n" + raw RGB rows top-down (no padding) */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3)
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** (width, height, top-down RGB); handles whitespace/comments per the
+    * published netpbm grammar, 8-bit maxval only */
+  def decodePpm(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(isPpm(payload), "not a P6 PPM payload")
+    var pos = 2
+    def skipSpace(): Unit = {
+      var in = true
+      while (in && pos < payload.length) {
+        val c = payload(pos)
+        if (c == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else in = false
+      }
+    }
+    def readInt(): Int = {
+      skipSpace()
+      var v = 0
+      while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+        v = v * 10 + (payload(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    require(w > 0 && h > 0 && maxval == 255, s"unsupported PPM ${w}x$h maxval $maxval")
+    pos += 1 // single whitespace after maxval
+    require(payload.length >= pos + w * h * 3, "truncated PPM pixel data")
+    (w, h, java.util.Arrays.copyOfRange(payload, pos, pos + w * h * 3))
+  }
+
   @inline private def putInt(b: Array[Byte], pos: Int, v: Int): Unit = {
     b(pos) = v.toByte; b(pos + 1) = (v >> 8).toByte
     b(pos + 2) = (v >> 16).toByte; b(pos + 3) = (v >> 24).toByte

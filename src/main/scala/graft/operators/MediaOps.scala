@@ -49,11 +49,18 @@ object MediaOps {
 
   final case class ImageMeta(valid: Boolean, width: Int, height: Int, channels: Int, seed: Long)
 
+  /** real-codec dispatch: BMP / P6 PPM → (w, h, top-down RGB); null for
+    * formats the sandbox has no codec for (they go through the stub) */
+  def realImage(payload: Array[Byte]): (Int, Int, Array[Byte]) =
+    if (Bmp.isBmp(payload)) Bmp.decode(payload)
+    else if (Bmp.isPpm(payload)) Bmp.decodePpm(payload)
+    else null
+
   def parseImage(payload: Array[Byte]): ImageMeta = {
-    if (Bmp.isBmp(payload)) {
-      // REAL format: dimensions read from the actual BMP info header
-      val (w, h, _) = Bmp.decode(payload)
-      return ImageMeta(valid = true, w, h, channels = 3, seed = 0L)
+    val real = realImage(payload)
+    if (real != null) {
+      // REAL formats: dimensions read from the actual container header
+      return ImageMeta(valid = true, real._1, real._2, channels = 3, seed = 0L)
     }
     if (payload == null || payload.length < 21) return ImageMeta(false, 0, 0, 0, 0)
     val r = new graft.core.ByteReader(payload)
@@ -65,7 +72,8 @@ object MediaOps {
     * REAL pixel decode for BMP payloads (Bmp.decode); deterministic stub
     * bytes for the fake GIMG container (no codec libs for other formats). */
   def decodePixels(payload: Array[Byte]): Array[Byte] = {
-    if (Bmp.isBmp(payload)) return Bmp.decode(payload)._3
+    val real = realImage(payload)
+    if (real != null) return real._3
     val m = parseImage(payload)
     require(m.valid, "not a decodable image payload")
     val n = m.width * m.height * m.channels
@@ -106,9 +114,13 @@ object MediaOps {
     override def prettyName: String = "image_resize"
     override def nullSafeEval(input: Any): Any = {
       val payload = input.asInstanceOf[Array[Byte]]
-      if (Bmp.isBmp(payload)) {
-        val (w, h, rgb) = Bmp.decode(payload)
-        return Bmp.encode(newW, newH, Bmp.resizeRgb(w, h, rgb, newW, newH))
+      val real = realImage(payload)
+      if (real != null) {
+        val (w, h, rgb) = real
+        val resized = Bmp.resizeRgb(w, h, rgb, newW, newH)
+        // re-encode in the source container format
+        return if (Bmp.isPpm(payload)) Bmp.encodePpm(newW, newH, resized)
+               else Bmp.encode(newW, newH, resized)
       }
       val m = parseImage(payload)
       require(m.valid, "not a decodable image payload")
@@ -152,11 +164,12 @@ object MediaOps {
     override def nullSafeEval(input: Any): Any = {
       val payload = input.asInstanceOf[Array[Byte]]
       val v = new Array[Float](dim)
-      if (Bmp.isBmp(payload)) {
+      val real = realImage(payload)
+      if (real != null) {
         // REAL pixels: dim-bucket mean pooling over the decoded bytes,
         // centered to [-1, 1] — the shape (deterministic, content-derived)
         // a real vision encoder produces
-        val px = Bmp.decode(payload)._3
+        val px = real._3
         val counts = new Array[Int](dim)
         var j = 0
         while (j < px.length) {

@@ -97,6 +97,29 @@ class MediaOpsSpec extends SparkTestBase {
     assert(feats.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-3))
   }
 
+  test("PPM (P6) codec: identity round-trip, header grammar, real pipeline ops") {
+    val rgb = Array.tabulate[Byte](4 * 3 * 3)(i => (i * 7).toByte)
+    val ppm = Bmp.encodePpm(4, 3, rgb)
+    val (w, h, back) = Bmp.decodePpm(ppm)
+    assert(w === 4 && h === 3 && back.toSeq === rgb.toSeq)
+    // the netpbm grammar allows comments and arbitrary whitespace
+    val commented = ("P6\n# a comment line\n 4\t3 \n255\n".getBytes("US-ASCII") ++ rgb)
+    val (cw, ch, cb) = Bmp.decodePpm(commented)
+    assert(cw === 4 && ch === 3 && cb.toSeq === rgb.toSeq)
+    // pipeline: meta + resize keep PPM real (resize re-encodes as PPM)
+    val df = Seq(Tuple1(ppm)).toDF("payload")
+    val m = df.select(MediaOps.image_meta($"payload").as("m"))
+      .select($"m.valid", $"m.width", $"m.height", $"m.channels").head()
+    assert(m.getBoolean(0) && m.getInt(1) === 4 && m.getInt(2) === 3 && m.getInt(3) === 3)
+    val resized = df.select(MediaOps.image_resize($"payload", 8, 6)).head().getAs[Array[Byte]](0)
+    assert(Bmp.isPpm(resized))
+    val (rw, rh, _) = Bmp.decodePpm(resized)
+    assert(rw === 8 && rh === 6)
+    // checksum over real PPM pixels
+    val ck = df.select(MediaOps.pixel_checksum($"payload")).head().getLong(0)
+    assert(ck === rgb.map(_ & 0xff).map(_.toLong).sum)
+  }
+
   test("batch-shaped processing sees fixed-size batches, not rows or whole partitions") {
     val df = MediaOps.fakeMediaTable(spark, 100, 2)
     val batchSizes = MediaOps.processBatches(df, "doc_id", "payload", batchSize = 16, partitions = 4) {
