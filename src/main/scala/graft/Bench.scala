@@ -129,8 +129,13 @@ object Bench {
       // 8->32 gets an extra visit: its per-visit cost is small (no 4-core
       // leg) and min-of-ratios then survives one in-visit steal storm — the
       // r3 first run lost the pair to a storm that pinned a 4-thread probe
-      // at 14 MB/s (vs 669 minutes earlier)
-      val pairs = Seq((4, 16, visits), (8, 32, visits + 1))
+      // at 14 MB/s (vs 669 minutes earlier). SPARK_GRAFT_SCALE_PAIRS
+      // ("lo:hi,lo:hi") selects pairs for storm-dodging single-pair retries.
+      val pairSpec = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "4:16,8:32")
+      val pairs = pairSpec.split(",").toSeq.map { s =>
+        val Array(lo, hi) = s.split(":")
+        (lo.toInt, hi.toInt, if (hi.toInt >= 32) visits + 1 else visits)
+      }
       val measured = pairs.flatMap { case (lo, hi, nVisits) =>
         val vs = (1 to nVisits).flatMap { v =>
           if (elapsed > budgetSec) {

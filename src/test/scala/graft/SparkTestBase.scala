@@ -14,6 +14,14 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
+    // tmpfs scratch + no checkpoint checksum twins: every state-store file
+    // create goes through Hadoop RawLocalFileSystem.setPermission, which
+    // SPAWNS a chmod process (no native IO in this container) — the 4.1
+    // checksum manager doubles the file count and a hypervisor steal storm
+    // stretches each spawn to seconds (observed: a 4-row stateful
+    // micro-batch pinned for 15+ min in Thread.start0 under chmod storms)
+    .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+    .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     .getOrCreate()
 
   def sf(name: String, dir: String = "/root/testdata/sf0.001"): org.apache.spark.sql.DataFrame =
