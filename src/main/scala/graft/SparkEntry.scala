@@ -24,7 +24,12 @@ object SparkEntry {
 
   /** group rows, collect a long column into sorted block arrays, encode with
     * `codec` (or auto), decode, and count value mismatches — returns
-    * (n_rows, n_mismatch) plus optional extra aggregates computed later. */
+    * (n_rows, n_mismatch) plus optional extra aggregates computed later.
+    * Callers pass `id DIV 4096`-style group keys so BLOCK SIZE (not block
+    * count) is the constant: a fixed group count would grow each
+    * collect_list row linearly with the table (single-task skew / OOM at
+    * 100× scale); the production path caps at blockSize the same way
+    * (EncodePipeline.BlockIterator). */
   private def longRoundTrip(df: DataFrame, valueCol: Column, groups: Column,
                             codec: Option[String]): DataFrame = {
     val blocks = df.groupBy(groups.as("g"))
@@ -70,37 +75,37 @@ object SparkEntry {
     // ---- codec round-trips (self-checking; oracle pins n_mismatch = 0) ----
     "q_bitpack_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
-      longRoundTrip(e, col("user_id"), pmod(col("event_id"), lit(32)), Some("bitpack"))
+      longRoundTrip(e, col("user_id"), expr("event_id DIV 4096"), Some("bitpack"))
     }),
     "q_delta_ts_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
-        .select(unix_micros(col("ts").cast("timestamp")).as("us"), col("user_id"))
-      val rt = longRoundTrip(e, col("us"), pmod(col("user_id"), lit(16)), Some("delta"))
+        .select(unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      val rt = longRoundTrip(e, col("us"), expr("event_id DIV 4096"), Some("delta"))
       rt.crossJoin(e.agg(min(col("us")).as("min_us"), max(col("us")).as("max_us")))
     }),
     "q_for_roundtrip" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
-      val rt = longRoundTrip(li, col("l_orderkey"), pmod(col("l_partkey"), lit(32)), Some("for"))
+      val rt = longRoundTrip(li, col("l_orderkey"), expr("(l_orderkey * 8 + l_linenumber) DIV 4096"), Some("for"))
       rt.crossJoin(li.agg(sum(col("l_orderkey")).cast("long").as("sum_key")))
     }),
     "q_rle_roundtrip" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
-      longRoundTrip(li, col("l_linenumber").cast("long"), pmod(col("l_orderkey"), lit(16)), Some("rle"))
+      longRoundTrip(li, col("l_linenumber").cast("long"), expr("(l_orderkey * 8 + l_linenumber) DIV 4096"), Some("rle"))
     }),
     "q_dict_roundtrip" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
-      val rt = strRoundTrip(d, col("lang"), pmod(col("doc_id"), lit(8)), Some("dict"))
+      val rt = strRoundTrip(d, col("lang"), expr("doc_id DIV 4096"), Some("dict"))
       rt.crossJoin(d.agg(countDistinct(col("lang")).cast("long").as("n_langs")))
     }),
     "q_fsst_roundtrip" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
-      val rt = strRoundTrip(d, col("text"), pmod(col("doc_id"), lit(8)), Some("fsst"))
+      val rt = strRoundTrip(d, col("text"), expr("doc_id DIV 4096"), Some("fsst"))
       rt.crossJoin(d.agg(sum(octet_length(col("text"))).cast("long").as("total_bytes")))
     }),
     "q_auto_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
-      val a = longRoundTrip(e, col("user_id"), pmod(col("event_id"), lit(32)), None)
-      val b = strRoundTrip(e, col("event_type"), pmod(col("event_id"), lit(32)), None)
+      val a = longRoundTrip(e, col("user_id"), expr("event_id DIV 4096"), None)
+      val b = strRoundTrip(e, col("event_type"), expr("event_id DIV 4096"), None)
       a.select(col("n_rows").as("nr1"), col("n_mismatch").as("m1"))
         .crossJoin(b.select(col("n_rows").as("nr2"), col("n_mismatch").as("m2")))
         .select((col("nr1") + col("nr2")).as("n_values"), (col("m1") + col("m2")).as("n_mismatch"))
@@ -266,7 +271,7 @@ object SparkEntry {
       val e = tbl(s, dir, "events")
       val blocks = e.select(unix_micros(col("ts").cast("timestamp")).as("ts_us"),
           col("event_id"), col("user_id"), col("event_type"), col("props"))
-        .groupBy(pmod(col("event_id"), lit(4)).as("g"))
+        .groupBy(expr("event_id DIV 4096").as("g"))
         .agg(sort_array(collect_list(col("ts_us"))).as("ts_sorted"),
           collect_list(col("user_id")).as("uids"),
           collect_list(col("event_type")).as("types"),

@@ -71,9 +71,15 @@ object Bmp {
     val comp = getInt(payload, 30)
     require(bpp == 24 && comp == 0, s"unsupported BMP variant: $bpp bpp, compression $comp")
     require(w > 0 && h > 0, s"bad dimensions ${w}x$hRaw")
+    // header fields are untrusted: size math in LONG arithmetic (a hostile
+    // w×h can overflow Int into a small/negative product that would pass a
+    // 32-bit truncation check and blow up later), and the pixel-data offset
+    // must land inside the payload past both headers
+    require(w.toLong * h * 3 <= Int.MaxValue, s"oversized BMP ${w}x$h")
     val rowBytes = w * 3
     val pad = (4 - rowBytes % 4) % 4
-    require(payload.length >= off + (rowBytes + pad) * h, "truncated BMP pixel data")
+    require(off >= HeaderBytes && off.toLong <= payload.length, s"bad pixel-data offset $off")
+    require(payload.length >= off.toLong + (rowBytes + pad).toLong * h, "truncated BMP pixel data")
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
@@ -150,8 +156,9 @@ object Bmp {
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
     require(w > 0 && h > 0 && maxval == 255, s"unsupported PPM ${w}x$h maxval $maxval")
+    require(w.toLong * h * 3 <= Int.MaxValue, s"oversized PPM ${w}x$h") // untrusted header dims
     pos += 1 // single whitespace after maxval
-    require(payload.length >= pos + w * h * 3, "truncated PPM pixel data")
+    require(payload.length >= pos.toLong + w.toLong * h * 3, "truncated PPM pixel data")
     (w, h, java.util.Arrays.copyOfRange(payload, pos, pos + w * h * 3))
   }
 

@@ -342,19 +342,37 @@ object EncodePipeline {
     * committed part directory). Falls back to part-level committed-set
     * filtering for metadata written before the file-path column existed. */
   def readData(spark: SparkSession, outDir: String): DataFrame = {
-    val meta = spark.read.parquet(s"$outDir/meta")
-    if (meta.columns.contains("data_files")) {
-      val files = meta.select(explode(col("data_files")).as("__file")).distinct()
-      spark.read.parquet(s"$outDir/data")
-        .withColumn("__file", input_file_name())
-        .join(broadcast(files), Seq("__file"), "left_semi")
-        .drop("__file")
-    } else {
+    val meta = readMeta(spark, outDir)
+    if (!meta.columns.contains("data_files")) {
+      // pure pre-data_files metadata: part-level committed-set filtering
       val committed = meta.select("__part").distinct()
-      spark.read.parquet(s"$outDir/data")
+      return spark.read.parquet(s"$outDir/data")
         .join(broadcast(committed), Seq("__part"), "left_semi")
     }
+    // MIXED metadata (a pre-data_files directory resumed by this version)
+    // is handled PER ROW: parts committed by the old version carry null
+    // data_files and must fall back to part-level filtering — exploding
+    // their null lists away would silently drop every old-wave part.
+    val oldParts = meta.filter(col("data_files").isNull).select("__part").distinct()
+    val files = meta.filter(col("data_files").isNotNull)
+      // a part in BOTH eras (re-commit anomaly): part-level wins (superset)
+      .join(broadcast(oldParts), Seq("__part"), "left_anti")
+      .select(explode(col("data_files")).as("__file")).distinct()
+    val data = spark.read.parquet(s"$outDir/data")
+    val byFile = data
+      .withColumn("__file", input_file_name())
+      .join(broadcast(files), Seq("__file"), "left_semi")
+      .drop("__file")
+    if (oldParts.isEmpty) byFile
+    else byFile.unionByName(data.join(broadcast(oldParts), Seq("__part"), "left_semi"))
   }
+
+  /** metadata read with schema merge across metadata-version eras: a resumed
+    * pre-upgrade directory holds meta files missing the newer columns
+    * (data_files/str_lo/...); without mergeSchema the read schema would be
+    * file-order dependent and newer columns could vanish entirely. */
+  private def readMeta(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
 
   /** manifest-level pruning: read only committed parts whose metadata value
     * bounds ([value_lo, value_hi] zone maps, written at encode time) admit
@@ -363,9 +381,14 @@ object EncodePipeline {
     * blob_count_eq / blob_count_between skip at block level. */
   def readDataPruned(spark: SparkSession, outDir: String,
                      column: String, value: Long): DataFrame = {
-    val parts = spark.read.parquet(s"$outDir/meta")
+    val meta = readMeta(spark, outDir)
+    // pre-zone-map-era rows (no value bounds recorded) are kept
+    // conservatively rather than pruned as "no values" (mixed-era resume)
+    val isOldRow =
+      if (meta.columns.contains("data_files")) col("data_files").isNull else lit(true)
+    val parts = meta
       .filter(col("column") === column &&
-        col("value_lo") <= value && col("value_hi") >= value)
+        (isOldRow || (col("value_lo") <= value && col("value_hi") >= value)))
       .select("__part").distinct()
     spark.read.parquet(s"$outDir/data")
       .join(broadcast(parts), Seq("__part"), "left_semi")
@@ -378,9 +401,18 @@ object EncodePipeline {
   def readDataPruned(spark: SparkSession, outDir: String,
                      column: String, value: String): DataFrame = {
     val vb = lit(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val parts = spark.read.parquet(s"$outDir/meta")
-      .filter(col("column") === column && col("str_lo").isNotNull &&
-        col("str_lo") <= vb && (col("str_hi").isNull || col("str_hi") >= vb))
+    val meta = readMeta(spark, outDir)
+    // str bounds landed in the same metadata version as data_files, so a
+    // null data_files row predates them: its null str_lo means "bounds
+    // unknown", NOT "no values" — such parts are conservatively kept
+    // (mixed-era resume; see readData). Rows from the current version with
+    // null str_lo really are all-null for the column and prune away.
+    val isOldRow =
+      if (meta.columns.contains("data_files")) col("data_files").isNull else lit(true)
+    val admits = col("str_lo").isNotNull &&
+      col("str_lo") <= vb && (col("str_hi").isNull || col("str_hi") >= vb)
+    val parts = meta
+      .filter(col("column") === column && (isOldRow || admits))
       .select("__part").distinct()
     spark.read.parquet(s"$outDir/data")
       .join(broadcast(parts), Seq("__part"), "left_semi")

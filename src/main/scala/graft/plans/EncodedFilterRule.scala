@@ -33,9 +33,13 @@ object EncodedFilterRule extends Rule[LogicalPlan] {
     case ArrayContains(DecodeBinary(blob), v @ Literal(_, BinaryType))  => BlobContains(blob, v)
     case ArrayContains(DecodeLongs(blob), v @ Literal(_, LongType))     => BlobContains(blob, v)
 
-    // exists(decode_longs(b), x -> <literal range / equality on x>)
+    // exists(decode_longs(b), x -> <literal range / equality on x>).
+    // Guarded on followThreeValuedLogic=true: the rewrites reproduce the
+    // modern 3VL semantics (null when no match but the block holds nulls);
+    // under spark.sql.legacy.followThreeValuedLogicInArrayExists=false the
+    // built-in returns false there, so we leave it alone.
     case ae @ ArrayExists(DecodeLongs(blob),
-        LambdaFunction(body, Seq(v: NamedLambdaVariable), _), _) =>
+        LambdaFunction(body, Seq(v: NamedLambdaVariable), _), true) =>
       body match {
         case EqualTo(x, l @ Literal(_, LongType)) if x.semanticEquals(v) => BlobContains(blob, l)
         case EqualTo(l @ Literal(_, LongType), x) if x.semanticEquals(v) => BlobContains(blob, l)
@@ -47,9 +51,11 @@ object EncodedFilterRule extends Rule[LogicalPlan] {
       }
 
     // size(filter(decode_longs(b), x -> <range>)) — the match count itself;
-    // comparisons over it then fold naturally (`> 0`, `>= 1`, aggregation)
+    // comparisons over it then fold naturally (`> 0`, `>= 1`, aggregation).
+    // Guarded on legacySizeOfNull=false: under the legacy flag size(null)
+    // is -1, but Cast(BlobCountBetween) of a null blob is null.
     case sz @ Size(ArrayFilter(DecodeLongs(blob),
-        LambdaFunction(body, Seq(v: NamedLambdaVariable), _)), _) =>
+        LambdaFunction(body, Seq(v: NamedLambdaVariable), _)), false) =>
       rangeOf(body, v) match {
         case Some((lo, hi)) =>
           Cast(BlobCountBetween(blob, Literal(lo, LongType), Literal(hi, LongType)), IntegerType)

@@ -61,12 +61,17 @@ object StreamingDedup {
             state.remove()
             Iterator.empty
           } else {
-            val (firstId, seen) = state.getOption.getOrElse((-1L, 0L))
-            var first = firstId
-            var count = seen
+            // presence tracked explicitly (state.exists), NOT a -1 sentinel:
+            // ids are arbitrary longs (hash-derived ids are legitimately
+            // negative), so a sentinel in the value domain would re-emit
+            // every later duplicate of a negative-id key as a fresh first
+            var hasFirst = state.exists
+            var first = 0L
+            var count = 0L
+            if (hasFirst) { val (f, c) = state.get; first = f; count = c }
             val out = Iterator.newBuilder[DedupOut]
             rows.foreach { r =>
-              if (first < 0) { first = r.id; out += DedupOut(r.id, h, 0L) }
+              if (!hasFirst) { hasFirst = true; first = r.id; out += DedupOut(r.id, h, 0L) }
               else { count += 1; out += DedupOut(first, h, count) }
             }
             state.update((first, count))

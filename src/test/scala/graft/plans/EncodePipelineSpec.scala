@@ -148,6 +148,50 @@ class EncodePipelineSpec extends SparkTestBase {
     assert(EncodePipeline.readData(spark, out).count() === before)
   }
 
+  test("mixed-era metadata (pre-data_files rows) reads per-row, losing no parts") {
+    // a directory whose early waves were committed by a pre-data_files /
+    // pre-string-bounds version and later waves by the current one: the old
+    // rows carry NO data_files / str bounds. readData must fall back to
+    // part-level filtering for exactly those rows (not silently drop them),
+    // and string pruning must treat their null str_lo as "unknown", not
+    // "no values".
+    val docs = sf("documents").select(col("doc_id"), col("lang"), col("source"))
+    val out = tmpDir()
+    EncodePipeline.run(docs, "doc_id", out, partitions = 8, blockSize = 128, waves = 2,
+      customPart = Some(pmod(xxhash64(col("lang")), lit(8)).cast("int")))
+    val total = docs.count()
+    val metaPath = java.nio.file.Paths.get(s"$out/meta")
+    val metaAll = spark.read.parquet(metaPath.toString).cache()
+    metaAll.count()
+    val wave0Parts = metaAll.filter(col("wave") === 0)
+      .select("__part").distinct().collect().map(_.getInt(0)).toSet
+    assert(wave0Parts.nonEmpty && wave0Parts.size < 8)
+    // rewrite the meta dir as mixed-era: wave-0 rows stripped of the newer
+    // columns (what a pre-upgrade commit looks like), wave-1 rows untouched
+    val mixed = tmpDir() + "/meta"
+    metaAll.filter(col("wave") === 0).drop("data_files", "str_lo", "str_hi")
+      .write.parquet(mixed)
+    metaAll.filter(col("wave") === 1).write.mode("append").parquet(mixed)
+    metaAll.unpersist()
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(metaPath)
+    java.nio.file.Files.move(java.nio.file.Paths.get(mixed), metaPath)
+    // every committed part stays visible; round-trip still bit-identical
+    val data = EncodePipeline.readData(spark, out)
+    val decoded = EncodePipeline.decode(data, docs.schema)
+    assert(decoded.count() === total)
+    assert(EncodePipeline.verifyRoundTrip(docs, decoded, "doc_id").head().getLong(1) === 0L)
+    // absent string probe: current-era parts prune away; old-era parts are
+    // conservatively KEPT (bounds unknown), not skipped as "no values"
+    val prunedParts = EncodePipeline.readDataPruned(spark, out, "lang", "zz")
+      .select("__part").distinct().collect().map(_.getInt(0)).toSet
+    assert(prunedParts === wave0Parts)
+  }
+
   test("salted host partitioner splits hot hosts across partitions") {
     val docs = WebDocGen.dataset(spark, 4000, 4).toDF()
     val parts = docs.select(EncodePipeline.saltedHostPart("url", 16, 4).as("p"))

@@ -64,4 +64,28 @@ class StreamingDedupSpec extends SparkTestBase {
     // cross-batch duplicate emits (1, 2) from restored state; beta emits (3, 0)
     assert(rows === Set((1L, 0L), (1L, 1L), (1L, 2L), (3L, 0L)))
   }
+
+  test("stateful path handles negative ids (presence is not a -1 sentinel)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val out = StreamingDedup.exactStateful(docs, "doc_id", "text", ttlMs = 0L)
+    val q = out.writeStream.format("memory").queryName("dedup_neg")
+      .option("checkpointLocation", shmCheckpoint())
+      .outputMode(OutputMode.Append()).start()
+    // hash-derived ids are legitimately negative; a -1L "no first yet"
+    // sentinel would treat the restored state as absent every batch and
+    // re-emit later duplicates as fresh firsts with a reset count
+    in.addData((-7L, "alpha"))
+    q.processAllAvailable()
+    in.addData((8L, "alpha"), (9L, "alpha"))
+    q.processAllAvailable()
+    q.stop()
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val rows = spark.sql("SELECT id, dups FROM dedup_neg").as[(Long, Long)].collect().toSet
+    assert(rows === Set((-7L, 0L), (-7L, 1L), (-7L, 2L)))
+  }
 }
