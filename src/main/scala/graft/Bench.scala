@@ -67,6 +67,63 @@ object Bench {
     (raw, encB, (t1 - t0) / 1e9, (t2 - t1) / 1e9)
   }
 
+  // ---------------- scaling-evidence protocol ----------------
+  // The host's EFFECTIVE CPU speed swings >8x under hypervisor steal storms
+  // (identical encode stages measured 25 vs 204 thread-CPU-seconds in
+  // different windows; storms last 20-60 min). r3 lost its whole scaling
+  // window to storms by burning the budget on doomed 125-260 s legs.
+  // Protocol (r4): CALM-GATE every visit — a sub-second FSST thread probe
+  // plus the /proc/stat steal-tick delta decide whether to run or sleep;
+  // visits record in-band calm evidence (probes bracketing each leg + the
+  // steal ticks accumulated DURING each leg); the estimators use calm
+  // visits when any exist; after repeated stormy visits the input
+  // auto-shrinks so retries get cheap. The 8->32 pair runs FIRST: it is
+  // the artifact the north rule grades.
+
+  private final case class Visit(rows: Long, secLo: Double, secHi: Double,
+                                 probePre: Double, probeMid: Double, probeEnd: Double,
+                                 stealLo: Long, stealHi: Long, calm: Boolean) {
+    def ratio: Double = secLo / secHi
+  }
+
+  private final case class PairResult(lo: Int, hi: Int, visits: Seq[Visit],
+                                      rows: Long, secLo: Double, secHi: Double,
+                                      speedup: Double, eff: Double, ceiling: Double) {
+    def pass: Boolean = eff >= 0.8 || (ceiling > 0 && eff >= ceiling)
+  }
+
+  /** total steal ticks from /proc/stat (cpu line, field 8) — the in-band
+    * hypervisor-contention counter; deltas during a leg prove (or clear)
+    * a storm for that exact window. */
+  private def stealTicks(): Long = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L
+      } finally src.close()
+    } catch { case _: Exception => 0L }
+  }
+
+  /** conservative speedup from a pair's visits: median per-visit ratio
+    * (cancels between-visit drift) vs min-lo/min-hi within the dominant
+    * row-count group (survives within-visit drift); calm visits only when
+    * any exist. */
+  private def estimatePair(lo: Int, hi: Int, visits: Seq[Visit], ceiling: Double): PairResult = {
+    val usable = { val c = visits.filter(_.calm); if (c.nonEmpty) c else visits }
+    val ratios = usable.map(_.ratio).sorted
+    val medianRatio = ratios(ratios.length / 2)
+    // min-based estimator only compares timings of identical inputs
+    val grp = usable.groupBy(_.rows).values.maxBy(g => (g.length, g.head.rows))
+    val minRatio = grp.map(_.secLo).min / grp.map(_.secHi).min
+    val speedup = math.min(medianRatio, minRatio)
+    // efficiency is fraction-of-ideal by definition; >1 can only be a
+    // host-drift artifact (raw speedup and per-visit data stay in the JSON)
+    val eff = math.min(speedup / (hi.toDouble / lo), 1.0)
+    PairResult(lo, hi, visits, grp.head.rows, grp.map(_.secLo).min, grp.map(_.secHi).min,
+      speedup, eff, ceiling)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -81,113 +138,168 @@ object Bench {
     // Runs FIRST: the scaling pairs are the BASELINE.json north-rule
     // evidence and must land inside this JSON even if a steal storm or the
     // driver's wall budget cuts the run short downstream.
-    // The host's EFFECTIVE CPU speed swings >8x under contention (identical
-    // encode stages measured 25 vs 204 thread-CPU-seconds on different
-    // windows), so a lo-level and a hi-level measured half an hour apart are
-    // incomparable. Protocol: the input is snapshotted to parquet once, then
-    // lo and hi sessions ALTERNATE (lo,hi,lo,hi,…) so each visit pair shares
-    // one host window; the reported speedup is the MEDIAN of per-visit
-    // ratios (drift cancels in the ratio), and thread probes bracket the
-    // whole window to record the machine's own scaling ceiling.
     var scalingJson = ""
-    var scalingMeasured: Seq[(Int, Int, Double, Double, Double, Double)] = Seq.empty
+    var scalingPairs: Seq[PairResult] = Seq.empty
     var scalingProbe: Seq[(Int, Double)] = Seq.empty
     var scalingRows = 0L
-    var scalingRaw = 0L
+    var rawPerRow = 0.0
     if (doScaling) {
-      // big enough that per-job fixed overhead (~1-2 s: scheduling 128 tasks,
-      // plan compile) doesn't swamp the measured kernel+shuffle work, small
-      // enough that 2 visits of both pairs fit the driver's budget even on a
-      // slow host window (r2 lesson: 1.6M rows x 3 visits overran it)
-      val scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "1000000").toLong
-      val visits = sys.env.getOrElse("SPARK_GRAFT_SCALE_VISITS", "2").toInt
-      val inputPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_INPUT", "/dev/shm/graft-bench-input")
-      var rawScale = 0L
-      // snapshot the deterministic input once; every visit re-reads it (tmpfs)
-      WebDocGen.dataset(spark, scaleRows, 128).toDF()
-        .write.mode("overwrite").parquet(inputPath)
-      def timedAt(cores: Int): Double = {
+      // big enough that per-job fixed overhead (~1-2 s) doesn't swamp the
+      // measured kernel+shuffle work, small enough that visits of both
+      // pairs fit the driver's budget on a healthy host
+      var scaleRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "1000000").toLong
+      // validated fallback size: still clears the fixed-cost floor at
+      // hi=32 but makes storm-window retries ~40% cheaper
+      val shrinkRows = sys.env.getOrElse("SPARK_GRAFT_SCALE_SHRINK_ROWS", "600000").toLong
+      val calmTarget = sys.env.getOrElse("SPARK_GRAFT_SCALE_VISITS", "2").toInt
+      val maxVisits = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_VISITS", (calmTarget + 2).toString).toInt
+      val calmMbps = sys.env.getOrElse("SPARK_GRAFT_CALM_MBPS", "250").toDouble
+      val calmSteal = sys.env.getOrElse("SPARK_GRAFT_CALM_STEAL", "40").toDouble // ticks/sec
+      val inputBase = sys.env.getOrElse("SPARK_GRAFT_SCALE_INPUT", "/dev/shm/graft-bench-input")
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toLong
+      // 8->32 FIRST: it is the missing artifact; 4->16 is the backup pair
+      val pairSpec = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "8:32,4:16")
+      val benchStart = System.nanoTime()
+      def elapsed = (System.nanoTime() - benchStart) / 1e9
+
+      val snapshotted = scala.collection.mutable.Set[Long]()
+      def inputPath(rows: Long) = s"$inputBase-$rows"
+      def ensureSnapshot(rows: Long): Unit = if (!snapshotted.contains(rows)) {
+        WebDocGen.dataset(spark, rows, 128).toDF()
+          .write.mode("overwrite").parquet(inputPath(rows))
+        snapshotted += rows
+      }
+      ensureSnapshot(scaleRows)
+
+      def timedAt(cores: Int, rows: Long): (Double, Long) = {
         spark.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
         spark = session(cores)
         pipelinePass(spark, 20000L, 128) // warm this session's JIT/codegen
-        val docs = spark.read.parquet(inputPath)
+        val docs = spark.read.parquet(inputPath(rows))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         docs.count()
-        val (r, _, e, d) = pipelinePass(spark, scaleRows, 128, cached = docs)
-        rawScale = r
+        val s0 = stealTicks()
+        val (r, _, e, d) = pipelinePass(spark, rows, 128, cached = docs)
+        val s1 = stealTicks()
+        rawPerRow = r.toDouble / rows
         docs.unpersist()
-        e + d
+        (e + d, s1 - s0)
       }
-      // machine-state probe BEFORE the pairs (see above: 8x swings)
-      val probePre = threadProbe()
-      // wall budget: never let a slow-host phase keep the driver's bench
-      // from emitting its JSON line — skip remaining visits when exceeded
-      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toLong
-      val benchStart = System.nanoTime()
-      def elapsed = (System.nanoTime() - benchStart) / 1e9
-      // 8->32 gets an extra visit: its per-visit cost is small (no 4-core
-      // leg) and min-of-ratios then survives one in-visit steal storm — the
-      // r3 first run lost the pair to a storm that pinned a 4-thread probe
-      // at 14 MB/s (vs 669 minutes earlier). SPARK_GRAFT_SCALE_PAIRS
-      // ("lo:hi,lo:hi") selects pairs for storm-dodging single-pair retries.
-      val pairSpec = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "4:16,8:32")
+
+      /** sub-second calm check: host throughput probe + steal-tick rate */
+      def calmNow(): (Boolean, Double, Double) = {
+        val s0 = stealTicks()
+        val t0 = System.nanoTime()
+        val p = quickProbeMbps()
+        val dt = math.max((System.nanoTime() - t0) / 1e9, 0.05)
+        val rate = (stealTicks() - s0) / dt
+        (p >= calmMbps && rate <= calmSteal, p, rate)
+      }
+
+      // machine-state probe BEFORE the pairs (same-window ceiling, leg 1)
+      var probeWindow = threadProbe()
+      val probePre = probeWindow
+      var estVisitSec = 120.0 // refined from the first completed visit
+
+      def probeCeiling(lo: Int, hi: Int, p: Seq[(Int, Double)]): Double = {
+        val m = p.toMap
+        (for { a <- m.get(lo); b <- m.get(hi) } yield (b / a) / (hi.toDouble / lo)).getOrElse(0.0)
+      }
+
       val pairs = pairSpec.split(",").toSeq.map { s =>
-        val Array(lo, hi) = s.split(":")
-        (lo.toInt, hi.toInt, if (hi.toInt >= 32) visits + 1 else visits)
+        val Array(lo, hi) = s.split(":"); (lo.toInt, hi.toInt)
       }
-      val measured = pairs.flatMap { case (lo, hi, nVisits) =>
-        val vs = (1 to nVisits).flatMap { v =>
-          if (elapsed > budgetSec) {
-            System.err.println(s"[bench] budget exceeded (${elapsed.toInt}s), skipping $lo->$hi visit $v")
-            None
+      val results = scala.collection.mutable.ArrayBuffer[PairResult]()
+      pairs.zipWithIndex.foreach { case ((lo, hi), pairIdx) =>
+        // the first (8->32) pair may use up to ~2/3 of the budget; later
+        // pairs share what's left
+        val pairDeadline = if (pairIdx == 0) budgetSec * 2 / 3 else budgetSec
+        val ceilPre = probeCeiling(lo, hi, probeWindow)
+        val visits = scala.collection.mutable.ArrayBuffer[Visit]()
+        var stormyStreak = 0
+        var curRows = scaleRows
+        var done = false
+        while (!done) {
+          val calmCount = visits.count(_.calm)
+          if (calmCount >= calmTarget || visits.length >= maxVisits ||
+              elapsed + estVisitSec > pairDeadline) {
+            done = true
           } else {
-            val tLo = timedAt(lo)
+            // calm-gate: sleeping 30 s beats burning 100+ s on a doomed
+            // storm-window leg. Sleep while stormy AND slack remains beyond
+            // the visit's own cost; once slack runs out, run the visit
+            // anyway (storm-flagged) — a pair is never budget-skipped the
+            // way r3's 8->32 was.
+            var (calm, p0, st0) = calmNow()
+            while (!calm && elapsed + estVisitSec + 35 < pairDeadline) {
+              System.err.println(f"[bench] storm (probe ${p0}%.0f MB/s, steal ${st0}%.0f t/s): sleeping 30s at t=${elapsed.toInt}s")
+              Thread.sleep(30000)
+              val c = calmNow(); calm = c._1; p0 = c._2; st0 = c._3
+            }
+            if (!calm && visits.exists(_.calm)) {
+              // still stormy with no waiting room left, but a calm visit is
+              // already banked — a doomed leg would add nothing the
+              // estimators use
+              done = true
+            } else {
+            val vStart = System.nanoTime()
+            ensureSnapshot(curRows)
+            val (tLo, sLo) = timedAt(lo, curRows)
             val pMid = quickProbeMbps()
-            val tHi = timedAt(hi)
+            val (tHi, sHi) = timedAt(hi, curRows)
             val pEnd = quickProbeMbps()
-            Some((tLo, tHi, pMid, pEnd))
+            estVisitSec = (System.nanoTime() - vStart) / 1e9 + 10
+            // a visit is calm iff its bracketing probes stayed healthy AND
+            // neither leg accumulated storm-level steal (ticks/leg-second)
+            val legCalm = p0 >= calmMbps * 0.6 && pMid >= calmMbps * 0.6 && pEnd >= calmMbps * 0.6 &&
+              sLo / math.max(tLo, 0.1) <= calmSteal * 3 && sHi / math.max(tHi, 0.1) <= calmSteal * 3
+            visits += Visit(curRows, tLo, tHi, p0, pMid, pEnd, sLo, sHi, legCalm)
+            if (legCalm) stormyStreak = 0
+            else {
+              stormyStreak += 1
+              // two stormy full-size visits in a row: shrink so every
+              // further retry is cheap (ratios stay comparable — each
+              // visit's ratio is computed within itself)
+              if (stormyStreak >= 2 && curRows > shrinkRows) {
+                System.err.println(s"[bench] $stormyStreak stormy visits: shrinking rows $curRows -> $shrinkRows")
+                curRows = shrinkRows
+                estVisitSec = estVisitSec * 0.7
+              }
+            }
+            }
           }
         }
-        if (vs.isEmpty) None
-        else {
-          // two estimators, robust to different failure modes: the median
-          // per-visit ratio cancels BETWEEN-visit drift; min-lo/min-hi uses
-          // each level's calmest window and survives WITHIN-visit drift
-          // (a visit whose hi half hit a slow phase). Report the smaller
-          // (conservative) as the headline speedup.
-          val ratios = vs.map { case (l, h, _, _) => l / h }.sorted
-          val medianRatio = ratios(ratios.length / 2)
-          val minRatio = vs.map(_._1).min / vs.map(_._2).min
-          val speedup = math.min(medianRatio, minRatio)
-          // efficiency is fraction-of-ideal by definition; >1 can only be a
-          // host-drift artifact (the raw speedup and per-visit ratios stay
-          // in the JSON for the reader to judge)
-          val eff = math.min(speedup / (hi.toDouble / lo), 1.0)
-          Some((lo, hi, vs.map(_._1).min, vs.map(_._2).min, speedup, eff, vs))
+        // machine-state probe AFTER the pair (same-window ceiling, leg 2)
+        probeWindow = threadProbe()
+        if (visits.nonEmpty) {
+          val ceiling = math.max(ceilPre, probeCeiling(lo, hi, probeWindow))
+          results += estimatePair(lo, hi, visits.toSeq, math.min(ceiling, 1.0))
+        } else {
+          System.err.println(s"[bench] no visits for $lo->$hi (budget ${elapsed.toInt}s of ${budgetSec}s)")
         }
       }
-      val probe = threadProbe()
-      val gbHere = rawScale / 1e9
-      val pairJson = measured.map { case (lo, hi, tLo, tHi, sp, eff, vs) =>
-        val visitJson = vs.map { case (l, h, pm, pe) =>
-          f"""{"sec_lo":$l%.3f,"sec_hi":$h%.3f,"ratio":${l / h}%.3f,""" +
-            f""""probe_mid_mbps":$pm%.1f,"probe_end_mbps":$pe%.1f}"""
+
+      val probePost = probeWindow
+      val pairJson = results.map { pr =>
+        val visitJson = pr.visits.map { v =>
+          f"""{"rows":${v.rows},"sec_lo":${v.secLo}%.3f,"sec_hi":${v.secHi}%.3f,"ratio":${v.ratio}%.3f,""" +
+            f""""calm":${v.calm},"probe_pre_mbps":${v.probePre}%.1f,"probe_mid_mbps":${v.probeMid}%.1f,""" +
+            f""""probe_end_mbps":${v.probeEnd}%.1f,"steal_lo_ticks":${v.stealLo},"steal_hi_ticks":${v.stealHi}}"""
         }.mkString("[", ",", "]")
-        f"""{"cores_lo":$lo,"cores_hi":$hi,"sec_lo":$tLo%.3f,"sec_hi":$tHi%.3f,""" +
-          f""""gbps_lo":${gbHere / tLo}%.4f,"gbps_hi":${gbHere / tHi}%.4f,""" +
-          f""""speedup":$sp%.3f,"efficiency":$eff%.3f,"visits":$visitJson}"""
+        val gbPair = pr.rows * rawPerRow / 1e9
+        f"""{"cores_lo":${pr.lo},"cores_hi":${pr.hi},"rows":${pr.rows},"sec_lo":${pr.secLo}%.3f,"sec_hi":${pr.secHi}%.3f,""" +
+          f""""gbps_lo":${gbPair / pr.secLo}%.4f,"gbps_hi":${gbPair / pr.secHi}%.4f,""" +
+          f""""speedup":${pr.speedup}%.3f,"efficiency":${pr.eff}%.3f,""" +
+          f""""window_ceiling":${pr.ceiling}%.3f,"pass":${pr.pass},"visits":$visitJson}"""
       }.mkString("[", ",", "]")
-      val probeJson = probe.map { case (n, mbps) => f"""{"threads":$n,"mbps":$mbps%.1f}""" }
-        .mkString("[", ",", "]")
-      val probePreJson = probePre.map { case (n, mbps) => f"""{"threads":$n,"mbps":$mbps%.1f}""" }
-        .mkString("[", ",", "]")
+      def probeJson(p: Seq[(Int, Double)]) =
+        p.map { case (n, mbps) => f"""{"threads":$n,"mbps":$mbps%.1f}""" }.mkString("[", ",", "]")
       scalingJson = f""","scaling":{"rows":$scaleRows,"pairs":$pairJson,""" +
-        f""""probe_pre":$probePreJson,"raw_thread_probe":$probeJson}"""
-      scalingMeasured = measured.map(m => (m._1, m._2, m._3, m._4, m._5, m._6))
-      scalingProbe = probe
+        f""""probe_pre":${probeJson(probePre)},"raw_thread_probe":${probeJson(probePost)}}"""
+      scalingPairs = results.toSeq
+      scalingProbe = probePost
       scalingRows = scaleRows
-      scalingRaw = rawScale
       // scaling left `spark` at the last visit's core count — restore
       spark.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -216,8 +328,7 @@ object Bench {
     val gb = raw / 1e9
 
     if (doScaling)
-      writeBaselineMd(scalingRows, raw, encB, encSec, decSec, scalingRaw / 1e9,
-        scalingMeasured, scalingProbe)
+      writeBaselineMd(scalingRows, raw, encB, encSec, decSec, scalingPairs, scalingProbe)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -241,10 +352,9 @@ object Bench {
   private lazy val probeTable: graft.core.Fsst.SymbolTable =
     graft.core.Fsst.train(java.util.Arrays.copyOf(probeBuf, 1 << 14))
 
-  /** sub-second host-speed spot check (2 threads, 1 rep) — brackets each
-    * scaling leg so an in-visit steal storm is visible in the JSON (the
-    * r3 first run's 8→32 pair was destroyed by a storm that pinned this
-    * probe at 14 MB/s vs 669 MB/s minutes earlier) */
+  /** sub-second host-speed spot check (2 threads, 1 rep) — gates and
+    * brackets each scaling leg so a steal storm is visible in the JSON
+    * (storms pin this probe at 13-130 MB/s vs 669+ healthy) */
   private def quickProbeMbps(): Double = {
     val t0 = System.nanoTime()
     val ts = (1 to 2).map(_ => new Thread(() => {
@@ -272,11 +382,11 @@ object Bench {
   }
 
   private def writeBaselineMd(rows: Long, raw: Long, encB: Long, encSec: Double, decSec: Double,
-                              gb: Double, pairs: Seq[(Int, Int, Double, Double, Double, Double)],
-                              probe: Seq[(Int, Double)]): Unit = {
+                              pairs: Seq[PairResult], probe: Seq[(Int, Double)]): Unit = {
     val gbAll = raw / 1e9
-    val pairRows = pairs.map { case (lo, hi, tLo, tHi, sp, eff) =>
-      f"| encode+decode local[$lo] -> local[$hi] | $tLo%.2f s -> $tHi%.2f s | speedup $sp%.2fx of ${hi / lo}x ideal | efficiency $eff%.3f |"
+    val pairRows = pairs.map { pr =>
+      val calmN = pr.visits.count(_.calm)
+      f"| encode+decode local[${pr.lo}] -> local[${pr.hi}] | ${pr.secLo}%.2f s -> ${pr.secHi}%.2f s | speedup ${pr.speedup}%.2fx of ${pr.hi / pr.lo}x ideal | efficiency ${pr.eff}%.3f ($calmN/${pr.visits.length} calm visits, window ceiling ${pr.ceiling}%.3f, ${if (pr.pass) "PASS" else "below target"}) |"
     }.mkString("\n")
     val probeMap = probe.toMap
     val probePairs = Seq((4, 16), (8, 32)).flatMap { case (lo, hi) =>
@@ -287,10 +397,11 @@ object Bench {
       f"""# BENCH/LAST_RUN — latest bench output (see HISTORY.md for all runs)
          |
          |Input: deterministic synthetic WebDoc table (WebDocGen, seed fixed),
-         |$rows rows per scaling pass, ${gb}%.3f GB raw across url/warc_ts/html/text/lang.
-         |Machine: 32-vCPU container on a heavily contended host (bursty
-         |hypervisor steal); numbers are min-of-N within this run — see
-         |BENCH/BASELINE.md for the curated cross-run record.
+         |$rows rows per scaling pass (auto-shrunk on storms; per-visit rows in
+         |BENCH_rN.json). Machine: 32-vCPU container on a heavily contended
+         |host (bursty hypervisor steal); visits are CALM-GATED (sub-second
+         |throughput probe + /proc/stat steal-tick rate) and each leg records
+         |its own steal delta — see BENCH/BASELINE.md for the curated record.
          |
          || metric | value | | |
          ||---|---|---|---|
@@ -305,8 +416,8 @@ object Bench {
     dir.mkdirs()
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/LAST_RUN.md"), md)
     val histLine = new java.util.Date().toString + " | ratio=" + f"${raw.toDouble / encB}%.3f" +
-      pairs.map { case (lo, hi, tLo, tHi, sp, eff) =>
-        f" | $lo->$hi: $tLo%.1fs->$tHi%.1fs eff=$eff%.3f"
+      pairs.map { pr =>
+        f" | ${pr.lo}->${pr.hi}: ${pr.secLo}%.1fs->${pr.secHi}%.1fs eff=${pr.eff}%.3f calm=${pr.visits.count(_.calm)}/${pr.visits.length} ceil=${pr.ceiling}%.3f"
       }.mkString +
       probe.map { case (n, m) => f" | thr$n=${m}%.0fMB/s" }.mkString + "\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/HISTORY.md"), histLine,
