@@ -265,7 +265,15 @@ object SparkEntry {
           blob_count_between(col("e_doc_id"), lit(300L), lit(399L))).otherwise(0L))
           .cast("long").as("n_id_range2"),
         sum(expr("size(filter(decode_longs(e_doc_id), x -> x >= 400 AND x < 500))"))
-          .cast("long").as("n_id_range3"))
+          .cast("long").as("n_id_range3"),
+        // STRING range forms: rewrite to blob_count_between_str /
+        // blob_contains_between_str — sorted-dictionary interval counting,
+        // zero string decode (EncodedFilterRule string patterns)
+        sum(expr("size(filter(decode_strings(e_lang), x -> x >= 'd' AND x < 'e'))"))
+          .cast("long").as("n_lang_range"),
+        sum(when(expr("exists(decode_strings(e_lang), x -> x >= 'e' AND x <= 'ez')"),
+          blob_count_between_str(col("e_lang"), lit("e"), lit("ez"))).otherwise(0L))
+          .cast("long").as("n_lang_range2"))
     }),
     "q_codec_plan" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
@@ -630,7 +638,9 @@ object SparkEntry {
         "CAST(sum(CASE WHEN doc_id BETWEEN 100 AND 199 THEN 1 ELSE 0 END) AS BIGINT) AS n_id_range, " +
         "CAST(count(*) AS BIGINT) AS n_all, " +
         "CAST(sum(CASE WHEN doc_id BETWEEN 300 AND 399 THEN 1 ELSE 0 END) AS BIGINT) AS n_id_range2, " +
-        "CAST(sum(CASE WHEN doc_id >= 400 AND doc_id < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_id_range3 " +
+        "CAST(sum(CASE WHEN doc_id >= 400 AND doc_id < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_id_range3, " +
+        "CAST(sum(CASE WHEN lang >= 'd' AND lang < 'e' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_range, " +
+        "CAST(sum(CASE WHEN lang >= 'e' AND lang <= 'ez' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_range2 " +
         "FROM documents"),
     "q_ngram_jaccard" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +

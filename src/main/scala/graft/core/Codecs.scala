@@ -844,6 +844,112 @@ object Codecs {
     id == NullStr || id == NullLong
   }
 
+  /** exact number of nulls in a blob — population count of the null-wrapper
+    * bitmap (0 for unwrapped blobs; the wrapper is only emitted when a block
+    * actually contains nulls). The manifest's Iceberg `null_value_counts`
+    * parity column: an IS NULL probe prunes parts whose count is 0. */
+  def nullCountOf(blob: Array[Byte]): Long = {
+    val id = blob(0) & 0xff
+    if (id != NullStr && id != NullLong) return 0L
+    val r = new ByteReader(blob)
+    r.readByte()
+    val n = r.readInt()
+    val bm = r.readBytes((n + 7) >> 3)
+    var c = 0L
+    var i = 0
+    while (i < bm.length) { c += java.lang.Integer.bitCount(bm(i) & 0xff); i += 1 }
+    c
+  }
+
+  /** number of values in a string blob within the byte-string range
+    * [lo, hi] (unsigned-lexicographic — the same order Spark's UTF8String
+    * and the sorted dictionary use; a null bound = unbounded on that side;
+    * inclusive flags per side). Dict codecs answer from the SORTED
+    * dictionary header (find the code interval, then count codes / sum run
+    * lengths — payload strings never rebuilt); const is one compare; raw
+    * scans spans in place; FSST decodes (compression is order-destroying).
+    */
+  def countBetweenStr(blob: Array[Byte], lo: Array[Byte], loInc: Boolean,
+                      hi: Array[Byte], hiInc: Boolean): Long = {
+    @inline def cmp(a: Array[Byte], b: Array[Byte]) = java.util.Arrays.compareUnsigned(a, b)
+    @inline def inRange(v: Array[Byte]): Boolean = {
+      (lo == null || { val c = cmp(v, lo); c > 0 || (loInc && c == 0) }) &&
+        (hi == null || { val c = cmp(v, hi); c < 0 || (hiInc && c == 0) })
+    }
+    // span variant: compares blob[pos, pos+len) against the bounds in place
+    @inline def spanInRange(pos: Int, len: Int): Boolean = {
+      (lo == null || {
+        val c = java.util.Arrays.compareUnsigned(blob, pos, pos + len, lo, 0, lo.length)
+        c > 0 || (loInc && c == 0)
+      }) && (hi == null || {
+        val c = java.util.Arrays.compareUnsigned(blob, pos, pos + len, hi, 0, hi.length)
+        c < 0 || (hiInc && c == 0)
+      })
+    }
+    if (lo != null && hi != null) {
+      val c = cmp(lo, hi)
+      if (c > 0 || (c == 0 && !(loInc && hiInc))) return 0L // empty interval
+    }
+    val r = new ByteReader(blob)
+    val id = r.readByte() & 0xff
+    val count = r.readInt()
+    id match {
+      case NullStr =>
+        r.readBytes((count + 7) >> 3)
+        if (r.remaining == 0) 0L
+        else countBetweenStr(r.readBytes(r.remaining), lo, loInc, hi, hiInc)
+      case ConstStr =>
+        val len = r.readInt()
+        if (inRange(r.readBytes(len))) count.toLong else 0L
+      case RawStr =>
+        val lens = readLens(r, count)
+        var n = 0L
+        var i = 0
+        while (i < count) {
+          // compare the value's span in place (no per-value copy)
+          if (spanInRange(r.pos, lens(i))) n += 1
+          r.pos += lens(i)
+          i += 1
+        }
+        n
+      case DictId | RleDict =>
+        val ndv = r.readInt()
+        val dictLens = readLens(r, ndv)
+        // the dictionary is sorted unsigned-lexicographic: the matching
+        // codes form one contiguous interval [first, last]
+        var first = -1; var last = -2
+        var i = 0
+        while (i < ndv) {
+          if (spanInRange(r.pos, dictLens(i))) { if (first < 0) first = i; last = i }
+          r.pos += dictLens(i)
+          i += 1
+        }
+        if (first < 0) return 0L
+        val codeW = r.readByte() & 0xff
+        if (first == 0 && last == ndv - 1) return count.toLong // zone accept
+        if (id == DictId) {
+          val codes = BitPack.unpack(r.readBytes(r.remaining), codeW, count)
+          var n = 0L; var j = 0
+          while (j < count) { if (codes(j) >= first && codes(j) <= last) n += 1; j += 1 }
+          n
+        } else {
+          val runs = r.readInt()
+          val lenW = r.readByte() & 0xff
+          val runVals = BitPack.unpack(r.readBytes(BitPack.packedByteLen(runs, codeW)), codeW, runs)
+          val runLens = BitPack.unpack(r.readBytes(r.remaining), lenW, runs)
+          var n = 0L; var j = 0
+          while (j < runs) { if (runVals(j) >= first && runVals(j) <= last) n += runLens(j); j += 1 }
+          n
+        }
+      case FsstId =>
+        val vs = decodeStrs(blob)
+        var n = 0L; var i = 0
+        while (i < vs.length) { if (inRange(vs(i))) n += 1; i += 1 }
+        n
+      case other => throw new IllegalArgumentException(s"not a string codec id: $other")
+    }
+  }
+
   /** conservative [min, max] value bounds of a long blob from its HEADER
     * alone (no payload decode except delta): const/FoR/RLE are exact or
     * near-exact, bitpack bounds by width. The zone-map column of the

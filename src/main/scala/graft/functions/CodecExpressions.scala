@@ -324,6 +324,133 @@ case class BlobContainsBetween(first: Expression, second: Expression, third: Exp
     copy(first = f, second = s, third = t)
 }
 
+/** string bounds compare as UTF-8 bytes (identical to the UTF8_BINARY
+  * string order): accept either BinaryType or StringType bound children */
+private[functions] object StrBounds {
+  def asBytes(v: Any): Array[Byte] = v match {
+    case null => null
+    case u: UTF8String => u.getBytes
+    case b: Array[Byte] => b
+  }
+  def gen(bound: Expression, value: String): String =
+    if (bound.dataType == StringType) s"$value.getBytes()" else value
+}
+
+/** Encoded-domain string range count: values within the byte-string
+  * interval [lo, hi] (unsigned-lexicographic = Spark's UTF8_BINARY string
+  * order; a NULL bound is unbounded on that side; per-side inclusive flags).
+  * Dict blocks answer from the sorted dictionary header — the payload
+  * strings are never rebuilt (Codecs.countBetweenStr). Bounds are
+  * BinaryType; the SQL builders cast string literals. */
+case class BlobCountBetweenStr(blob: Expression, lo: Expression, hi: Expression,
+                               loInc: Boolean = true, hiInc: Boolean = true)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(blob, lo, hi)
+  override def nullable: Boolean = blob.nullable
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "blob_count_between_str"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(blob.dataType == BinaryType &&
+      Seq(BinaryType, StringType).contains(lo.dataType) &&
+      Seq(BinaryType, StringType).contains(hi.dataType),
+      s"blob_count_between_str expects (binary, binary|string, binary|string), got " +
+        s"(${blob.dataType.simpleString}, ${lo.dataType.simpleString}, ${hi.dataType.simpleString})")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val b = blob.eval(input)
+    if (b == null) return null
+    Codecs.countBetweenStr(b.asInstanceOf[Array[Byte]],
+      StrBounds.asBytes(lo.eval(input)), loInc,
+      StrBounds.asBytes(hi.eval(input)), hiInc)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val b = blob.genCode(ctx); val l = lo.genCode(ctx); val h = hi.genCode(ctx)
+    val loB = ctx.freshName("loB"); val hiB = ctx.freshName("hiB")
+    ev.copy(code = code"""
+      ${b.code}
+      ${l.code}
+      ${h.code}
+      boolean ${ev.isNull} = ${b.isNull};
+      long ${ev.value} = -1L;
+      if (!${ev.isNull}) {
+        byte[] $loB = ${l.isNull} ? (byte[]) null : ${StrBounds.gen(lo, l.value.toString)};
+        byte[] $hiB = ${h.isNull} ? (byte[]) null : ${StrBounds.gen(hi, h.value.toString)};
+        ${ev.value} = graft.core.Codecs.countBetweenStr(${b.value}, $loB, $loInc, $hiB, $hiInc);
+      }""")
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BlobCountBetweenStr =
+    copy(blob = c(0), lo = c(1), hi = c(2))
+}
+
+/** Encoded-domain `exists(decode_strings(blob), x -> x in [lo, hi])` with
+  * identical three-valued semantics: true if any value falls in the range;
+  * null if none do but the block holds nulls; false otherwise. */
+case class BlobContainsBetweenStr(blob: Expression, lo: Expression, hi: Expression,
+                                  loInc: Boolean = true, hiInc: Boolean = true)
+    extends Expression {
+  override def children: Seq[Expression] = Seq(blob, lo, hi)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "blob_contains_between_str"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(blob.dataType == BinaryType &&
+      Seq(BinaryType, StringType).contains(lo.dataType) &&
+      Seq(BinaryType, StringType).contains(hi.dataType),
+      s"blob_contains_between_str expects (binary, binary|string, binary|string), got " +
+        s"(${blob.dataType.simpleString}, ${lo.dataType.simpleString}, ${hi.dataType.simpleString})")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val b = blob.eval(input)
+    if (b == null) return null
+    val bb = b.asInstanceOf[Array[Byte]]
+    val n = Codecs.countBetweenStr(bb,
+      StrBounds.asBytes(lo.eval(input)), loInc,
+      StrBounds.asBytes(hi.eval(input)), hiInc)
+    if (n > 0) java.lang.Boolean.TRUE
+    else if (Codecs.blobHasNulls(bb)) null
+    else java.lang.Boolean.FALSE
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val b = blob.genCode(ctx); val l = lo.genCode(ctx); val h = hi.genCode(ctx)
+    val loB = ctx.freshName("loB"); val hiB = ctx.freshName("hiB")
+    val n = ctx.freshName("cnt")
+    ev.copy(code = code"""
+      ${b.code}
+      ${l.code}
+      ${h.code}
+      boolean ${ev.isNull} = ${b.isNull};
+      boolean ${ev.value} = false;
+      if (!${ev.isNull}) {
+        byte[] $loB = ${l.isNull} ? (byte[]) null : ${StrBounds.gen(lo, l.value.toString)};
+        byte[] $hiB = ${h.isNull} ? (byte[]) null : ${StrBounds.gen(hi, h.value.toString)};
+        long $n = graft.core.Codecs.countBetweenStr(${b.value}, $loB, $loInc, $hiB, $hiInc);
+        if ($n > 0L) { ${ev.value} = true; }
+        else if (graft.core.Codecs.blobHasNulls(${b.value})) { ${ev.isNull} = true; }
+      }""")
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BlobContainsBetweenStr =
+    copy(blob = c(0), lo = c(1), hi = c(2))
+}
+
+/** exact null count recorded in a blob's null-wrapper bitmap (0 for
+  * unwrapped blobs) — the manifest's Iceberg null_value_counts parity. */
+case class BlobNullCount(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "blob_null_count"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == BinaryType,
+      s"blob_null_count expects binary blob, got ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any =
+    Codecs.nullCountOf(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.Codecs.nullCountOf($c)")
+  override protected def withNewChildInternal(newChild: Expression): BlobNullCount =
+    copy(child = newChild)
+}
+
 /** header-derived [min, max] bounds of a long blob — the zone-map /
   * Iceberg-manifest lower_bound/upper_bound column of the metadata table.
   * Null for all-null blocks. */

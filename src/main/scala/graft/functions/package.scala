@@ -35,6 +35,13 @@ package object functions {
     toCol(BlobContainsBetween(toExpr(blob), toExpr(lo), toExpr(hi)))
   def blob_range(blob: Column): Column = toCol(BlobRange(toExpr(blob)))
   def blob_range_str(blob: Column): Column = toCol(BlobRangeStr(toExpr(blob)))
+  def blob_null_count(blob: Column): Column = toCol(BlobNullCount(toExpr(blob)))
+  def blob_count_between_str(blob: Column, lo: Column, hi: Column,
+                             loInc: Boolean = true, hiInc: Boolean = true): Column =
+    toCol(BlobCountBetweenStr(toExpr(blob), toExpr(lo), toExpr(hi), loInc, hiInc))
+  def blob_contains_between_str(blob: Column, lo: Column, hi: Column,
+                                loInc: Boolean = true, hiInc: Boolean = true): Column =
+    toCol(BlobContainsBetweenStr(toExpr(blob), toExpr(lo), toExpr(hi), loInc, hiInc))
   def bits_needed(c: Column): Column = toCol(BitsNeeded(toExpr(c)))
   def double_bits(c: Column): Column = toCol(DoubleBits(toExpr(c)))
   def bits_double(c: Column): Column = toCol(BitsDouble(toExpr(c)))

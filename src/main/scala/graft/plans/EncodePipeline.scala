@@ -268,7 +268,8 @@ object EncodePipeline {
     val perCol = plans.map { p =>
       struct(lit(p.name).as("column"), col("e_" + p.name).as("blob"), col("r_" + p.name).as("raw"),
         (if (p.kind == 'l') blob_range(col("e_" + p.name)) else nullRange).as("rng"),
-        (if (p.kind != 'l') blob_range_str(col("e_" + p.name)) else nullRangeS).as("rng_s"))
+        (if (p.kind != 'l') blob_range_str(col("e_" + p.name)) else nullRangeS).as("rng_s"),
+        blob_null_count(col("e_" + p.name)).as("nulls"))
     }
     // string upper bounds: a null block hi (upper-truncation impossible)
     // means unbounded above and must dominate the part max — max() would
@@ -285,7 +286,10 @@ object EncodePipeline {
         min(col("c.rng.lo")).as("value_lo"),
         max(col("c.rng.hi")).as("value_hi"),
         min(col("c.rng_s.lo")).as("str_lo"),
-        when(hiUnbounded, lit(null).cast(BinaryType)).otherwise(max(col("c.rng_s.hi"))).as("str_hi"))
+        when(hiUnbounded, lit(null).cast(BinaryType)).otherwise(max(col("c.rng_s.hi"))).as("str_hi"),
+        // Iceberg null_value_counts parity: exact per-(part, column) null
+        // count from the null-wrapper bitmap headers (no payload decode)
+        sum(col("c.nulls")).as("null_value_count"))
   }
 
   /** resumable multi-wave run: encode + write data, then commit metadata.
@@ -413,6 +417,22 @@ object EncodePipeline {
       col("str_lo") <= vb && (col("str_hi").isNull || col("str_hi") >= vb)
     val parts = meta
       .filter(col("column") === column && (isOldRow || admits))
+      .select("__part").distinct()
+    spark.read.parquet(s"$outDir/data")
+      .join(broadcast(parts), Seq("__part"), "left_semi")
+  }
+
+  /** IS NULL-probe pruning: only parts whose manifest null_value_count for
+    * `column` is > 0 can contain null rows — an all-non-null column's parts
+    * are never opened (Iceberg null_value_counts manifest skipping).
+    * Old-era rows (count not recorded) are conservatively kept. */
+  def readDataPrunedIsNull(spark: SparkSession, outDir: String, column: String): DataFrame = {
+    val meta = readMeta(spark, outDir)
+    val hasNulls =
+      if (meta.columns.contains("null_value_count"))
+        col("null_value_count").isNull || col("null_value_count") > 0
+      else lit(true)
+    val parts = meta.filter(col("column") === column && hasNulls)
       .select("__part").distinct()
     spark.read.parquet(s"$outDir/data")
       .join(broadcast(parts), Seq("__part"), "left_semi")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 
-import graft.functions.{BlobContains, BlobContainsBetween, BlobCountBetween, DecodeBinary, DecodeLongs, DecodeStrings}
+import graft.functions.{BlobContains, BlobContainsBetween, BlobContainsBetweenStr, BlobCountBetween, BlobCountBetweenStr, DecodeBinary, DecodeLongs, DecodeStrings}
 
 /** Encoded-domain predicate pushdown (SURVEY.md §4 extension point): a
   * membership or range test against a *decoded* block —
@@ -61,6 +61,92 @@ object EncodedFilterRule extends Rule[LogicalPlan] {
           Cast(BlobCountBetween(blob, Literal(lo, LongType), Literal(hi, LongType)), IntegerType)
         case None => sz
       }
+
+    // exists(decode_strings(b), x -> <literal equality / range on x>) —
+    // string ranges answer from the sorted dictionary header / value spans
+    // without rebuilding a single string (Codecs.countBetweenStr). Bounds
+    // compare as UTF-8 bytes, identical to UTF8_BINARY string order.
+    case ae @ ArrayExists(DecodeStrings(blob),
+        LambdaFunction(body, Seq(v: NamedLambdaVariable), _), true) =>
+      body match {
+        case EqualTo(x, l @ Literal(_, StringType)) if x.semanticEquals(v) => BlobContains(blob, l)
+        case EqualTo(l @ Literal(_, StringType), x) if x.semanticEquals(v) => BlobContains(blob, l)
+        case _ => strRangeOf(body, v) match {
+          case Some(r) if r.lo != null || r.hi != null =>
+            BlobContainsBetweenStr(blob, binLit(r.lo), binLit(r.hi), r.loInc, r.hiInc)
+          case _ => ae
+        }
+      }
+
+    // size(filter(decode_strings(b), x -> <range>))
+    case sz @ Size(ArrayFilter(DecodeStrings(blob),
+        LambdaFunction(body, Seq(v: NamedLambdaVariable), _)), false) =>
+      strRangeOf(body, v) match {
+        case Some(r) if r.lo != null || r.hi != null =>
+          Cast(BlobCountBetweenStr(blob, binLit(r.lo), binLit(r.hi), r.loInc, r.hiInc), IntegerType)
+        case _ => sz
+      }
+  }
+
+  /** half-open/closed byte-string interval; null bound = unbounded */
+  private final case class SRange(lo: Array[Byte], loInc: Boolean,
+                                  hi: Array[Byte], hiInc: Boolean)
+
+  private def binLit(b: Array[Byte]): Literal = Literal(b, BinaryType)
+
+  private def utf8Bytes(l: Literal): Array[Byte] =
+    l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+
+  /** the interval a conjunction of literal string comparisons on `v`
+    * selects; None when the body is not a pure range predicate on v.
+    * Non-null literals only (a null bound literal means the comparison is
+    * always null — not a range). */
+  private def strRangeOf(e: Expression, v: NamedLambdaVariable): Option[SRange] = e match {
+    case _ if e.dataType != org.apache.spark.sql.types.BooleanType => None
+    case GreaterThanOrEqual(x, l @ Literal(s, StringType)) if x.semanticEquals(v) && s != null =>
+      Some(SRange(utf8Bytes(l), loInc = true, null, hiInc = true))
+    case GreaterThan(x, l @ Literal(s, StringType)) if x.semanticEquals(v) && s != null =>
+      Some(SRange(utf8Bytes(l), loInc = false, null, hiInc = true))
+    case LessThanOrEqual(x, l @ Literal(s, StringType)) if x.semanticEquals(v) && s != null =>
+      Some(SRange(null, loInc = true, utf8Bytes(l), hiInc = true))
+    case LessThan(x, l @ Literal(s, StringType)) if x.semanticEquals(v) && s != null =>
+      Some(SRange(null, loInc = true, utf8Bytes(l), hiInc = false))
+    // literal-on-left mirrors
+    case GreaterThanOrEqual(l @ Literal(s, StringType), x) if x.semanticEquals(v) && s != null =>
+      Some(SRange(null, loInc = true, utf8Bytes(l), hiInc = true))
+    case GreaterThan(l @ Literal(s, StringType), x) if x.semanticEquals(v) && s != null =>
+      Some(SRange(null, loInc = true, utf8Bytes(l), hiInc = false))
+    case LessThanOrEqual(l @ Literal(s, StringType), x) if x.semanticEquals(v) && s != null =>
+      Some(SRange(utf8Bytes(l), loInc = true, null, hiInc = true))
+    case LessThan(l @ Literal(s, StringType), x) if x.semanticEquals(v) && s != null =>
+      Some(SRange(utf8Bytes(l), loInc = false, null, hiInc = true))
+    case And(a, b) =>
+      for (ra <- strRangeOf(a, v); rb <- strRangeOf(b, v)) yield {
+        val (lo, loInc) = tighterLo(ra.lo, ra.loInc, rb.lo, rb.loInc)
+        val (hi, hiInc) = tighterHi(ra.hi, ra.hiInc, rb.hi, rb.hiInc)
+        SRange(lo, loInc, hi, hiInc)
+      }
+    case _ => None
+  }
+
+  private def tighterLo(a: Array[Byte], aInc: Boolean,
+                        b: Array[Byte], bInc: Boolean): (Array[Byte], Boolean) = {
+    if (a == null) (b, bInc)
+    else if (b == null) (a, aInc)
+    else {
+      val c = java.util.Arrays.compareUnsigned(a, b)
+      if (c > 0) (a, aInc) else if (c < 0) (b, bInc) else (a, aInc && bInc)
+    }
+  }
+
+  private def tighterHi(a: Array[Byte], aInc: Boolean,
+                        b: Array[Byte], bInc: Boolean): (Array[Byte], Boolean) = {
+    if (a == null) (b, bInc)
+    else if (b == null) (a, aInc)
+    else {
+      val c = java.util.Arrays.compareUnsigned(a, b)
+      if (c < 0) (a, aInc) else if (c > 0) (b, bInc) else (a, aInc && bInc)
+    }
   }
 
   /** the closed interval a conjunction of literal comparisons on `v` selects;
@@ -113,6 +199,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "blob_contains" -> { case Seq(b, v) => BlobContains(b, v) },
     "blob_count_between" -> { case Seq(b, lo, hi) => BlobCountBetween(b, lo, hi) },
     "blob_contains_between" -> { case Seq(b, lo, hi) => BlobContainsBetween(b, lo, hi) },
+    "blob_count_between_str" -> { case Seq(b, lo, hi) => BlobCountBetweenStr(b, lo, hi) },
+    "blob_contains_between_str" -> { case Seq(b, lo, hi) => BlobContainsBetweenStr(b, lo, hi) },
+    "blob_null_count" -> { case Seq(b) => BlobNullCount(b) },
     "blob_range" -> { case Seq(c) => BlobRange(c) },
     "blob_range_str" -> { case Seq(c) => BlobRangeStr(c) },
     "bits_needed" -> { case Seq(c) => BitsNeeded(c) },

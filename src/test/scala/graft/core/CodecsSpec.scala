@@ -226,6 +226,50 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.decodeStrsN(blobAllNull).toSeq === Seq(null, null))
   }
 
+  test("countBetweenStr: every string codec, all bound shapes, brute-force differential") {
+    def bf(block: Array[Array[Byte]], lo: String, loInc: Boolean, hi: String, hiInc: Boolean): Long = {
+      def cmp(a: Array[Byte], b: Array[Byte]) = java.util.Arrays.compareUnsigned(a, b)
+      block.count { v =>
+        (lo == null || { val c = cmp(v, lo.getBytes(UTF_8)); c > 0 || (loInc && c == 0) }) &&
+          (hi == null || { val c = cmp(v, hi.getBytes(UTF_8)); c < 0 || (hiInc && c == 0) })
+      }.toLong
+    }
+    val block = strs("alpha", "beta", "alpha", "gamma", "beta", "delta", "betaz", "a")
+    val bounds = Seq(
+      ("a", true, "c", false), ("alpha", true, "beta", true), ("alpha", false, "beta", false),
+      ("beta", true, "beta", true), ("beta", false, "beta", true), ("beta", true, "beta", false),
+      (null, true, "betaz", true), ("delta", true, null, true), (null, true, null, true),
+      ("x", true, "z", true), ("gamma", true, "alpha", true) /* inverted = empty */)
+    for (id <- Seq(Codecs.RawStr, Codecs.DictId, Codecs.RleDict, Codecs.FsstId);
+         (lo, loInc, hi, hiInc) <- bounds) {
+      val blob = Codecs.encodeStrsAs(block, id)
+      val loB = if (lo == null) null else lo.getBytes(UTF_8)
+      val hiB = if (hi == null) null else hi.getBytes(UTF_8)
+      assert(Codecs.countBetweenStr(blob, loB, loInc, hiB, hiInc) === bf(block, lo, loInc, hi, hiInc),
+        s"codec $id bounds ($lo,$loInc,$hi,$hiInc)")
+    }
+    // const + null wrapper
+    val const = Codecs.encodeStrsAs(strs("mm", "mm", "mm"), Codecs.ConstStr)
+    assert(Codecs.countBetweenStr(const, "m".getBytes(UTF_8), true, "n".getBytes(UTF_8), false) === 3L)
+    assert(Codecs.countBetweenStr(const, "mm".getBytes(UTF_8), false, null, true) === 0L)
+    val vs: Array[Array[Byte]] = Array("aa".getBytes(UTF_8), null, "bb".getBytes(UTF_8), null)
+    val (wrapped, _) = Codecs.encodeStrsN(vs)
+    assert(Codecs.countBetweenStr(wrapped, "a".getBytes(UTF_8), true, "b".getBytes(UTF_8), true) === 1L)
+    assert(Codecs.countBetweenStr(wrapped, null, true, null, true) === 2L) // nulls not counted
+  }
+
+  test("nullCountOf reads the wrapper bitmap exactly; 0 for unwrapped blobs") {
+    assert(Codecs.nullCountOf(Codecs.encodeLongs(Array(1L, 2L, 3L))) === 0L)
+    assert(Codecs.nullCountOf(Codecs.encodeStrs(strs("a", "b"))) === 0L)
+    val vs = Array(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L)
+    val nulls = Array(true, false, true, false, false, false, false, false, true, false)
+    assert(Codecs.nullCountOf(Codecs.encodeLongsN(vs, nulls)) === 3L)
+    val sv: Array[Array[Byte]] = Array(null, "x".getBytes(UTF_8), null)
+    assert(Codecs.nullCountOf(Codecs.encodeStrsN(sv)._1) === 2L)
+    val allNull: Array[Array[Byte]] = Array(null, null, null)
+    assert(Codecs.nullCountOf(Codecs.encodeStrsN(allNull)._1) === 3L)
+  }
+
   test("countEqLong and countBetweenLong: every codec, zone accept/reject/straddle") {
     val forBlock = Codecs.encodeLongsAs(Array(100L, 105L, 100L, 120L, 100L), Codecs.ForId)
     assert(Codecs.countEqLong(forBlock, 100L) === 3L)

@@ -131,6 +131,29 @@ class EncodePipelineSpec extends SparkTestBase {
     assert(nDe > 0)
   }
 
+  test("null_value_counts manifest prunes IS NULL probes (Iceberg parity)") {
+    // nulls planted ONLY in partition 3; lang never null
+    val docs = sf("documents").select(col("doc_id"), col("lang"))
+      .withColumn("opt", when(pmod(col("doc_id"), lit(8)) === 3 && col("doc_id") % 5 === 0,
+        lit(null).cast("long")).otherwise(col("doc_id")))
+    val out = tmpDir()
+    EncodePipeline.run(docs, "doc_id", out, partitions = 8, blockSize = 128,
+      customPart = Some(pmod(col("doc_id"), lit(8)).cast("int")))
+    // an all-non-null column's parts are never opened for IS NULL
+    assert(EncodePipeline.readDataPrunedIsNull(spark, out, "lang").count() === 0L)
+    // only the null-bearing part survives, and it holds every null row
+    val pruned = EncodePipeline.readDataPrunedIsNull(spark, out, "opt")
+    assert(pruned.select("__part").distinct().collect().map(_.getInt(0)).toSet === Set(3))
+    val nNull = EncodePipeline.decode(pruned, docs.schema).filter(col("opt").isNull).count()
+    assert(nNull === docs.filter(col("opt").isNull).count())
+    assert(nNull > 0)
+    // the recorded counts are exact (bitmap popcount, not a sample)
+    val meta = spark.read.parquet(s"$out/meta")
+    val recorded = meta.filter(col("column") === "opt")
+      .agg(sum("null_value_count")).head().getLong(0)
+    assert(recorded === nNull)
+  }
+
   test("manifest file list makes orphan data files invisible to readData") {
     val docs = WebDocGen.dataset(spark, 400, 4).toDF()
     val out = tmpDir()

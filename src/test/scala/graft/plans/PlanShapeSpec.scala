@@ -114,6 +114,42 @@ class PlanShapeSpec extends SparkTestBase {
         .filter(col("n") > lo).select(col("__part"), col("__block")).distinct().count())
   }
 
+  test("encoded-domain STRING range pushdown: exists/size-filter forms never decode") {
+    import graft.functions._
+    val docs = WebDocGen.dataset(spark, 200, 2).toDF()
+    val enc = EncodePipeline.encode(docs, "url", 2, 64)
+
+    // exists(decode_strings(b), x -> 'd' <= x < 'e') → blob_contains_between_str
+    val existsF = enc.filter(expr("exists(decode_strings(e_lang), x -> x >= 'd' AND x < 'e')"))
+    val existsPlan = existsF.queryExecution.optimizedPlan.toString
+    assert(existsPlan.contains("blob_contains_between_str"), existsPlan)
+    assert(!existsPlan.contains("decode_strings"), existsPlan)
+
+    // size(filter(decode_strings(b), x -> range)) → cast(blob_count_between_str)
+    val sizeF = enc.select(expr("size(filter(decode_strings(e_lang), x -> x >= 'd' AND x <= 'en'))").as("n"))
+    val sizePlan = sizeF.queryExecution.optimizedPlan.toString
+    assert(sizePlan.contains("blob_count_between_str"), sizePlan)
+    assert(!sizePlan.contains("decode_strings"), sizePlan)
+
+    // both answer identically to actually decoding every block
+    val viaBlob = existsF.count()
+    val viaDecode = enc.select(col("__part"), col("__block"),
+        explode(decode_strings(col("e_lang"))).as("l"))
+      .filter(col("l") >= "d" && col("l") < "e")
+      .select(col("__part"), col("__block")).distinct().count()
+    assert(viaBlob === viaDecode)
+    assert(viaBlob > 0) // 'de' exists in the fixture
+    val nBlob = sizeF.agg(sum("n")).head().getLong(0)
+    val nDecode = enc.select(explode(decode_strings(col("e_lang"))).as("l"))
+      .filter(col("l") >= "d" && col("l") <= "en").count()
+    assert(nBlob === nDecode)
+    assert(nBlob > 0)
+    // string equality through the exists form rewrites to blob_contains
+    val eq = enc.filter(expr("exists(decode_strings(e_lang), x -> x = 'de')"))
+    val eqPlan = eq.queryExecution.optimizedPlan.toString
+    assert(eqPlan.contains("blob_contains") && !eqPlan.contains("decode_strings"), eqPlan)
+  }
+
   test("encode lineage has exactly ONE shuffle") {
     val docs = WebDocGen.dataset(spark, 100, 2).toDF()
     val rdd = org.apache.spark.sql.graftshim.Bridge.toRdd(
