@@ -66,6 +66,7 @@ object KernelBench {
     bench("dict encode (lang)", strBytes, 4) { Codecs.encodeStrsAs(strs, Codecs.DictId) }
     val dictBlob = Codecs.encodeStrsAs(strs, Codecs.DictId)
     bench("dict decode (lang)", strBytes, 4) { Codecs.decodeStrs(dictBlob) }
+    bench("dict decode VIEW (lang)", strBytes, 4) { Codecs.decodeStrsView(dictBlob) }
 
     // FSST on English-like text
     val words = ("the of and to in is was for on that with as by at from it an be this are " +
@@ -80,6 +81,11 @@ object KernelBench {
     val fsstBlob = Codecs.encodeStrsAs(textRows, Codecs.FsstId)
     println(f"fsst ratio                   ${textBytes.toDouble / fsstBlob.length}%10.2fx")
     bench("fsst decode (text)", textBytes, 4) { Codecs.decodeStrs(fsstBlob) }
+    bench("fsst decode VIEW (text)", textBytes, 4) { Codecs.decodeStrsView(fsstBlob) }
+    // raw strings: the view is pure offset arithmetic over the blob
+    val rawBlob = Codecs.encodeStrsAs(textRows, Codecs.RawStr)
+    bench("raw decode (text)", textBytes, 4) { Codecs.decodeStrs(rawBlob) }
+    bench("raw decode VIEW (text)", textBytes, 4) { Codecs.decodeStrsView(rawBlob) }
 
     // raw FSST kernel on one big buffer (no per-row framing)
     val big = sb.toString.getBytes("UTF-8")

@@ -527,6 +527,114 @@ object Codecs {
     }
   }
 
+  /** zero-copy view of a decoded string block: value i is
+    * buf[offs(i), offs(i)+lens(i)); lens(i) == -1 marks a null. For
+    * const/raw/dict codecs buf IS the blob (or its dictionary region) —
+    * decode allocates nothing per value; FSST rebuilds the whole block into
+    * ONE shared buffer. Callers wrap slices as
+    * UTF8String.fromBytes(buf, off, len) — the restore path's hottest loop
+    * previously copied every value into its own byte[]. */
+  final class StrView(val n: Int, val buf: Array[Byte],
+                      val offs: Array[Int], val lens: Array[Int])
+
+  def decodeStrsView(blob: Array[Byte]): StrView = decodeStrsViewFrom(blob, 0)
+
+  private def decodeStrsViewFrom(blob: Array[Byte], start: Int): StrView = {
+    val r = new ByteReader(blob)
+    r.pos = start
+    val id = r.readByte() & 0xff
+    val count = r.readInt()
+    id match {
+      case NullStr =>
+        val bm = r.readBytes((count + 7) >> 3)
+        val offs = new Array[Int](count)
+        val lens = new Array[Int](count)
+        var nNulls = 0
+        var i = 0
+        while (i < count) {
+          if ((bm(i >> 3) & (1 << (i & 7))) != 0) { lens(i) = -1; nNulls += 1 }
+          i += 1
+        }
+        if (nNulls == count) return new StrView(count, blob, offs, lens)
+        val inner = decodeStrsViewFrom(blob, r.pos)
+        var k = 0; i = 0
+        while (i < count) {
+          if (lens(i) != -1) { offs(i) = inner.offs(k); lens(i) = inner.lens(k); k += 1 }
+          i += 1
+        }
+        new StrView(count, inner.buf, offs, lens)
+      case ConstStr =>
+        val len = r.readInt()
+        val off = r.pos
+        val offs = new Array[Int](count)
+        val lens = new Array[Int](count)
+        java.util.Arrays.fill(offs, off)
+        java.util.Arrays.fill(lens, len)
+        new StrView(count, blob, offs, lens)
+      case RawStr =>
+        val lens = readLens(r, count)
+        val offs = new Array[Int](count)
+        var o = r.pos
+        var i = 0
+        while (i < count) { offs(i) = o; o += lens(i); i += 1 }
+        new StrView(count, blob, offs, lens)
+      case DictId | RleDict =>
+        val ndv = r.readInt()
+        val dictLens = readLens(r, ndv)
+        val dictOffs = new Array[Int](ndv)
+        var i = 0
+        while (i < ndv) { dictOffs(i) = r.pos; r.pos += dictLens(i); i += 1 }
+        val codeW = r.readByte() & 0xff
+        val codes: Array[Long] =
+          if (id == DictId) BitPack.unpack(r.readBytes(r.remaining), codeW, count)
+          else {
+            val runs = r.readInt()
+            val lenW = r.readByte() & 0xff
+            val runVals = BitPack.unpack(r.readBytes(BitPack.packedByteLen(runs, codeW)), codeW, runs)
+            val runLens = BitPack.unpack(r.readBytes(r.remaining), lenW, runs)
+            val out = new Array[Long](count)
+            var j = 0; var o = 0
+            while (j < runs) {
+              var k = runLens(j)
+              while (k > 0) { out(o) = runVals(j); o += 1; k -= 1 }
+              j += 1
+            }
+            out
+          }
+        val offs = new Array[Int](count)
+        val lens = new Array[Int](count)
+        i = 0
+        while (i < count) {
+          val c = codes(i).toInt
+          offs(i) = dictOffs(c); lens(i) = dictLens(c)
+          i += 1
+        }
+        new StrView(count, blob, offs, lens)
+      case FsstId =>
+        val table = Fsst.SymbolTable.readFrom(r)
+        val compLens = readLens(r, count)
+        val offs = new Array[Int](count)
+        val lens = new Array[Int](count)
+        // one shared output buffer, grown with word-store slack; the
+        // per-value arrays the copy path allocated are gone entirely
+        var buf = new Array[Byte](1 << 16)
+        var used = 0
+        var i = 0
+        while (i < count) {
+          val need = used + compLens(i) * 8 + 8
+          if (need > buf.length)
+            buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+          val n = table.decompressInto(blob, r.pos, r.pos + compLens(i), buf, used)
+          offs(i) = used; lens(i) = n
+          used += n
+          r.pos += compLens(i)
+          i += 1
+        }
+        new StrView(count, buf, offs, lens)
+      case other => throw new IllegalArgumentException(s"not a string codec id: $other")
+    }
+  }
+
   // ======================== NULL support ========================
   // Every codec path above is null-free (mirroring the reference, which has
   // no null concept). Nullable columns wrap the same blobs:

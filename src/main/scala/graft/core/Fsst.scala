@@ -136,20 +136,31 @@ object Fsst {
       // each input byte expands to <= 8 output bytes; +8 slack allows
       // unconditional 8-byte word stores (tail truncated by the final copy)
       val out = new Array[Byte]((until - from) * MaxSymbolLen + 8)
-      var o = 0
+      val o = decompressInto(comp, from, until, out, 0)
+      java.util.Arrays.copyOf(out, o)
+    }
+
+    /** decompress into `dst` at `dstOff`, returning bytes written. The
+      * caller must leave (until-from)*8 + 8 bytes of capacity (worst-case
+      * expansion + word-store slack) — the shared-buffer decode path uses
+      * this to rebuild a whole block into ONE buffer instead of a per-value
+      * array each (StrView slice-view decode). */
+    def decompressInto(comp: Array[Byte], from: Int, until: Int,
+                       dst: Array[Byte], dstOff: Int): Int = {
+      var o = dstOff
       var pos = from
       while (pos < until) {
         val code = comp(pos) & 0xff
         if (code == EscapeCode) {
-          out(o) = comp(pos + 1); o += 1
+          dst(o) = comp(pos + 1); o += 1
           pos += 2
         } else {
-          Bits.storeLongLE(out, o, symWord(code))
+          Bits.storeLongLE(dst, o, symWord(code))
           o += symLen(code)
           pos += 1
         }
       }
-      java.util.Arrays.copyOf(out, o)
+      o - dstOff
     }
 
     def serializedSize: Int = 1 + symbols.map(_.length + 1).sum

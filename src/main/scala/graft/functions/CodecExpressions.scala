@@ -71,8 +71,16 @@ object CodecRuntime {
   }
 
   def decodeStrings(blob: Array[Byte]): ArrayData = {
-    val out = Codecs.decodeStrsN(blob)
-    new GenericArrayData(out.map(b => if (b == null) null else UTF8String.fromBytes(b)))
+    // slice views over the blob/dictionary/shared-FSST buffer — no
+    // per-value byte[] copy (Codecs.StrView)
+    val v = Codecs.decodeStrsView(blob)
+    val out = new Array[Any](v.n)
+    var i = 0
+    while (i < v.n) {
+      if (v.lens(i) >= 0) out(i) = UTF8String.fromBytes(v.buf, v.offs(i), v.lens(i))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   def encodeBinary(input: ArrayData, forced: Int): Array[Byte] = {

@@ -215,8 +215,17 @@ object EncodePipeline {
   def decode(enc: DataFrame, sourceSchema: StructType): DataFrame = {
     val plans = plan(sourceSchema)
     val ps = plans.toArray
+    // string-kind columns restore as StringType directly: values are
+    // UTF8String SLICE VIEWS over the blob / dictionary / shared FSST
+    // buffer (Codecs.StrView) — no per-value byte[] copy on the hottest
+    // decode loop. Binary-kind columns still need owned arrays
+    // (InternalRow's binary accessor returns Array[Byte]).
     val canonSchema = StructType(plans.map(p =>
-      StructField(p.name, if (p.kind == 'l') LongType else BinaryType, nullable = true)))
+      StructField(p.name, p.kind match {
+        case 'l' => LongType
+        case 's' => StringType
+        case _   => BinaryType
+      }, nullable = true)))
     val encSchema = enc.schema
     val eIdx = plans.map(p => encSchema.fieldIndex("e_" + p.name)).toArray
     val rdd = Bridge.toRdd(enc).mapPartitions { rows =>
@@ -224,6 +233,7 @@ object EncodePipeline {
       rows.flatMap { r =>
         val longVals = new Array[Array[Long]](nCols)
         val longNulls = new Array[Array[Boolean]](nCols)
+        val strViews = new Array[Codecs.StrView](nCols)
         val binVals = new Array[Array[Array[Byte]]](nCols)
         var n = 0
         var c = 0
@@ -232,6 +242,8 @@ object EncodePipeline {
           if (ps(c).kind == 'l') {
             val (v, nu) = Codecs.decodeLongsN(blob)
             longVals(c) = v; longNulls(c) = nu; n = v.length
+          } else if (ps(c).kind == 's') {
+            strViews(c) = Codecs.decodeStrsView(blob); n = strViews(c).n
           } else {
             binVals(c) = Codecs.decodeStrsN(blob); n = binVals(c).length
           }
@@ -241,11 +253,17 @@ object EncodePipeline {
           val vals = new Array[Any](nCols)
           var c2 = 0
           while (c2 < nCols) {
-            vals(c2) =
-              if (ps(c2).kind == 'l') {
+            vals(c2) = ps(c2).kind match {
+              case 'l' =>
                 if (longNulls(c2) != null && longNulls(c2)(i)) null
                 else java.lang.Long.valueOf(longVals(c2)(i))
-              } else binVals(c2)(i)
+              case 's' =>
+                val v = strViews(c2)
+                val len = v.lens(i)
+                if (len < 0) null
+                else org.apache.spark.unsafe.types.UTF8String.fromBytes(v.buf, v.offs(i), len)
+              case _ => binVals(c2)(i)
+            }
             c2 += 1
           }
           new GenericInternalRow(vals): InternalRow

@@ -258,6 +258,34 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.countBetweenStr(wrapped, null, true, null, true) === 2L) // nulls not counted
   }
 
+  test("decodeStrsView slices equal the copying decode for every codec and null shape") {
+    def check(blob: Array[Byte]): Unit = {
+      val copies = Codecs.decodeStrsN(blob)
+      val v = Codecs.decodeStrsView(blob)
+      assert(v.n === copies.length, s"codec ${Codecs.codecOf(blob)}")
+      (0 until v.n).foreach { i =>
+        if (copies(i) == null) assert(v.lens(i) === -1, s"codec ${Codecs.codecOf(blob)} row $i")
+        else {
+          val slice = java.util.Arrays.copyOfRange(v.buf, v.offs(i), v.offs(i) + v.lens(i))
+          assert(java.util.Arrays.equals(slice, copies(i)), s"codec ${Codecs.codecOf(blob)} row $i")
+        }
+      }
+    }
+    val words = "web page data site of the and with for".split(" ")
+    val r = new scala.util.Random(9)
+    val block = Array.fill(200)((1 to 12).map(_ => words(r.nextInt(words.length))).mkString(" ").getBytes(UTF_8))
+    for (id <- Seq(Codecs.RawStr, Codecs.DictId, Codecs.RleDict, Codecs.FsstId))
+      check(Codecs.encodeStrsAs(block, id))
+    check(Codecs.encodeStrsAs(strs("k", "k", "k"), Codecs.ConstStr))
+    check(Codecs.encodeStrs(strs("", "x", "", "yz"))) // empties
+    // null wrapper over each inner codec
+    val withNulls: Array[Array[Byte]] = Array("aa".getBytes(UTF_8), null, "bb".getBytes(UTF_8),
+      "aa".getBytes(UTF_8), null)
+    check(Codecs.encodeStrsN(withNulls)._1)
+    val allNull: Array[Array[Byte]] = Array(null, null, null)
+    check(Codecs.encodeStrsN(allNull)._1)
+  }
+
   test("nullCountOf reads the wrapper bitmap exactly; 0 for unwrapped blobs") {
     assert(Codecs.nullCountOf(Codecs.encodeLongs(Array(1L, 2L, 3L))) === 0L)
     assert(Codecs.nullCountOf(Codecs.encodeStrs(strs("a", "b"))) === 0L)
