@@ -37,6 +37,74 @@ object StreamingDedup {
   final case class DedupIn(id: Long, h: Long)
   final case class DedupOut(id: Long, h: Long, dups: Long)
 
+  final case class NearDupIn(id: Long, sig: Seq[Long], band: Long)
+  final case class NearDupOut(id_a: Long, id_b: Long, est4: Long, band: Long)
+
+  /** Streaming MinHash near-duplicate detection — the stream counterpart of
+    * the batch TextOps.minhashDupPairs family. Each document's k-long
+    * MinHash signature is split into LSH band keys; state lives PER BAND
+    * BUCKET (up to `maxBucket` (id, signature) entries — the same skew
+    * guard as the batch bucket cap), and an arriving document emits a
+    * candidate pair for every stored signature whose agreeing fraction
+    * est4 = ⌊10000·agree/k⌋ reaches the threshold. Only k-long signatures
+    * ever enter state or the shuffle — never shingle sets — which is the
+    * 100 TB shape (the batch operator's signature-estimate pre-filter made
+    * the same trade; σ ≈ √(J(1-J)/k)).
+    *
+    * A pair sharing several bands emits once per shared band: dedupe
+    * downstream (`.dropDuplicates("id_a","id_b")` per sink batch, or
+    * dropDuplicatesWithinWatermark in a continuous pipeline). With
+    * ttlMs > 0 bucket state times out after inactivity (bounded state);
+    * pass ttlMs = 0 (NoTimeout) in drain-and-assert harnesses — see
+    * exactStateful's scaladoc for the ProcessingTimeTimeout trap. */
+  def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                          threshold: Double = 0.5, maxBucket: Int = 16,
+                          ttlMs: Long = 3600000L): Dataset[NearDupOut] = {
+    import graft.operators.TextOps
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
+    val thr4 = math.round(threshold * 10000)
+    val sig = TextOps.minhash(
+      array_distinct(TextOps.tokenShingles(col(textCol), shingleN)), k)
+    docs
+      .select(col(idCol).cast("long").as("id"), sig.as("sig"))
+      .select(col("id"), col("sig"),
+        explode(TextOps.lshBands(col("sig"), bands, k / bands)).as("band"))
+      .as[NearDupIn]
+      .groupByKey(_.band)
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupOut](
+          OutputMode.Append(), timeoutConf) {
+        (band: Long, rows: Iterator[NearDupIn], state: GroupState[List[(Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var entries = state.getOption.getOrElse(Nil)
+            val out = List.newBuilder[NearDupOut]
+            rows.foreach { r =>
+              entries.foreach { case (oid, osig) =>
+                if (oid != r.id) {
+                  var agree = 0
+                  var i = 0
+                  while (i < k) { if (osig(i) == r.sig(i)) agree += 1; i += 1 }
+                  val est4 = agree.toLong * 10000 / k
+                  if (est4 >= thr4)
+                    out += NearDupOut(math.min(oid, r.id), math.max(oid, r.id), est4, band)
+                }
+              }
+              if (entries.length < maxBucket && !entries.exists(_._1 == r.id))
+                entries = (r.id, r.sig) :: entries
+            }
+            state.update(entries)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** keyed duplicate-mass accounting: for each content hash, emit the first
     * id immediately (dups = 0) and, on every later duplicate, an update row
     * with the running suppressed count. With ttlMs > 0, per-key state times

@@ -65,6 +65,51 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(rows === Set((1L, 0L), (1L, 1L), (1L, 2L), (3L, 0L)))
   }
 
+  test("streaming minhash near-dup catches planted pairs across micro-batches, matching batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    // deterministic corpus: doc 3 is a one-token edit of doc 1 (j ≈ 0.95);
+    // docs 2/4/5 are unrelated word soups
+    val words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+      "nu xi omicron pi rho sigma tau upsilon phi chi psi rest").split(" ")
+    def text(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    }
+    val base = text(1, 40)
+    val nearDup = base.split(" ").updated(20, "OMEGA").mkString(" ")
+    val batch1 = Seq((1L, base), (2L, text(5, 40)))
+    val batch2 = Seq((3L, nearDup), (4L, text(9, 40)), (5L, text(13, 40)))
+
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val out = StreamingDedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.5, ttlMs = 0L)
+    val q = out.writeStream.format("memory").queryName("near_dup")
+      .option("checkpointLocation", shmCheckpoint())
+      .outputMode(OutputMode.Append()).start()
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*) // the near-dup arrives in a LATER micro-batch
+    q.processAllAvailable()
+    q.stop()
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val streamed = spark.sql("SELECT DISTINCT id_a, id_b FROM near_dup")
+      .as[(Long, Long)].collect().toSet
+    // the same pairs the batch operator (exact-verify) finds on the union
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val batchPairs = graft.operators.TextOps
+      .minhashDupPairs(all, "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamed === Set((1L, 3L)))
+    assert(streamed === batchPairs)
+    // estimate quality: the emitted est4 is near the true jaccard (≈ 0.9+)
+    val est = spark.sql("SELECT max(est4) FROM near_dup").head().getLong(0)
+    assert(est >= 8000, s"est4 $est")
+  }
+
   test("stateful path handles negative ids (presence is not a -1 sentinel)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
