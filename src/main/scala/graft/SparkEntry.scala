@@ -422,7 +422,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_frames"))
       val feats = imgs.select(MediaOps.image_feature(col("payload"), 32).as("v"))
         .agg(count(lit(1)).as("n_features"), max(size(col("v"))).as("dims"))
+      // the REAL audio path: RIFF/WAVE PCM-16 clips parsed/decoded by the
+      // pure-Scala Wav codec; wav_sample_sum aggregates actual PCM samples
+      // read from the container (re-derived independently in the oracle)
+      val wavs = MediaOps.fakeAudioTable(s, 100, 8)
+        .select(MediaOps.audio_meta(col("payload")).as("m"),
+          MediaOps.sample_checksum(col("payload")).as("ck"),
+          MediaOps.audio_meta(MediaOps.audio_resample(col("payload"), 4000)).as("rm"))
+        .agg(count(lit(1)).as("n_wav"),
+          sum(when(col("m.valid"), 1L).otherwise(0L)).as("n_wav_valid"),
+          sum(col("ck")).as("wav_sample_sum"),
+          sum(when(col("rm.valid") && col("rm.sample_rate") === 4000, 1L).otherwise(0L)).as("n_wav_resampled"))
       metaOk.crossJoin(resized).crossJoin(frames).crossJoin(feats).crossJoin(bmps)
+        .crossJoin(wavs)
     }),
     "q_embed_dims" -> ((s, dir) => {
       tbl(s, dir, "embeddings").agg(
@@ -618,7 +630,12 @@ object SparkEntry {
         "CAST(2620428 AS BIGINT) AS total_pixels, CAST(300 AS BIGINT) AS n_resized, " +
         "CAST(650 AS BIGINT) AS n_frames, CAST(300 AS BIGINT) AS n_features, " +
         "CAST(32 AS BIGINT) AS dims, CAST(100 AS BIGINT) AS n_bmp, " +
-        "CAST(111418251 AS BIGINT) AS bmp_pixel_sum"),
+        "CAST(111418251 AS BIGINT) AS bmp_pixel_sum, " +
+        // audio constants re-derived independently (python splitmix64 over
+        // the seededPcm definition): 100 WAV clips, all valid, sample sum
+        // -3287541, all 100 resample to 4 kHz with valid headers
+        "CAST(100 AS BIGINT) AS n_wav, CAST(100 AS BIGINT) AS n_wav_valid, " +
+        "CAST(-3287541 AS BIGINT) AS wav_sample_sum, CAST(100 AS BIGINT) AS n_wav_resampled"),
     "q_embed_dedup" ->
       ("WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
         "e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 1000000, list_transform(v, x -> x * 2) FROM e0), " +

@@ -9,15 +9,17 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 
 /** Multimodal column plumbing: image/audio/video as opaque BinaryType
-  * payloads with typed metadata, plus decode / resize / feature-extraction /
-  * frame-sampling operators.
+  * payloads with typed metadata, plus decode / resize / resample /
+  * feature-extraction / frame-sampling operators.
   *
-  * The Spark side — schemas, Catalyst expressions, batch iteration shape,
-  * partitioning — is real and tested. The pixel/sample DECODERS ARE STUBS
-  * (this container ships no image/audio libraries): payloads use a
-  * deterministic fake container format (header + seeded bytes) and the
-  * "decoded" pixels are a pure hash of the seed. Swapping in a real codec
-  * means replacing only the marked `decodeStub` internals; every signature,
+  * REAL codecs (pure Scala over published file formats): BMP and P6 PPM
+  * images (Bmp.scala — actual pixel decode/encode/resize) and RIFF/WAVE
+  * PCM-16 audio (Wav.scala — actual sample decode/encode/resample).
+  *
+  * STUBS (this container ships no codec libraries for compressed formats):
+  * the fake GIMG image container and GVID video frame extraction decode via
+  * the marked `decodeStub` — a deterministic hash of the seed. Swapping in
+  * a real codec means replacing only the stub internals; every signature,
   * schema and plan shape stays.
   *
   * Fake container layout (little-endian):
@@ -216,7 +218,59 @@ object MediaOps {
     override protected def withNewChildInternal(c: Expression): FrameSampleExpr = copy(child = c)
   }
 
+  // ---- audio (REAL codec: pure-Scala RIFF/WAVE PCM-16, Wav.scala) ----
+
+  /** payload → struct(valid, sample_rate, channels, n_samples) */
+  case class AudioMetaExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("valid", BooleanType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false)))
+    override def prettyName: String = "audio_meta"
+    override def nullSafeEval(input: Any): Any = {
+      val payload = input.asInstanceOf[Array[Byte]]
+      if (!Wav.isWav(payload))
+        org.apache.spark.sql.catalyst.InternalRow(false, 0, 0, 0)
+      else {
+        val (rate, ch, samples) = Wav.decode(payload)
+        org.apache.spark.sql.catalyst.InternalRow(true, rate, ch, samples.length)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): AudioMetaExpr = copy(child = c)
+  }
+
+  /** payload → sum of decoded PCM sample values (whole-clip content check,
+    * aggregable — the audio analog of pixel_checksum) */
+  case class SampleChecksumExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sample_checksum"
+    override def nullSafeEval(input: Any): Any = {
+      val (_, _, samples) = Wav.decode(input.asInstanceOf[Array[Byte]])
+      var s = 0L
+      var i = 0
+      while (i < samples.length) { s += samples(i); i += 1 }
+      s
+    }
+    override protected def withNewChildInternal(c: Expression): SampleChecksumExpr = copy(child = c)
+  }
+
+  /** payload → WAV re-encoded at newRate (REAL nearest-frame resample) */
+  case class AudioResampleExpr(child: Expression, newRate: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "audio_resample"
+    override def nullSafeEval(input: Any): Any = {
+      val (rate, ch, samples) = Wav.decode(input.asInstanceOf[Array[Byte]])
+      Wav.encode(newRate, ch, Wav.resample(samples, ch, rate, newRate))
+    }
+    override protected def withNewChildInternal(c: Expression): AudioResampleExpr = copy(child = c)
+  }
+
   // ---- Column API ----
+  def audio_meta(c: Column): Column = toCol(AudioMetaExpr(toExpr(c)))
+  def sample_checksum(c: Column): Column = toCol(SampleChecksumExpr(toExpr(c)))
+  def audio_resample(c: Column, rate: Int): Column = toCol(AudioResampleExpr(toExpr(c), rate))
   def image_meta(c: Column): Column = toCol(ImageMetaExpr(toExpr(c)))
   def image_pixels(c: Column): Column = toCol(ImagePixelsExpr(toExpr(c)))
   def pixel_checksum(c: Column): Column = toCol(PixelChecksumExpr(toExpr(c)))
@@ -246,6 +300,28 @@ object MediaOps {
     var i = 0
     while (i < out.length) { out(i) = (graft.core.Bits.mix(seed ^ i) & 0xff).toByte; i += 1 }
     out
+  }
+
+  /** deterministic PCM-16 sample field (seeded hash per sample) for WAV
+    * payloads: sample(i) = low 16 bits of mix(seed ^ i), signed */
+  def seededPcm(seed: Long, n: Int): Array[Short] = {
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) { out(i) = (graft.core.Bits.mix(seed ^ i) & 0xffff).toShort; i += 1 }
+    out
+  }
+
+  /** deterministic synthetic audio table: REAL WAV clips (PCM-16, decodable
+    * by the pure-Scala Wav codec), varying rate/channels/length */
+  def fakeAudioTable(spark: SparkSession, n: Long, partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val seed = graft.core.Bits.mix(i ^ 0xD1CE)
+      val channels = 1 + (i % 2).toInt
+      val rate = if (i % 3 == 0) 16000 else 8000
+      val frames = 400 + (i % 100).toInt
+      (i, "audio/wav", Wav.encode(rate, channels, seededPcm(seed, frames * channels)))
+    }.toDF("doc_id", "media_type", "payload")
   }
 
   /** deterministic synthetic media table: fake GIMG images, REAL BMP images

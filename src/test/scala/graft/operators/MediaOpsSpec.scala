@@ -9,6 +9,54 @@ import graft.SparkTestBase
 class MediaOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("WAV codec: encode→decode round-trips samples bit-identically") {
+    val samples = MediaOps.seededPcm(0xFEEDL, 1000)
+    val wav = Wav.encode(16000, 2, samples)
+    assert(Wav.isWav(wav))
+    val (rate, ch, back) = Wav.decode(wav)
+    assert(rate === 16000 && ch === 2)
+    assert(back.toSeq === samples.toSeq)
+    // unknown chunks (LIST) are skipped per the RIFF spec: splice one in
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 1, 2, 3, 4)
+    val spliced = wav.take(12) ++ listChunk ++ wav.drop(12)
+    // fix the RIFF size field
+    val riffSize = spliced.length - 8
+    spliced(4) = riffSize.toByte; spliced(5) = (riffSize >> 8).toByte
+    spliced(6) = (riffSize >> 16).toByte; spliced(7) = (riffSize >> 24).toByte
+    val (r2, c2, s2) = Wav.decode(spliced)
+    assert(r2 === 16000 && c2 === 2 && s2.toSeq === samples.toSeq)
+    // malformed payloads are rejected with a clear message, not an AIOOBE
+    intercept[IllegalArgumentException] { Wav.decode(Array[Byte](1, 2, 3)) }
+    intercept[IllegalArgumentException] { Wav.decode(wav.take(50)) } // truncated data chunk
+  }
+
+  test("WAV resample keeps channels and scales frame count") {
+    val samples = MediaOps.seededPcm(7L, 800) // 400 stereo frames
+    val out = Wav.resample(samples, 2, 16000, 4000)
+    assert(out.length === 100 * 2) // 400 frames * 4000/16000 = 100 frames
+    // frame f maps to source frame f*4: channels stay aligned
+    assert(out(0) === samples(0) && out(1) === samples(1))
+    assert(out(2) === samples(8) && out(3) === samples(9))
+  }
+
+  test("audio expressions: meta, checksum, resample over the synthetic table") {
+    val df = MediaOps.fakeAudioTable(spark, 50, 4)
+    val m = df.select(MediaOps.audio_meta($"payload").as("m"))
+      .select($"m.valid", $"m.sample_rate", $"m.channels", $"m.n_samples").collect()
+    assert(m.length === 50)
+    assert(m.forall(_.getBoolean(0)))
+    assert(m.forall(r => Seq(8000, 16000).contains(r.getInt(1))))
+    // checksum is deterministic and content-derived
+    val a = df.select(MediaOps.sample_checksum($"payload").as("ck")).as[Long].collect()
+    val b = df.select(MediaOps.sample_checksum($"payload").as("ck")).as[Long].collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.distinct.length > 40) // different clips, different sums
+    // resample rewrites the header and the checksum changes with content
+    val rm = df.select(MediaOps.audio_meta(MediaOps.audio_resample($"payload", 4000)).as("m"))
+      .select($"m.valid", $"m.sample_rate").collect()
+    assert(rm.forall(r => r.getBoolean(0) && r.getInt(1) === 4000))
+  }
+
   test("image metadata parses from the binary payload; garbage is flagged") {
     val df = MediaOps.fakeMediaTable(spark, 40, 4)
       .filter($"media_type" === "image/fake")
