@@ -37,6 +37,10 @@ object PlanDump {
     dump("encoded-domain pushdown (blob_contains, no decode under the filter)",
       enc.filter(org.apache.spark.sql.functions.array_contains(
         graft.functions.decode_strings(col("e_lang")), "de")))
+    dump("encoded-domain RANGE pushdown (blob_contains_between, no decode)",
+      enc.filter(expr("exists(decode_longs(e_warc_ts), x -> x BETWEEN 1 AND 2000000000000000)")))
+    dump("encoded-domain STRING range pushdown (blob_contains_between_str)",
+      enc.filter(expr("exists(decode_strings(e_lang), x -> x >= 'd' AND x < 'e')")))
     dump("verify (single full-outer join on key)",
       EncodePipeline.verifyRoundTrip(docs, EncodePipeline.decode(enc, docs.schema), "url"))
 
