@@ -433,8 +433,20 @@ object SparkEntry {
           sum(when(col("m.valid"), 1L).otherwise(0L)).as("n_wav_valid"),
           sum(col("ck")).as("wav_sample_sum"),
           sum(when(col("rm.valid") && col("rm.sample_rate") === 4000, 1L).otherwise(0L)).as("n_wav_resampled"))
+      // the REAL video path: uncompressed-DIB AVI clips parsed by the
+      // pure-Scala Avi codec; every 2nd frame re-encodes as a real BMP and
+      // flows through the real image pixel decode — the checksum aggregates
+      // actual frame pixels (constants re-derived independently)
+      val avis = MediaOps.fakeAviTable(s, 40, 8)
+      val aviMeta = avis.select(MediaOps.video_meta(col("payload")).as("m"))
+        .agg(count(lit(1)).as("n_avi"),
+          sum(when(col("m.valid"), col("m.n_frames")).otherwise(0L)).as("n_avi_frames"))
+      val aviPix = avis
+        .select(explode(MediaOps.frame_sample(col("payload"), 2)).as("f"))
+        .select(MediaOps.pixel_checksum(col("f")).as("ck"))
+        .agg(count(lit(1)).as("n_avi_sampled"), sum(col("ck")).as("avi_pixel_sum"))
       metaOk.crossJoin(resized).crossJoin(frames).crossJoin(feats).crossJoin(bmps)
-        .crossJoin(wavs)
+        .crossJoin(wavs).crossJoin(aviMeta).crossJoin(aviPix)
     }),
     "q_embed_dims" -> ((s, dir) => {
       tbl(s, dir, "embeddings").agg(
@@ -635,7 +647,12 @@ object SparkEntry {
         // the seededPcm definition): 100 WAV clips, all valid, sample sum
         // -3287541, all 100 resample to 4 kHz with valid headers
         "CAST(100 AS BIGINT) AS n_wav, CAST(100 AS BIGINT) AS n_wav_valid, " +
-        "CAST(-3287541 AS BIGINT) AS wav_sample_sum, CAST(100 AS BIGINT) AS n_wav_resampled"),
+        "CAST(-3287541 AS BIGINT) AS wav_sample_sum, CAST(100 AS BIGINT) AS n_wav_resampled, " +
+        // AVI constants re-derived independently (python splitmix64 over the
+        // fakeAviTable definition): 40 clips, 220 frames total, 120 sampled
+        // at every-2nd, real-pixel checksum 19823810
+        "CAST(40 AS BIGINT) AS n_avi, CAST(220 AS BIGINT) AS n_avi_frames, " +
+        "CAST(120 AS BIGINT) AS n_avi_sampled, CAST(19823810 AS BIGINT) AS avi_pixel_sum"),
     "q_embed_dedup" ->
       ("WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
         "e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 1000000, list_transform(v, x -> x * 2) FROM e0), " +

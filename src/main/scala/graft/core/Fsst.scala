@@ -299,6 +299,11 @@ final class ByteWriter(initial: Int = 64) {
     buf(len + 2) = (v >>> 16).toByte; buf(len + 3) = (v >>> 24).toByte
     len += 4
   }
+  def writeShort(v: Int): Unit = {
+    ensure(2)
+    buf(len) = v.toByte; buf(len + 1) = (v >>> 8).toByte
+    len += 2
+  }
   def writeLong(v: Long): Unit = { writeInt(v.toInt); writeInt((v >>> 32).toInt) }
   def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
 }

@@ -198,16 +198,25 @@ object MediaOps {
     override protected def withNewChildInternal(c: Expression): ImageFeatureExpr = copy(child = c)
   }
 
-  /** video payload → array of frame image payloads, every `everyN`-th frame
-    * (STUB frame extraction; container math real) */
+  /** video payload → array of frame image payloads, every `everyN`-th
+    * frame. REAL for uncompressed-DIB AVI (Avi.decode — every sampled
+    * frame re-encodes as a real BMP, itself decodable by the full image
+    * path); STUB for the fake GVID container (no compressed-codec libs). */
   case class FrameSampleExpr(child: Expression, everyN: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
     override def prettyName: String = "frame_sample"
     override def nullSafeEval(input: Any): Any = {
       val payload = input.asInstanceOf[Array[Byte]]
+      if (Avi.isAvi(payload)) {
+        val (w, h, _, frames) = Avi.decode(payload)
+        val picked = (0 until frames.length by everyN).map { f =>
+          Bmp.encode(w, h, frames(f)): Any
+        }
+        return new GenericArrayData(picked.toArray)
+      }
       val r = new graft.core.ByteReader(payload)
-      require(r.readInt() == VideoMagic, "not a GVID payload")
+      require(r.readInt() == VideoMagic, "not a GVID/AVI payload")
       val frames = r.readInt(); val w = r.readInt(); val h = r.readInt()
       val seed = r.readLong()
       val picked = (0 until frames by everyN).map { f =>
@@ -216,6 +225,32 @@ object MediaOps {
       new GenericArrayData(picked.toArray)
     }
     override protected def withNewChildInternal(c: Expression): FrameSampleExpr = copy(child = c)
+  }
+
+  /** video payload → struct(valid, width, height, n_frames); REAL container
+    * parse for AVI, header parse for the GVID stub container */
+  case class VideoMetaExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("valid", BooleanType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)))
+    override def prettyName: String = "video_meta"
+    override def nullSafeEval(input: Any): Any = {
+      val payload = input.asInstanceOf[Array[Byte]]
+      if (Avi.isAvi(payload)) {
+        val (w, h, _, frames) = Avi.decode(payload)
+        org.apache.spark.sql.catalyst.InternalRow(true, w, h, frames.length)
+      } else if (payload != null && payload.length >= 24) {
+        val r = new graft.core.ByteReader(payload)
+        if (r.readInt() != VideoMagic) org.apache.spark.sql.catalyst.InternalRow(false, 0, 0, 0)
+        else {
+          val frames = r.readInt(); val w = r.readInt(); val h = r.readInt()
+          org.apache.spark.sql.catalyst.InternalRow(true, w, h, frames)
+        }
+      } else org.apache.spark.sql.catalyst.InternalRow(false, 0, 0, 0)
+    }
+    override protected def withNewChildInternal(c: Expression): VideoMetaExpr = copy(child = c)
   }
 
   // ---- audio (REAL codec: pure-Scala RIFF/WAVE PCM-16, Wav.scala) ----
@@ -277,6 +312,7 @@ object MediaOps {
   def image_resize(c: Column, w: Int, h: Int): Column = toCol(ResizeExpr(toExpr(c), w, h))
   def image_feature(c: Column, dim: Int): Column = toCol(ImageFeatureExpr(toExpr(c), dim))
   def frame_sample(c: Column, everyN: Int): Column = toCol(FrameSampleExpr(toExpr(c), everyN))
+  def video_meta(c: Column): Column = toCol(VideoMetaExpr(toExpr(c)))
 
   /** batch-shaped processing (the mapInPandas analog in Scala): the function
     * sees fixed-size batches of payloads, never single rows and never a whole
@@ -321,6 +357,19 @@ object MediaOps {
       val rate = if (i % 3 == 0) 16000 else 8000
       val frames = 400 + (i % 100).toInt
       (i, "audio/wav", Wav.encode(rate, channels, seededPcm(seed, frames * channels)))
+    }.toDF("doc_id", "media_type", "payload")
+  }
+
+  /** deterministic synthetic video table: REAL uncompressed-DIB AVI clips
+    * (every frame a seeded RGB field, fully decodable by Avi.decode) */
+  def fakeAviTable(spark: SparkSession, n: Long, partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val seed = graft.core.Bits.mix(i ^ 0xA71L)
+      val w = 24; val h = 18
+      val nFrames = 4 + (i % 4).toInt
+      val frames = (0 until nFrames).map(f => seededRgb(graft.core.Bits.mix(seed ^ f), w, h))
+      (i, "video/avi", Avi.encode(w, h, fps = 10, frames))
     }.toDF("doc_id", "media_type", "payload")
   }
 
