@@ -440,6 +440,41 @@ object EncodePipeline {
       .join(broadcast(parts), Seq("__part"), "left_semi")
   }
 
+  /** RANGE-probe pruning: parts whose manifest [value_lo, value_hi] zone
+    * maps intersect [lo, hi] — the interval counterpart of the point probe
+    * (Iceberg range-scan manifest skipping). Old-era rows kept. */
+  def readDataPrunedRange(spark: SparkSession, outDir: String,
+                          column: String, lo: Long, hi: Long): DataFrame = {
+    val meta = readMeta(spark, outDir)
+    val isOldRow =
+      if (meta.columns.contains("data_files")) col("data_files").isNull else lit(true)
+    val parts = meta
+      .filter(col("column") === column &&
+        (isOldRow || (col("value_lo") <= hi && col("value_hi") >= lo)))
+      .select("__part").distinct()
+    spark.read.parquet(s"$outDir/data")
+      .join(broadcast(parts), Seq("__part"), "left_semi")
+  }
+
+  /** string RANGE-probe pruning: parts whose truncated byte-string zone
+    * maps intersect [lo, hi] (unsigned-lexicographic; null str_hi =
+    * unbounded above). Old-era rows kept; all-null parts pruned. */
+  def readDataPrunedRange(spark: SparkSession, outDir: String,
+                          column: String, lo: String, hi: String): DataFrame = {
+    val loB = lit(lo.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hiB = lit(hi.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val meta = readMeta(spark, outDir)
+    val isOldRow =
+      if (meta.columns.contains("data_files")) col("data_files").isNull else lit(true)
+    val admits = col("str_lo").isNotNull &&
+      col("str_lo") <= hiB && (col("str_hi").isNull || col("str_hi") >= loB)
+    val parts = meta
+      .filter(col("column") === column && (isOldRow || admits))
+      .select("__part").distinct()
+    spark.read.parquet(s"$outDir/data")
+      .join(broadcast(parts), Seq("__part"), "left_semi")
+  }
+
   /** IS NULL-probe pruning: only parts whose manifest null_value_count for
     * `column` is > 0 can contain null rows — an all-non-null column's parts
     * are never opened (Iceberg null_value_counts manifest skipping).

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 
-import graft.functions.{BlobContains, BlobContainsBetween, BlobContainsBetweenStr, BlobCountBetween, BlobCountBetweenStr, DecodeBinary, DecodeLongs, DecodeStrings}
+import graft.functions.{BlobContains, BlobContainsBetween, BlobContainsBetweenStr, BlobCountBetween, BlobCountBetweenStr, BlobNullCount, DecodeBinary, DecodeLongs, DecodeStrings}
 
 /** Encoded-domain predicate pushdown (SURVEY.md §4 extension point): a
   * membership or range test against a *decoded* block —
@@ -32,6 +32,17 @@ object EncodedFilterRule extends Rule[LogicalPlan] {
     case ArrayContains(DecodeStrings(blob), v @ Literal(_, StringType)) => BlobContains(blob, v)
     case ArrayContains(DecodeBinary(blob), v @ Literal(_, BinaryType))  => BlobContains(blob, v)
     case ArrayContains(DecodeLongs(blob), v @ Literal(_, LongType))     => BlobContains(blob, v)
+
+    // exists(decode_*(b), x -> x IS NULL) — answered from the null-wrapper
+    // header alone (blob_null_count popcounts the bitmap; no payload
+    // decode). The lambda is never null, so the exists is two-valued and
+    // the rewrite is exact regardless of the 3VL flag.
+    case ArrayExists(DecodeLongs(blob),
+        LambdaFunction(IsNull(x), Seq(v: NamedLambdaVariable), _), _) if x.semanticEquals(v) =>
+      GreaterThan(BlobNullCount(blob), Literal(0L, LongType))
+    case ArrayExists(DecodeStrings(blob),
+        LambdaFunction(IsNull(x), Seq(v: NamedLambdaVariable), _), _) if x.semanticEquals(v) =>
+      GreaterThan(BlobNullCount(blob), Literal(0L, LongType))
 
     // exists(decode_longs(b), x -> <literal range / equality on x>).
     // Guarded on followThreeValuedLogic=true: the rewrites reproduce the

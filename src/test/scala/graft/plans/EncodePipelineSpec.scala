@@ -131,6 +131,37 @@ class EncodePipelineSpec extends SparkTestBase {
     assert(nDe > 0)
   }
 
+  test("range-probe manifest pruning for long and string columns") {
+    val events = sf("events").select(col("event_id"), col("user_id"))
+    val maxId = events.agg(max(col("event_id"))).head().getLong(0)
+    val rangePart = least(floor(col("event_id") / lit(maxId / 8 + 1)), lit(7)).cast("int")
+    val out = tmpDir()
+    EncodePipeline.run(events, "event_id", out, partitions = 8, blockSize = 128,
+      customPart = Some(rangePart))
+    val lo = 10L; val hi = maxId / 8 // inside the first range partition
+    val pruned = EncodePipeline.readDataPrunedRange(spark, out, "event_id", lo, hi)
+    val all = EncodePipeline.readData(spark, out)
+    assert(pruned.select("__part").distinct().count() < all.select("__part").distinct().count())
+    val n = EncodePipeline.decode(pruned, events.schema)
+      .filter(col("event_id").between(lo, hi)).count()
+    assert(n === events.filter(col("event_id").between(lo, hi)).count())
+    assert(n > 0)
+    // string range over lang-partitioned documents
+    val docs = sf("documents").select(col("doc_id"), col("lang"))
+    val out2 = tmpDir()
+    EncodePipeline.run(docs, "doc_id", out2, partitions = 8, blockSize = 128,
+      customPart = Some(pmod(xxhash64(col("lang")), lit(8)).cast("int")))
+    val prunedS = EncodePipeline.readDataPrunedRange(spark, out2, "lang", "d", "e")
+    val allS = EncodePipeline.readData(spark, out2)
+    assert(prunedS.select("__part").distinct().count() < allS.select("__part").distinct().count())
+    val nS = EncodePipeline.decode(prunedS, docs.schema)
+      .filter(col("lang") >= "d" && col("lang") <= "e").count()
+    assert(nS === docs.filter(col("lang") >= "d" && col("lang") <= "e").count())
+    assert(nS > 0)
+    // absent range: zero parts opened
+    assert(EncodePipeline.readDataPrunedRange(spark, out2, "lang", "zx", "zz").count() === 0L)
+  }
+
   test("null_value_counts manifest prunes IS NULL probes (Iceberg parity)") {
     // nulls planted ONLY in partition 3; lang never null
     val docs = sf("documents").select(col("doc_id"), col("lang"))

@@ -150,6 +150,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(eqPlan.contains("blob_contains") && !eqPlan.contains("decode_strings"), eqPlan)
   }
 
+  test("IS NULL pushdown: exists(decode, x -> x IS NULL) reads only the wrapper header") {
+    import graft.functions._
+    val docs = WebDocGen.dataset(spark, 200, 2).toDF()
+      .withColumn("text", when(pmod(xxhash64(col("url")), lit(7)) === 0, lit(null)).otherwise(col("text")))
+    val enc = EncodePipeline.encode(docs, "url", 2, 64)
+    val f = enc.filter(expr("exists(decode_strings(e_text), x -> x IS NULL)"))
+    val plan = f.queryExecution.optimizedPlan.toString
+    assert(plan.contains("blob_null_count"), plan)
+    assert(!plan.contains("decode_strings"), plan)
+    val viaBlob = f.count()
+    val viaDecode = enc.select(col("__part"), col("__block"),
+        explode(decode_strings(col("e_text"))).as("t"))
+      .groupBy(col("__part"), col("__block"))
+      .agg(sum(when(col("t").isNull, 1).otherwise(0)).as("nn"))
+      .filter(col("nn") > 0).count()
+    // explode drops null elements — count blocks via the null-preserving route
+    val viaDecode2 = enc.select(col("__part"), col("__block"),
+        expr("size(filter(decode_strings(e_text), x -> x IS NOT NULL))").as("nonNull"),
+        expr("size(decode_strings(e_text))").as("all"))
+      .filter(col("all") > col("nonNull")).count()
+    assert(viaBlob === viaDecode2, s"explode-based $viaDecode")
+    assert(viaBlob > 0)
+    // long variant
+    val docs2 = WebDocGen.dataset(spark, 200, 2).toDF()
+      .withColumn("warc_ts", when(pmod(xxhash64(col("url")), lit(5)) === 0, lit(null)).otherwise(col("warc_ts")))
+    val enc2 = EncodePipeline.encode(docs2, "url", 2, 64)
+    val f2 = enc2.filter(expr("exists(decode_longs(e_warc_ts), x -> x IS NULL)"))
+    assert(f2.queryExecution.optimizedPlan.toString.contains("blob_null_count"))
+    assert(f2.count() > 0)
+  }
+
   test("encode lineage has exactly ONE shuffle") {
     val docs = WebDocGen.dataset(spark, 100, 2).toDF()
     val rdd = org.apache.spark.sql.graftshim.Bridge.toRdd(
