@@ -89,7 +89,12 @@ object Bench {
   private final case class PairResult(lo: Int, hi: Int, visits: Seq[Visit],
                                       rows: Long, secLo: Double, secHi: Double,
                                       speedup: Double, eff: Double, ceiling: Double) {
-    def pass: Boolean = eff >= 0.8 || (ceiling > 0 && eff >= ceiling)
+    def calmVisits: Int = visits.count(_.calm)
+    /** a pair passes only on CALM evidence: a storm can inflate the ratio
+      * arbitrarily (a lo leg that ate a storm makes any hi leg look
+      * super-linear), so efficiency from storm-flagged visits — however
+      * high — proves nothing */
+    def pass: Boolean = calmVisits > 0 && (eff >= 0.8 || (ceiling > 0 && eff >= ceiling))
   }
 
   /** total steal ticks from /proc/stat (cpu line, field 8) — the in-band
@@ -249,11 +254,17 @@ object Bench {
             val pMid = quickProbeMbps()
             val (tHi, sHi) = timedAt(hi, curRows)
             val pEnd = quickProbeMbps()
-            estVisitSec = (System.nanoTime() - vStart) / 1e9 + 10
+            val wall = (System.nanoTime() - vStart) / 1e9 + 10
             // a visit is calm iff its bracketing probes stayed healthy AND
             // neither leg accumulated storm-level steal (ticks/leg-second)
             val legCalm = p0 >= calmMbps * 0.6 && pMid >= calmMbps * 0.6 && pEnd >= calmMbps * 0.6 &&
               sLo / math.max(tLo, 0.1) <= calmSteal * 3 && sHi / math.max(tHi, 0.1) <= calmSteal * 3
+            // budget estimate: learn from CALM visits only — one
+            // storm-stretched visit (r4 first run: 340 s for a 40 s job)
+            // must not poison the budget math and block the retry the
+            // storm's passing would make cheap
+            if (legCalm) estVisitSec = wall
+            else estVisitSec = math.min(estVisitSec, math.max(wall / 2, 90.0))
             visits += Visit(curRows, tLo, tHi, p0, pMid, pEnd, sLo, sHi, legCalm)
             if (legCalm) stormyStreak = 0
             else {
@@ -291,7 +302,8 @@ object Bench {
         f"""{"cores_lo":${pr.lo},"cores_hi":${pr.hi},"rows":${pr.rows},"sec_lo":${pr.secLo}%.3f,"sec_hi":${pr.secHi}%.3f,""" +
           f""""gbps_lo":${gbPair / pr.secLo}%.4f,"gbps_hi":${gbPair / pr.secHi}%.4f,""" +
           f""""speedup":${pr.speedup}%.3f,"efficiency":${pr.eff}%.3f,""" +
-          f""""window_ceiling":${pr.ceiling}%.3f,"pass":${pr.pass},"visits":$visitJson}"""
+          f""""window_ceiling":${pr.ceiling}%.3f,"calm_visits":${pr.calmVisits},""" +
+          f""""pass":${pr.pass},"visits":$visitJson}"""
       }.mkString("[", ",", "]")
       def probeJson(p: Seq[(Int, Double)]) =
         p.map { case (n, mbps) => f"""{"threads":$n,"mbps":$mbps%.1f}""" }.mkString("[", ",", "]")
