@@ -87,6 +87,17 @@ object KernelBench {
     bench("raw decode (text)", textBytes, 4) { Codecs.decodeStrs(rawBlob) }
     bench("raw decode VIEW (text)", textBytes, 4) { Codecs.decodeStrsView(rawBlob) }
 
+    // front coding on sorted urls (the e_url shape: sortWithinPartitions on key)
+    val urlRows: Array[Array[Byte]] = (0 until strN)
+      .map(i => s"https://host-${i % 97}.example.com/section-${i / 512}/page-$i.html")
+      .sorted.map(_.getBytes("UTF-8")).toArray
+    val urlBytes = urlRows.map(_.length.toLong).sum
+    bench("prefix encode (urls)", urlBytes, 4) { Codecs.encodeStrsAs(urlRows, Codecs.PrefixStr) }
+    val pfxBlob = Codecs.encodeStrsAs(urlRows, Codecs.PrefixStr)
+    println(f"prefix ratio (urls)          ${urlBytes.toDouble / pfxBlob.length}%10.2fx")
+    bench("prefix decode (urls)", urlBytes, 4) { Codecs.decodeStrs(pfxBlob) }
+    bench("prefix decode VIEW (urls)", urlBytes, 4) { Codecs.decodeStrsView(pfxBlob) }
+
     // raw FSST kernel on one big buffer (no per-row framing)
     val big = sb.toString.getBytes("UTF-8")
     val table = Fsst.train(java.util.Arrays.copyOf(big, 1 << 14))

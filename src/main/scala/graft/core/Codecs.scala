@@ -41,6 +41,7 @@ object Codecs {
   final val RleDict = 19
   final val FsstId = 20
   final val NullStr = 21 // wrapper: null bitmap + inner string blob of non-nulls
+  final val PrefixStr = 22 // front coding (Parquet DELTA_BYTE_ARRAY analog)
 
   def codecName(id: Int): String = id match {
     case ConstLong => "const"
@@ -53,6 +54,7 @@ object Codecs {
     case DictId    => "dict"
     case RleDict   => "rle_dict"
     case FsstId    => "fsst"
+    case PrefixStr => "prefix"
     case NullLong | NullStr => "nulls"
     case other     => s"unknown($other)"
   }
@@ -225,7 +227,8 @@ object Codecs {
   // ======================== Byte/string columns ========================
 
   final case class StrStats(count: Int, totalBytes: Long, ndv: Int, runs: Int,
-                            dictBytes: Long, maxLen: Int)
+                            dictBytes: Long, maxLen: Int,
+                            prefixSaved: Long, maxLcp: Int)
 
   /** 64-bit content hash (splitmix-mixed 8-byte words) for ndv estimation. */
   @inline private def hash64(b: Array[Byte]): Long = {
@@ -252,8 +255,10 @@ object Codecs {
   final class StrIndex(val count: Int, val codeOf: Array[Int],
                        val distinct: Array[Array[Byte]], val ndv: Int,
                        val totalBytes: Long, val dictBytes: Long,
-                       val runs: Int, val maxLen: Int) {
-    def stats: StrStats = StrStats(count, totalBytes, ndv, runs, dictBytes, maxLen)
+                       val runs: Int, val maxLen: Int,
+                       val prefixSaved: Long, val maxLcp: Int) {
+    def stats: StrStats =
+      StrStats(count, totalBytes, ndv, runs, dictBytes, maxLen, prefixSaved, maxLcp)
   }
 
   def strIndex(vs: Array[Array[Byte]]): StrIndex = {
@@ -270,12 +275,23 @@ object Codecs {
     var hashOfCode = new Array[Long](64)
     var nd = 0
     var total = 0L; var db = 0L; var rn = 1; var ml = 0
+    var pfxSaved = 0L; var maxLcp = 0
     var i = 0
     while (i < vs.length) {
       val v = vs(i)
       total += v.length
       if (v.length > ml) ml = v.length
-      if (i > 0 && !java.util.Arrays.equals(v, vs(i - 1))) rn += 1
+      if (i > 0) {
+        // longest common prefix vs the previous value — drives the
+        // front-coding (prefix) codec estimate; equal arrays ⟺ lcp = len
+        val prev = vs(i - 1)
+        val lim = math.min(v.length, prev.length)
+        var l = 0
+        while (l < lim && v(l) == prev(l)) l += 1
+        pfxSaved += l
+        if (l > maxLcp) maxLcp = l
+        if (!(l == v.length && v.length == prev.length)) rn += 1
+      }
       var h = hash64(v)
       if (h == 0L) h = 1L
       var idx = (h & mask).toInt
@@ -311,7 +327,7 @@ object Codecs {
       codeOf(i) = code
       i += 1
     }
-    new StrIndex(vs.length, codeOf, dist, nd, total, db, rn, ml)
+    new StrIndex(vs.length, codeOf, dist, nd, total, db, rn, ml, pfxSaved, maxLcp)
   }
 
   def analyzeStrs(vs: Array[Array[Byte]]): StrStats = strIndex(vs).stats
@@ -330,6 +346,13 @@ object Codecs {
           BitPack.packedByteLen(s.runs, 32).toLong else Long.MaxValue),
       FsstId -> (if (s.totalBytes >= 64)
         (s.totalBytes * fsstRatio).toLong + 300 + BitPack.packedByteLen(s.count, lenW).toLong
+      else Long.MaxValue),
+      // front coding: suffix bytes + two packed length streams. Only a
+      // candidate when adjacent values actually share prefixes (sorted or
+      // clustered blocks — urls sorted within a partition are the target).
+      PrefixStr -> (if (s.prefixSaved > s.count)
+        8L + BitPack.packedByteLen(s.count, BitPack.bitsNeeded(math.max(s.maxLcp, 1))).toLong +
+          BitPack.packedByteLen(s.count, lenW).toLong + (s.totalBytes - s.prefixSaved)
       else Long.MaxValue)
     )
   }
@@ -425,6 +448,43 @@ object Codecs {
         return encodeDictWith(vs.length, strIndex(vs), id)
       case FsstId =>
         return encodeFsstWith(vs, Fsst.train(fsstSample(vs)))
+      case PrefixStr =>
+        // front coding (Parquet DELTA_BYTE_ARRAY): per value, the longest
+        // common prefix with its predecessor is stored as a length; only
+        // the suffix bytes are written. Wins on sorted/clustered blocks
+        // (urls sorted within a partition share long scheme://host/ runs).
+        val n = vs.length
+        val lcps = new Array[Long](n)
+        val sufs = new Array[Long](n)
+        var maxL = 0L; var maxS = 0L
+        var i = 0
+        while (i < n) {
+          var l = 0
+          if (i > 0) {
+            val prev = vs(i - 1); val v = vs(i)
+            val lim = math.min(v.length, prev.length)
+            while (l < lim && v(l) == prev(l)) l += 1
+          }
+          lcps(i) = l
+          sufs(i) = vs(i).length - l
+          if (lcps(i) > maxL) maxL = lcps(i)
+          if (sufs(i) > maxS) maxS = sufs(i)
+          i += 1
+        }
+        val lcpW = BitPack.bitsNeeded(math.max(maxL, 1))
+        val sufW = BitPack.bitsNeeded(math.max(maxS, 1))
+        w.writeByte(PrefixStr); w.writeInt(n)
+        w.writeByte(lcpW); w.writeByte(sufW)
+        w.writeBytes(BitPack.pack(lcps, lcpW))
+        w.writeBytes(BitPack.pack(sufs, sufW))
+        i = 0
+        while (i < n) {
+          val v = vs(i)
+          val off = lcps(i).toInt
+          var j = off
+          while (j < v.length) { w.writeByte(v(j)); j += 1 }
+          i += 1
+        }
       case other => throw new IllegalArgumentException(s"not a string codec id: $other")
     }
     w.toArray
@@ -520,6 +580,23 @@ object Codecs {
           val start = r.pos
           out(i) = table.decompress(r.buf, start, start + lens(i))
           r.pos += lens(i)
+          i += 1
+        }
+        out
+      case PrefixStr =>
+        val lcpW = r.readByte() & 0xff
+        val sufW = r.readByte() & 0xff
+        val lcps = BitPack.unpack(r.readBytes(BitPack.packedByteLen(count, lcpW)), lcpW, count)
+        val sufs = BitPack.unpack(r.readBytes(BitPack.packedByteLen(count, sufW)), sufW, count)
+        val out = new Array[Array[Byte]](count)
+        var i = 0
+        while (i < count) {
+          val lcp = lcps(i).toInt; val suf = sufs(i).toInt
+          val v = new Array[Byte](lcp + suf)
+          if (lcp > 0) System.arraycopy(out(i - 1), 0, v, 0, lcp)
+          System.arraycopy(blob, r.pos, v, lcp, suf)
+          r.pos += suf
+          out(i) = v
           i += 1
         }
         out
@@ -628,6 +705,31 @@ object Codecs {
           offs(i) = used; lens(i) = n
           used += n
           r.pos += compLens(i)
+          i += 1
+        }
+        new StrView(count, buf, offs, lens)
+      case PrefixStr =>
+        val lcpW = r.readByte() & 0xff
+        val sufW = r.readByte() & 0xff
+        val lcps = BitPack.unpack(r.readBytes(BitPack.packedByteLen(count, lcpW)), lcpW, count)
+        val sufs = BitPack.unpack(r.readBytes(BitPack.packedByteLen(count, sufW)), sufW, count)
+        var total = 0L
+        var i = 0
+        while (i < count) { total += lcps(i) + sufs(i); i += 1 }
+        // every value fully materialized once into ONE shared buffer
+        // (prefix copied from its predecessor's slice, suffix from the blob)
+        val buf = new Array[Byte](total.toInt)
+        val offs = new Array[Int](count)
+        val lens = new Array[Int](count)
+        var used = 0
+        i = 0
+        while (i < count) {
+          val lcp = lcps(i).toInt; val suf = sufs(i).toInt
+          offs(i) = used; lens(i) = lcp + suf
+          if (lcp > 0) System.arraycopy(buf, offs(i - 1), buf, used, lcp)
+          System.arraycopy(blob, r.pos, buf, used + lcp, suf)
+          r.pos += suf
+          used += lcp + suf
           i += 1
         }
         new StrView(count, buf, offs, lens)
@@ -806,6 +908,38 @@ object Codecs {
           if (lens(i) == comp.length &&
               java.util.Arrays.equals(blob, r.pos, r.pos + lens(i), comp, 0, comp.length)) n += 1
           r.pos += lens(i)
+          i += 1
+        }
+        n
+      case PrefixStr =>
+        // front-coded equality without materializing values: a value equals
+        // the target iff its length matches AND its retained prefix agrees
+        // with the target up to lcp AND its suffix bytes equal the target's
+        // tail. Track how far the target matches the running value prefix.
+        val lcpW = r.readByte() & 0xff
+        val sufW = r.readByte() & 0xff
+        val lcps = BitPack.unpack(r.readBytes(BitPack.packedByteLen(count, lcpW)), lcpW, count)
+        val sufs = BitPack.unpack(r.readBytes(BitPack.packedByteLen(count, sufW)), sufW, count)
+        var n = 0L
+        // matchedPfx = length of the longest prefix of `target` that the
+        // PREVIOUS value shares with target
+        var matchedPfx = 0
+        var i = 0
+        while (i < count) {
+          val lcp = lcps(i).toInt; val suf = sufs(i).toInt
+          // this value's shared-with-target prefix: limited by the part it
+          // retained from the previous value
+          var m = math.min(matchedPfx, lcp)
+          // the match can only extend into the suffix region if it reached
+          // it — positions m..lcp-1 are known mismatches otherwise
+          if (m == lcp) {
+            var j = 0
+            while (lcp + j < target.length && j < suf && blob(r.pos + j) == target(lcp + j)) j += 1
+            m = lcp + j
+          }
+          if (lcp + suf == target.length && m == target.length) n += 1
+          matchedPfx = m
+          r.pos += suf
           i += 1
         }
         n
@@ -1054,6 +1188,24 @@ object Codecs {
         var n = 0L; var i = 0
         while (i < vs.length) { if (inRange(vs(i))) n += 1; i += 1 }
         n
+      case PrefixStr =>
+        // materialize once into the shared view buffer, compare slices
+        val view = decodeStrsView(blob)
+        var n = 0L; var i = 0
+        while (i < view.n) {
+          val off = view.offs(i); val len = view.lens(i)
+          val okLo = lo == null || {
+            val c = java.util.Arrays.compareUnsigned(view.buf, off, off + len, lo, 0, lo.length)
+            c > 0 || (loInc && c == 0)
+          }
+          val okHi = hi == null || {
+            val c = java.util.Arrays.compareUnsigned(view.buf, off, off + len, hi, 0, hi.length)
+            c < 0 || (hiInc && c == 0)
+          }
+          if (okLo && okHi) n += 1
+          i += 1
+        }
+        n
       case other => throw new IllegalArgumentException(s"not a string codec id: $other")
     }
   }
@@ -1143,7 +1295,7 @@ object Codecs {
         while (i < ndv - 1) { r.pos += dictLens(i); i += 1 }
         val last = if (ndv == 1) first else r.readBytes(dictLens(ndv - 1))
         (truncLo(first, trunc), truncHi(last, trunc))
-      case RawStr | FsstId =>
+      case RawStr | FsstId | PrefixStr =>
         val vs = decodeStrs(blob)
         var mn = vs(0); var mx = vs(0)
         var i = 1

@@ -57,6 +57,7 @@ package object functions {
     case ("dict", false)     => Codecs.DictId
     case ("rle_dict", false) => Codecs.RleDict
     case ("fsst", false)     => Codecs.FsstId
+    case ("prefix", false)   => Codecs.PrefixStr
     case other               => throw new IllegalArgumentException(s"unknown codec $other")
   }
 

@@ -258,6 +258,54 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.countBetweenStr(wrapped, null, true, null, true) === 2L) // nulls not counted
   }
 
+  test("prefix (front-coding) round-trips; selector picks it for sorted urls") {
+    // sorted url-like block: long shared scheme://host/ prefixes
+    val hosts = Seq("alpha.example.com", "beta.example.org", "gamma.example.net")
+    val urls = (for (h <- hosts; i <- 0 until 200)
+      yield s"https://$h/articles/2026/section-${i / 20}/page-$i.html").sorted
+    val block = urls.map(_.getBytes(UTF_8)).toArray
+    val auto = Codecs.encodeStrs(block)
+    assert(Codecs.codecOf(auto) === "prefix", Codecs.codecOf(auto))
+    assert(Codecs.decodeStrs(auto).map(new String(_, UTF_8)).toSeq === urls)
+    // and it genuinely beats raw by a wide margin on this shape
+    val raw = Codecs.encodeStrsAs(block, Codecs.RawStr)
+    assert(auto.length * 2 < raw.length, s"prefix ${auto.length} vs raw ${raw.length}")
+    // adversarial shapes round-trip when forced
+    for (vs <- Seq(
+      strs("solo"),
+      strs("", "", "a", "ab", "abc", "abd", "b"),
+      strs("zz", "aa", "zz", "aa"), // unsorted: lcp 0 everywhere
+      strs("sameprefix-x", "sameprefix-y", "sameprefix-y", "sameprefix-z"))) {
+      val blob = Codecs.encodeStrsAs(vs, Codecs.PrefixStr)
+      assert(Codecs.decodeStrs(blob).toSeq.map(_.toSeq) === vs.toSeq.map(_.toSeq))
+    }
+  }
+
+  test("prefix blob encoded-domain predicates: countEq incremental match, countBetween, range") {
+    val vs = strs("app", "apple", "apples", "apply", "apply", "banana", "band", "bandage", "xylophone")
+    val blob = Codecs.encodeStrsAs(vs, Codecs.PrefixStr)
+    assert(Codecs.codecOf(blob) === "prefix")
+    // equality: every present value, a prefix of a present value, an absent value
+    for (t <- Seq("app", "apple", "apples", "apply", "banana", "band", "bandage", "xylophone",
+                  "appl", "ap", "bandages", "zzz", "")) {
+      val expected = vs.count(v => new String(v, UTF_8) == t).toLong
+      assert(Codecs.countEqStr(blob, t.getBytes(UTF_8)) === expected, s"target '$t'")
+    }
+    // ranges (differential against the raw codec, whose path is independent)
+    val rawBlob = Codecs.encodeStrsAs(vs, Codecs.RawStr)
+    for ((lo, loInc, hi, hiInc) <- Seq(
+      ("app", true, "apply", true), ("app", false, "apply", false),
+      (null, true, "band", true), ("banana", true, null, true), (null, true, null, true))) {
+      val loB = if (lo == null) null else lo.getBytes(UTF_8)
+      val hiB = if (hi == null) null else hi.getBytes(UTF_8)
+      assert(Codecs.countBetweenStr(blob, loB, loInc, hiB, hiInc) ===
+        Codecs.countBetweenStr(rawBlob, loB, loInc, hiB, hiInc), s"bounds ($lo,$hi)")
+    }
+    val (lo, hi) = Codecs.rangeOfStr(blob)
+    assert(java.util.Arrays.compareUnsigned(lo, "app".getBytes(UTF_8)) <= 0)
+    assert(hi == null || java.util.Arrays.compareUnsigned(hi, "xylophone".getBytes(UTF_8)) >= 0)
+  }
+
   test("decodeStrsView slices equal the copying decode for every codec and null shape") {
     def check(blob: Array[Byte]): Unit = {
       val copies = Codecs.decodeStrsN(blob)
@@ -274,7 +322,7 @@ class CodecsSpec extends AnyFunSuite {
     val words = "web page data site of the and with for".split(" ")
     val r = new scala.util.Random(9)
     val block = Array.fill(200)((1 to 12).map(_ => words(r.nextInt(words.length))).mkString(" ").getBytes(UTF_8))
-    for (id <- Seq(Codecs.RawStr, Codecs.DictId, Codecs.RleDict, Codecs.FsstId))
+    for (id <- Seq(Codecs.RawStr, Codecs.DictId, Codecs.RleDict, Codecs.FsstId, Codecs.PrefixStr))
       check(Codecs.encodeStrsAs(block, id))
     check(Codecs.encodeStrsAs(strs("k", "k", "k"), Codecs.ConstStr))
     check(Codecs.encodeStrs(strs("", "x", "", "yz"))) // empties
