@@ -257,8 +257,15 @@ object Bench {
             val wall = (System.nanoTime() - vStart) / 1e9 + 10
             // a visit is calm iff its bracketing probes stayed healthy AND
             // neither leg accumulated storm-level steal (ticks/leg-second)
+            // AND the ratio is not super-linear beyond noise (speedup above
+            // cores-ratio is physically impossible except via drift hitting
+            // the lo leg — probes are point samples and can miss it). The
+            // complementary check a reader can run from the JSON: core-
+            // seconds per leg (sec*cores) agree for a valid visit even in a
+            // uniformly slow window.
             val legCalm = p0 >= calmMbps * 0.6 && pMid >= calmMbps * 0.6 && pEnd >= calmMbps * 0.6 &&
-              sLo / math.max(tLo, 0.1) <= calmSteal * 3 && sHi / math.max(tHi, 0.1) <= calmSteal * 3
+              sLo / math.max(tLo, 0.1) <= calmSteal * 3 && sHi / math.max(tHi, 0.1) <= calmSteal * 3 &&
+              tLo / tHi <= (hi.toDouble / lo) * 1.15
             // budget estimate: learn from CALM visits only — one
             // storm-stretched visit (r4 first run: 340 s for a 40 s job)
             // must not poison the budget math and block the retry the
@@ -294,7 +301,12 @@ object Bench {
       val probePost = probeWindow
       val pairJson = results.map { pr =>
         val visitJson = pr.visits.map { v =>
+          // work_ratio = (sec_lo*lo)/(sec_hi*hi): ≈1 when both legs did the
+          // same core-seconds of work — valid-visit evidence even when the
+          // whole window was uniformly slow
+          val workRatio = v.secLo * pr.lo / (v.secHi * pr.hi)
           f"""{"rows":${v.rows},"sec_lo":${v.secLo}%.3f,"sec_hi":${v.secHi}%.3f,"ratio":${v.ratio}%.3f,""" +
+            f""""work_ratio":$workRatio%.3f,""" +
             f""""calm":${v.calm},"probe_pre_mbps":${v.probePre}%.1f,"probe_mid_mbps":${v.probeMid}%.1f,""" +
             f""""probe_end_mbps":${v.probeEnd}%.1f,"steal_lo_ticks":${v.stealLo},"steal_hi_ticks":${v.stealHi}}"""
         }.mkString("[", ",", "]")
