@@ -102,6 +102,14 @@ object SparkEntry {
       val rt = strRoundTrip(d, col("text"), expr("doc_id DIV 4096"), Some("fsst"))
       rt.crossJoin(d.agg(sum(octet_length(col("text"))).cast("long").as("total_bytes")))
     }),
+    "q_prefix_roundtrip" -> ((s, dir) => {
+      // front coding (Parquet DELTA_BYTE_ARRAY analog): sort_array gives the
+      // sorted block shape the codec targets; oracle pins bit-identical
+      // decode plus the total byte mass the lengths must reconstruct
+      val d = tbl(s, dir, "documents")
+      val rt = strRoundTrip(d, col("source"), expr("doc_id DIV 4096"), Some("prefix"))
+      rt.crossJoin(d.agg(sum(octet_length(col("source"))).cast("long").as("total_bytes")))
+    }),
     "q_auto_roundtrip" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
       val a = longRoundTrip(e, col("user_id"), expr("event_id DIV 4096"), None)
@@ -521,6 +529,9 @@ object SparkEntry {
     "q_fsst_roundtrip" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch, " +
         "CAST(sum(strlen(text)) AS BIGINT) AS total_bytes FROM documents"),
+    "q_prefix_roundtrip" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch, " +
+        "CAST(sum(strlen(source)) AS BIGINT) AS total_bytes FROM documents"),
     "q_auto_roundtrip" ->
       "SELECT CAST(2 * count(*) AS BIGINT) AS n_values, CAST(0 AS BIGINT) AS n_mismatch FROM events",
     "q_bitwidth_hist" ->

@@ -97,6 +97,31 @@ object EncodedFilterRule extends Rule[LogicalPlan] {
           Cast(BlobCountBetweenStr(blob, binLit(r.lo), binLit(r.hi), r.loInc, r.hiInc), IntegerType)
         case _ => sz
       }
+
+    // binary-column parity: the byte-string kernels compare unsigned
+    // lexicographic exactly like Spark's BinaryType ordering, so the same
+    // rewrites apply to decode_binary blocks
+    case ArrayExists(DecodeBinary(blob),
+        LambdaFunction(IsNull(x), Seq(v: NamedLambdaVariable), _), _) if x.semanticEquals(v) =>
+      GreaterThan(BlobNullCount(blob), Literal(0L, LongType))
+    case ae @ ArrayExists(DecodeBinary(blob),
+        LambdaFunction(body, Seq(v: NamedLambdaVariable), _), true) =>
+      body match {
+        case EqualTo(x, l @ Literal(_, BinaryType)) if x.semanticEquals(v) => BlobContains(blob, l)
+        case EqualTo(l @ Literal(_, BinaryType), x) if x.semanticEquals(v) => BlobContains(blob, l)
+        case _ => strRangeOf(body, v) match {
+          case Some(r) if r.lo != null || r.hi != null =>
+            BlobContainsBetweenStr(blob, binLit(r.lo), binLit(r.hi), r.loInc, r.hiInc)
+          case _ => ae
+        }
+      }
+    case sz @ Size(ArrayFilter(DecodeBinary(blob),
+        LambdaFunction(body, Seq(v: NamedLambdaVariable), _)), false) =>
+      strRangeOf(body, v) match {
+        case Some(r) if r.lo != null || r.hi != null =>
+          Cast(BlobCountBetweenStr(blob, binLit(r.lo), binLit(r.hi), r.loInc, r.hiInc), IntegerType)
+        case _ => sz
+      }
   }
 
   /** half-open/closed byte-string interval; null bound = unbounded */
@@ -105,8 +130,15 @@ object EncodedFilterRule extends Rule[LogicalPlan] {
 
   private def binLit(b: Array[Byte]): Literal = Literal(b, BinaryType)
 
-  private def utf8Bytes(l: Literal): Array[Byte] =
-    l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+  /** comparison bytes of a string OR binary bound literal: Spark compares
+    * both types unsigned-lexicographically, exactly like the kernels */
+  private def utf8Bytes(l: Literal): Array[Byte] = l.value match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.getBytes
+    case b: Array[Byte] => b
+  }
+
+  private def isBoundType(t: org.apache.spark.sql.types.DataType): Boolean =
+    t == StringType || t == BinaryType
 
   /** the interval a conjunction of literal string comparisons on `v`
     * selects; None when the body is not a pure range predicate on v.
@@ -114,22 +146,22 @@ object EncodedFilterRule extends Rule[LogicalPlan] {
     * always null — not a range). */
   private def strRangeOf(e: Expression, v: NamedLambdaVariable): Option[SRange] = e match {
     case _ if e.dataType != org.apache.spark.sql.types.BooleanType => None
-    case GreaterThanOrEqual(x, l @ Literal(s, StringType)) if x.semanticEquals(v) && s != null =>
+    case GreaterThanOrEqual(x, l @ Literal(s, t)) if isBoundType(t) && x.semanticEquals(v) && s != null =>
       Some(SRange(utf8Bytes(l), loInc = true, null, hiInc = true))
-    case GreaterThan(x, l @ Literal(s, StringType)) if x.semanticEquals(v) && s != null =>
+    case GreaterThan(x, l @ Literal(s, t)) if isBoundType(t) && x.semanticEquals(v) && s != null =>
       Some(SRange(utf8Bytes(l), loInc = false, null, hiInc = true))
-    case LessThanOrEqual(x, l @ Literal(s, StringType)) if x.semanticEquals(v) && s != null =>
+    case LessThanOrEqual(x, l @ Literal(s, t)) if isBoundType(t) && x.semanticEquals(v) && s != null =>
       Some(SRange(null, loInc = true, utf8Bytes(l), hiInc = true))
-    case LessThan(x, l @ Literal(s, StringType)) if x.semanticEquals(v) && s != null =>
+    case LessThan(x, l @ Literal(s, t)) if isBoundType(t) && x.semanticEquals(v) && s != null =>
       Some(SRange(null, loInc = true, utf8Bytes(l), hiInc = false))
     // literal-on-left mirrors
-    case GreaterThanOrEqual(l @ Literal(s, StringType), x) if x.semanticEquals(v) && s != null =>
+    case GreaterThanOrEqual(l @ Literal(s, t), x) if isBoundType(t) && x.semanticEquals(v) && s != null =>
       Some(SRange(null, loInc = true, utf8Bytes(l), hiInc = true))
-    case GreaterThan(l @ Literal(s, StringType), x) if x.semanticEquals(v) && s != null =>
+    case GreaterThan(l @ Literal(s, t), x) if isBoundType(t) && x.semanticEquals(v) && s != null =>
       Some(SRange(null, loInc = true, utf8Bytes(l), hiInc = false))
-    case LessThanOrEqual(l @ Literal(s, StringType), x) if x.semanticEquals(v) && s != null =>
+    case LessThanOrEqual(l @ Literal(s, t), x) if isBoundType(t) && x.semanticEquals(v) && s != null =>
       Some(SRange(utf8Bytes(l), loInc = true, null, hiInc = true))
-    case LessThan(l @ Literal(s, StringType), x) if x.semanticEquals(v) && s != null =>
+    case LessThan(l @ Literal(s, t), x) if isBoundType(t) && x.semanticEquals(v) && s != null =>
       Some(SRange(utf8Bytes(l), loInc = false, null, hiInc = true))
     case And(a, b) =>
       for (ra <- strRangeOf(a, v); rb <- strRangeOf(b, v)) yield {

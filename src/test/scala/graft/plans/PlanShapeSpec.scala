@@ -150,6 +150,25 @@ class PlanShapeSpec extends SparkTestBase {
     assert(eqPlan.contains("blob_contains") && !eqPlan.contains("decode_strings"), eqPlan)
   }
 
+  test("binary-column range pushdown mirrors the string forms") {
+    import graft.functions._
+    val docs = WebDocGen.dataset(spark, 200, 2).toDF()
+    val enc = EncodePipeline.encode(docs, "url", 2, 64)
+    // e_html decodes to array<binary>; a hex-literal range must rewrite
+    val f = enc.filter(expr("exists(decode_binary(e_html), x -> x >= X'3C' AND x < X'3D')"))
+    val plan = f.queryExecution.optimizedPlan.toString
+    assert(plan.contains("blob_contains_between_str"), plan)
+    assert(!plan.contains("decode_binary"), plan)
+    // identical answer to actually decoding (html starts with '<' = 0x3C)
+    val viaBlob = f.count()
+    val viaDecode = enc.select(col("__part"), col("__block"),
+        explode(decode_binary(col("e_html"))).as("b"))
+      .filter(col("b") >= lit(Array[Byte](0x3c)) && col("b") < lit(Array[Byte](0x3d)))
+      .select(col("__part"), col("__block")).distinct().count()
+    assert(viaBlob === viaDecode)
+    assert(viaBlob > 0)
+  }
+
   test("IS NULL pushdown: exists(decode, x -> x IS NULL) reads only the wrapper header") {
     import graft.functions._
     val docs = WebDocGen.dataset(spark, 200, 2).toDF()
