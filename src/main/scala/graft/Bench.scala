@@ -224,6 +224,45 @@ object Bench {
         val visits = scala.collection.mutable.ArrayBuffer[Visit]()
         var stormyStreak = 0
         var curRows = scaleRows
+        def runVisit(p0: Double): Unit = {
+          val vStart = System.nanoTime()
+          ensureSnapshot(curRows)
+          val (tLo, sLo) = timedAt(lo, curRows)
+          val pMid = quickProbeMbps()
+          val (tHi, sHi) = timedAt(hi, curRows)
+          val pEnd = quickProbeMbps()
+          val wall = (System.nanoTime() - vStart) / 1e9 + 10
+          // a visit is calm iff its bracketing probes stayed healthy AND
+          // neither leg accumulated storm-level steal (ticks/leg-second)
+          // AND the ratio is not super-linear beyond noise (speedup above
+          // cores-ratio is physically impossible except via drift hitting
+          // the lo leg — probes are point samples and can miss it). The
+          // complementary check a reader can run from the JSON: core-
+          // seconds per leg (sec*cores) agree for a valid visit even in a
+          // uniformly slow window.
+          val legCalm = p0 >= calmMbps * 0.6 && pMid >= calmMbps * 0.6 && pEnd >= calmMbps * 0.6 &&
+            sLo / math.max(tLo, 0.1) <= calmSteal * 3 && sHi / math.max(tHi, 0.1) <= calmSteal * 3 &&
+            tLo / tHi <= (hi.toDouble / lo) * 1.15
+          // budget estimate: learn from CALM visits only — one
+          // storm-stretched visit (r4 first run: 340 s for a 40 s job)
+          // must not poison the budget math and block the retry the
+          // storm's passing would make cheap
+          if (legCalm) estVisitSec = wall
+          else estVisitSec = math.min(estVisitSec, math.max(wall / 2, 90.0))
+          visits += Visit(curRows, tLo, tHi, p0, pMid, pEnd, sLo, sHi, legCalm)
+          if (legCalm) stormyStreak = 0
+          else {
+            stormyStreak += 1
+            // two stormy full-size visits in a row: shrink so every
+            // further retry is cheap (ratios stay comparable — each
+            // visit's ratio is computed within itself)
+            if (stormyStreak >= 2 && curRows > shrinkRows) {
+              System.err.println(s"[bench] $stormyStreak stormy visits: shrinking rows $curRows -> $shrinkRows")
+              curRows = shrinkRows
+              estVisitSec = estVisitSec * 0.7
+            }
+          }
+        }
         var done = false
         while (!done) {
           val calmCount = visits.count(_.calm)
@@ -247,46 +286,18 @@ object Bench {
               // already banked — a doomed leg would add nothing the
               // estimators use
               done = true
-            } else {
-            val vStart = System.nanoTime()
-            ensureSnapshot(curRows)
-            val (tLo, sLo) = timedAt(lo, curRows)
-            val pMid = quickProbeMbps()
-            val (tHi, sHi) = timedAt(hi, curRows)
-            val pEnd = quickProbeMbps()
-            val wall = (System.nanoTime() - vStart) / 1e9 + 10
-            // a visit is calm iff its bracketing probes stayed healthy AND
-            // neither leg accumulated storm-level steal (ticks/leg-second)
-            // AND the ratio is not super-linear beyond noise (speedup above
-            // cores-ratio is physically impossible except via drift hitting
-            // the lo leg — probes are point samples and can miss it). The
-            // complementary check a reader can run from the JSON: core-
-            // seconds per leg (sec*cores) agree for a valid visit even in a
-            // uniformly slow window.
-            val legCalm = p0 >= calmMbps * 0.6 && pMid >= calmMbps * 0.6 && pEnd >= calmMbps * 0.6 &&
-              sLo / math.max(tLo, 0.1) <= calmSteal * 3 && sHi / math.max(tHi, 0.1) <= calmSteal * 3 &&
-              tLo / tHi <= (hi.toDouble / lo) * 1.15
-            // budget estimate: learn from CALM visits only — one
-            // storm-stretched visit (r4 first run: 340 s for a 40 s job)
-            // must not poison the budget math and block the retry the
-            // storm's passing would make cheap
-            if (legCalm) estVisitSec = wall
-            else estVisitSec = math.min(estVisitSec, math.max(wall / 2, 90.0))
-            visits += Visit(curRows, tLo, tHi, p0, pMid, pEnd, sLo, sHi, legCalm)
-            if (legCalm) stormyStreak = 0
-            else {
-              stormyStreak += 1
-              // two stormy full-size visits in a row: shrink so every
-              // further retry is cheap (ratios stay comparable — each
-              // visit's ratio is computed within itself)
-              if (stormyStreak >= 2 && curRows > shrinkRows) {
-                System.err.println(s"[bench] $stormyStreak stormy visits: shrinking rows $curRows -> $shrinkRows")
-                curRows = shrinkRows
-                estVisitSec = estVisitSec * 0.7
-              }
-            }
-            }
+            } else runVisit(p0)
           }
+        }
+        if (visits.isEmpty) {
+          // an earlier pair's storm-stretched visit can eat the whole wall
+          // (r4 run 3: pair 1 finished at 1213 s of an 1100 s budget) — a
+          // pair must NEVER end empty the way r3's 8->32 did. Force one
+          // shrunken visit; it may be storm-flagged, but the in-band
+          // probes/steal/work_ratio let the reader judge it.
+          System.err.println(s"[bench] forcing one shrunken visit for $lo->$hi at t=${elapsed.toInt}s (budget ${budgetSec}s)")
+          curRows = math.min(curRows, shrinkRows)
+          runVisit(calmNow()._2)
         }
         // machine-state probe AFTER the pair (same-window ceiling, leg 2)
         probeWindow = threadProbe()
