@@ -202,6 +202,12 @@ object Bench {
         (p >= calmMbps && rate <= calmSteal, p, rate)
       }
 
+      /** best of two probe samples: the single sub-second sample is noisy
+        * (a JIT/GC hiccup can read 130 MB/s in an otherwise-calm window —
+        * r4 run E lost its 8->32 calm flag to one such sample), while a
+        * real storm pins BOTH samples low for minutes */
+      def probe2(): Double = math.max(quickProbeMbps(), quickProbeMbps())
+
       // machine-state probe BEFORE the pairs (same-window ceiling, leg 1)
       var probeWindow = threadProbe()
       val probePre = probeWindow
@@ -228,9 +234,9 @@ object Bench {
           val vStart = System.nanoTime()
           ensureSnapshot(curRows)
           val (tLo, sLo) = timedAt(lo, curRows)
-          val pMid = quickProbeMbps()
+          val pMid = probe2()
           val (tHi, sHi) = timedAt(hi, curRows)
-          val pEnd = quickProbeMbps()
+          val pEnd = probe2()
           val wall = (System.nanoTime() - vStart) / 1e9 + 10
           // a visit is calm iff its bracketing probes stayed healthy AND
           // neither leg accumulated storm-level steal (ticks/leg-second)
