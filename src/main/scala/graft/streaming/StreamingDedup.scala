@@ -23,6 +23,41 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDedup {
 
+  /** Exact-verified streaming near-dup: the estimate-based candidate pairs
+    * from `minhashNearDupPairs` stream-static-joined against a corpus
+    * snapshot to compute the EXACT shingle Jaccard (integer j4 scale, the
+    * batch operator's verify semantics) — candidates whose estimate passed
+    * but whose true similarity misses the threshold are dropped. The
+    * static side is broadcast-sized per executor lookup or a sort-merge
+    * join at scale; only candidate ids (not shingle sets) ever enter
+    * stream state. */
+  def minhashNearDupVerified(docs: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                             threshold: Double = 0.5, maxBucket: Int = 16,
+                             ttlMs: Long = 3600000L,
+                             estMargin: Double = 0.2): DataFrame = {
+    import graft.operators.TextOps
+    val thr4 = math.round(threshold * 10000)
+    // NOTE: no stateful dedup here — chaining a second stateful operator
+    // after flatMapGroupsWithState is restricted; a pair sharing several
+    // bands yields duplicate verified rows, deduped per sink batch.
+    // Candidates generate at (threshold - estMargin) on the σ≈√(J(1-J)/k)
+    // signature estimate so borderline true pairs are not lost to estimate
+    // noise — EXACT verification decides (the batch operator's estMargin).
+    val cands = minhashNearDupPairs(docs, idCol, textCol, shingleN, k, bands,
+        math.max(0.0, threshold - estMargin), maxBucket, ttlMs)
+      .toDF().select(col("id_a"), col("id_b"))
+    val sh = corpus.select(col(idCol).cast("long").as("id"),
+      array_distinct(TextOps.tokenShingles(col(textCol), shingleN)).as("sh"))
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("(CAST(10000 AS BIGINT) * size(array_intersect(sh_a, sh_b))) DIV size(array_union(sh_a, sh_b))").as("j4"))
+      .filter(col("j4") >= thr4)
+  }
+
   /** first occurrence per text within the watermark window; duplicates
     * arriving inside the window are dropped, state evicts afterward. */
   def exactWithinWatermark(docs: DataFrame, textCol: String, tsCol: String,

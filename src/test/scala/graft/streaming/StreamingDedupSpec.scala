@@ -110,6 +110,49 @@ class StreamingDedupSpec extends SparkTestBase {
     assert(est >= 8000, s"est4 $est")
   }
 
+  test("verified streaming near-dup: exact jaccard over a corpus snapshot drops weak candidates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+      "nu xi omicron pi rho sigma tau upsilon phi chi psi rest").split(" ")
+    def text(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    }
+    val base = text(21, 40)
+    val nearDup = base.split(" ").updated(18, "OMEGA").mkString(" ") // true j ≈ 0.9
+    val all = Seq((1L, base), (2L, text(22, 40)), (3L, nearDup), (4L, text(23, 40)))
+    val corpus = all.toDF("doc_id", "text")
+
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    // threshold 0.85: the planted pair's EXACT j4 clears it, and any weak
+    // estimate-only candidate would be dropped by the verify join
+    val out = StreamingDedup.minhashNearDupVerified(docs, corpus, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.85, ttlMs = 0L)
+    val q = out.writeStream.format("memory").queryName("near_dup_v")
+      .option("checkpointLocation", shmCheckpoint())
+      .outputMode(OutputMode.Append()).start()
+    in.addData(all.take(2): _*)
+    q.processAllAvailable()
+    in.addData(all.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val rows = spark.sql("SELECT DISTINCT id_a, id_b, j4 FROM near_dup_v")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSet === Set((1L, 3L)))
+    // the j4 is the EXACT batch-verify value, not the signature estimate
+    val exact = graft.operators.TextOps
+      .minhashDupPairs(corpus, "doc_id", "text", shingleN = 3, k = 64, bands = 16, threshold = 0.85)
+      .select("id_a", "id_b", "j4").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    rows.foreach { case (a, b, j4) => assert(j4 === exact((a, b))) }
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   test("stateful path handles negative ids (presence is not a -1 sentinel)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
