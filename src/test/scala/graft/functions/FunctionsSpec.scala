@@ -42,6 +42,18 @@ class FunctionsSpec extends SparkTestBase {
     assert(Set("dict", "rle_dict").contains(codec))
   }
 
+  test("BitWidthHistogram aggregator matches the relational groupBy form") {
+    import spark.implicits._
+    val ids = sf("events").select(col("user_id").cast("long")).as[Long]
+    val hist = ids.select(BitWidthHistogram.histogram).head()
+    assert(hist.length === 65)
+    val relational = sf("events")
+      .groupBy(bits_needed(col("user_id")).as("w")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    relational.foreach { case (w, n) => assert(hist(w) === n, s"width $w") }
+    assert(hist.sum === ids.count())
+  }
+
   test("bits_needed matches DuckDB-style length(bin(x)) semantics") {
     val df = Seq(0L, 1L, 2L, 255L, 256L, 1L << 40).toDF("v")
     val got = df.select(bits_needed($"v")).as[Int].collect().toSeq
