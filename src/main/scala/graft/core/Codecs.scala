@@ -716,6 +716,9 @@ object Codecs {
         var total = 0L
         var i = 0
         while (i < count) { total += lcps(i) + sufs(i); i += 1 }
+        // untrusted header: packed lengths could sum past Int.MaxValue and
+        // wrap in toInt — fail loudly instead (r4 ADVICE)
+        require(total <= Int.MaxValue, s"PREFIX blob decoded size $total exceeds 2 GiB")
         // every value fully materialized once into ONE shared buffer
         // (prefix copied from its predecessor's slice, suffix from the blob)
         val buf = new Array[Byte](total.toInt)

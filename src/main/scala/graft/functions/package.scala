@@ -36,9 +36,14 @@ package object functions {
   def blob_range(blob: Column): Column = toCol(BlobRange(toExpr(blob)))
   def blob_range_str(blob: Column): Column = toCol(BlobRangeStr(toExpr(blob)))
   def blob_null_count(blob: Column): Column = toCol(BlobNullCount(toExpr(blob)))
+  /** Count of encoded string values in [lo, hi]. A NULL bound is UNBOUNDED
+    * on that side (how one-sided ranges are spelled — there is no "maximum
+    * string" literal), deliberately unlike SQL comparison null-propagation. */
   def blob_count_between_str(blob: Column, lo: Column, hi: Column,
                              loInc: Boolean = true, hiInc: Boolean = true): Column =
     toCol(BlobCountBetweenStr(toExpr(blob), toExpr(lo), toExpr(hi), loInc, hiInc))
+  /** 3VL exists over the range; NULL bound = unbounded (see
+    * [[blob_count_between_str]]). */
   def blob_contains_between_str(blob: Column, lo: Column, hi: Column,
                                 loInc: Boolean = true, hiInc: Boolean = true): Column =
     toCol(BlobContainsBetweenStr(toExpr(blob), toExpr(lo), toExpr(hi), loInc, hiInc))

@@ -87,9 +87,26 @@ object Avi {
     * non-DIB/non-24-bpp streams; skips unknown chunks (idx1, JUNK, INFO).
     * Header fields are untrusted: sizes validated in long arithmetic. */
   def decode(payload: Array[Byte]): (Int, Int, Int, Array[Array[Byte]]) = {
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val (w, h, usPerFrame, _) = parse(payload, Some(frames))
+    require(frames.nonEmpty, "AVI holds no frame chunks")
+    (w, h, usPerFrame, frames.toArray)
+  }
+
+  /** header-only metadata: (width, height, usPerFrame, frameChunkCount) —
+    * counts frame chunks without materializing any pixels */
+  def meta(payload: Array[Byte]): (Int, Int, Int, Int) = parse(payload, None)
+
+  private def parse(payload: Array[Byte],
+                    sink: Option[scala.collection.mutable.ArrayBuffer[Array[Byte]]]): (Int, Int, Int, Int) = {
     require(isAvi(payload), "not a RIFF/AVI payload")
     var w = 0; var h = 0; var usPerFrame = 0; var bpp = 0; var comp = 0
-    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var nFrames = 0
+    // multi-stream files interleave audio strls with the video one: honor
+    // only the FIRST `vids` stream's strf — an audio strf is a
+    // WAVEFORMATEX whose fields would corrupt w/h/bpp (r4 ADVICE)
+    var curStreamType = "" // fccType of the most recent strh
+    var vidsDone = false
     def getInt(pos: Int): Int =
       (payload(pos) & 0xff) | ((payload(pos + 1) & 0xff) << 8) |
         ((payload(pos + 2) & 0xff) << 16) | ((payload(pos + 3) & 0xff) << 24)
@@ -126,19 +143,25 @@ object Avi {
           case "avih" =>
             require(size >= 56, s"short avih ($size)")
             usPerFrame = getInt(pos + 8)
-          case "strf" =>
+          case "strh" =>
+            require(size >= 8, s"short strh ($size)")
+            curStreamType = tagAt(pos + 8)
+          case "strf" if curStreamType == "vids" && !vidsDone =>
             require(size >= 40, s"short strf ($size)")
             w = getInt(pos + 12); h = getInt(pos + 16)
             bpp = getShort(pos + 22); comp = getInt(pos + 24)
             require(w > 0 && h > 0 && w.toLong * h * 3 <= Int.MaxValue, s"bad AVI dims ${w}x$h")
-          case "00db" | "00dc" => frames += decodeDib(pos + 8, size)
-          case _ => // strh/idx1/JUNK/INFO... skipped
+            vidsDone = true
+          case "00db" | "00dc" =>
+            nFrames += 1
+            sink.foreach(_ += decodeDib(pos + 8, size))
+          case _ => // auds strf/idx1/JUNK/INFO... skipped
         }
         pos += 8 + size + (size & 1) // chunks pad to even
       }
     }
     walk(12, payload.length)
-    require(frames.nonEmpty, "AVI holds no frame chunks")
-    (w, h, usPerFrame, frames.toArray)
+    require(vidsDone, "AVI holds no vids stream header")
+    (w, h, usPerFrame, nFrames)
   }
 }

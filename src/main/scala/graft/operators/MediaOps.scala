@@ -239,8 +239,15 @@ object MediaOps {
     override def nullSafeEval(input: Any): Any = {
       val payload = input.asInstanceOf[Array[Byte]]
       if (Avi.isAvi(payload)) {
-        val (w, h, _, frames) = Avi.decode(payload)
-        org.apache.spark.sql.catalyst.InternalRow(true, w, h, frames.length)
+        // header-only walk (no pixel materialization); malformed payloads
+        // (compressed codec, truncated, no vids stream) report valid=false
+        // instead of failing the whole query (r4 ADVICE)
+        try {
+          val (w, h, _, nFrames) = Avi.meta(payload)
+          org.apache.spark.sql.catalyst.InternalRow(true, w, h, nFrames)
+        } catch { case _: Exception =>
+          org.apache.spark.sql.catalyst.InternalRow(false, 0, 0, 0)
+        }
       } else if (payload != null && payload.length >= 24) {
         val r = new graft.core.ByteReader(payload)
         if (r.readInt() != VideoMagic) org.apache.spark.sql.catalyst.InternalRow(false, 0, 0, 0)

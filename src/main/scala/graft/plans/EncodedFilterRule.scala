@@ -242,6 +242,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "blob_contains" -> { case Seq(b, v) => BlobContains(b, v) },
     "blob_count_between" -> { case Seq(b, lo, hi) => BlobCountBetween(b, lo, hi) },
     "blob_contains_between" -> { case Seq(b, lo, hi) => BlobContainsBetween(b, lo, hi) },
+    // NOTE on bound semantics (deliberate, documented divergence from SQL
+    // comparison operators): a NULL lo/hi bound means UNBOUNDED on that
+    // side, not null-propagation — it is how one-sided ranges are spelled
+    // (`blob_count_between_str(b, NULL, x)` counts values <= x; there is no
+    // "maximum string" literal that could express it otherwise). The
+    // EncodedFilterRule pushdowns rely on this when rewriting one-sided
+    // predicates into these calls.
     "blob_count_between_str" -> { case Seq(b, lo, hi) => BlobCountBetweenStr(b, lo, hi) },
     "blob_contains_between_str" -> { case Seq(b, lo, hi) => BlobContainsBetweenStr(b, lo, hi) },
     "blob_null_count" -> { case Seq(b) => BlobNullCount(b) },
