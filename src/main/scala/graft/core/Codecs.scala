@@ -42,6 +42,13 @@ object Codecs {
   final val FsstId = 20
   final val NullStr = 21 // wrapper: null bitmap + inner string blob of non-nulls
   final val PrefixStr = 22 // front coding (Parquet DELTA_BYTE_ARRAY analog)
+  // shared-dictionary codes: the dictionary lives OUTSIDE the blob, once per
+  // (partition, column) in the table's manifest side-structure (dicts/);
+  // blobs carry only packed codes + the dictionary's content id. Decoding
+  // needs a resolver (EncodePipeline.decodeTable wires it); stand-alone
+  // blob consumers get a loud error, never silent corruption.
+  final val SharedDictStr = 23
+  final val SharedRleDict = 24
 
   def codecName(id: Int): String = id match {
     case ConstLong => "const"
@@ -55,6 +62,8 @@ object Codecs {
     case RleDict   => "rle_dict"
     case FsstId    => "fsst"
     case PrefixStr => "prefix"
+    case SharedDictStr => "shared_dict"
+    case SharedRleDict => "shared_rle_dict"
     case NullLong | NullStr => "nulls"
     case other     => s"unknown($other)"
   }
@@ -537,11 +546,60 @@ object Codecs {
     w.toArray
   }
 
-  def decodeStrs(blob: Array[Byte]): Array[Array[Byte]] = {
+  def decodeStrs(blob: Array[Byte]): Array[Array[Byte]] = decodeStrs(blob, null)
+
+  /** parsed shared-blob header (everything after [id][count], before the
+    * code stream): the dictionary reference, the block's code interval, and
+    * the INLINE truncated value bounds — stored at encode time so header-only
+    * operations (rangeOfStr, zone reject) never need dictionary resolution. */
+  private final case class SharedHdr(dictId: Long, ndv: Int, minC: Int, maxC: Int,
+                                     lo: Array[Byte], hi: Array[Byte])
+
+  private def readSharedHdr(r: ByteReader): SharedHdr = {
+    val dictId = r.readLong(); val ndv = r.readShort()
+    val minC = r.readShort(); val maxC = r.readShort()
+    val lo = r.readBytes(r.readByte() & 0xff)
+    val hiLen = r.readByte() & 0xff
+    val hi = if (hiLen == 0xff) null else r.readBytes(hiLen)
+    SharedHdr(dictId, ndv, minC, maxC, lo, hi)
+  }
+
+  /** expands the code stream into ABSOLUTE dictionary codes (un-rebases by
+    * minC; both the plain and the RLE form); the reader must be positioned
+    * at [codeW] (i.e. after readSharedHdr) */
+  private def readSharedCodes(r: ByteReader, id: Int, count: Int, minC: Int): Array[Long] = {
+    val codeW = r.readByte() & 0xff
+    if (id == SharedDictStr) {
+      val out = BitPack.unpack(r.readBytes(r.remaining), codeW, count)
+      var i = 0
+      while (i < count) { out(i) += minC; i += 1 }
+      out
+    } else {
+      val runs = r.readInt()
+      val lenW = r.readByte() & 0xff
+      val runVals = BitPack.unpack(r.readBytes(BitPack.packedByteLen(runs, codeW)), codeW, runs)
+      val runLens = BitPack.unpack(r.readBytes(r.remaining), lenW, runs)
+      val out = new Array[Long](count)
+      var i = 0; var o = 0
+      while (i < runs) {
+        var k = runLens(i)
+        while (k > 0) { out(o) = runVals(i) + minC; o += 1; k -= 1 }
+        i += 1
+      }
+      out
+    }
+  }
+
+  def decodeStrs(blob: Array[Byte], resolver: DictResolver): Array[Array[Byte]] = {
     val r = new ByteReader(blob)
     val id = r.readByte() & 0xff
     val count = r.readInt()
     id match {
+      case SharedDictStr | SharedRleDict =>
+        val h = readSharedHdr(r)
+        val dt = resolveDict(resolver, h.dictId, id, h.ndv)
+        val codes = readSharedCodes(r, id, count, h.minC)
+        codes.map(c => dt.values(c.toInt))
       case ConstStr =>
         val len = r.readInt()
         val v = r.readBytes(len)
@@ -622,6 +680,22 @@ object Codecs {
     val id = r.readByte() & 0xff
     val count = r.readInt()
     id match {
+      case SharedDictStr | SharedRleDict =>
+        // values are slices of the resolved dictionary's concatenated view
+        // buffer — per-value cost is two array stores, like inline dict
+        val h = readSharedHdr(r)
+        val dt = resolveDict(null, h.dictId, id, h.ndv)
+        val codes = readSharedCodes(r, id, count, h.minC)
+        val dOffs = dt.viewOffs; val dLens = dt.viewLens
+        val offs = new Array[Int](count)
+        val lens = new Array[Int](count)
+        var i = 0
+        while (i < count) {
+          val c = codes(i).toInt
+          offs(i) = dOffs(c); lens(i) = dLens(c)
+          i += 1
+        }
+        new StrView(count, dt.viewBuf, offs, lens)
       case NullStr =>
         val bm = r.readBytes((count + 7) >> 3)
         val offs = new Array[Int](count)
@@ -838,6 +912,238 @@ object Codecs {
     out
   }
 
+  // ==================== shared (per-partition) dictionaries ====================
+  // A dict/rle-dict block of a low-cardinality column repeats its dictionary
+  // every ~4k values. When a table is written through EncodePipeline.run with
+  // sharedDict on, the FULL partition's distinct set is computed up front
+  // (sorted unsigned-lexicographic, like the inline dict), stored ONCE in the
+  // manifest side-structure, and blocks reference it by content id — codes
+  // only, no per-block dictionary bytes. Blocks whose values miss the shared
+  // dictionary (or where an inline codec is smaller) fall back to the normal
+  // self-describing encoding, so mixed blobs coexist freely.
+  //
+  // Blob layout (both ids; dictionaries are capped at 65535 entries, so the
+  // code fields are shorts and the 16-byte-truncated bound lengths bytes —
+  // the whole fixed header is 22 bytes, small enough that shared blobs win
+  // the size competition even against tiny inline dictionaries):
+  //   [id][count:int][dict_id:long][ndv:short][minCode:short][maxCode:short]
+  //   [loLen:byte][lo bytes][hiLen:byte|0xff=unbounded][hi bytes][codeW:byte]
+  //   SharedDictStr: [packed (code - minCode)]
+  //   SharedRleDict: [runs:int][lenW:byte][packed (runVal - minCode)][packed runLens]
+  // Codes are REBASED to minCode: a block that touches a narrow slice of the
+  // partition dictionary (sorted input → clustered values) packs at
+  // bitsNeeded(maxCode - minCode), not bitsNeeded(ndv - 1).
+  // lo/hi are the block's truncated value bounds (truncLo/truncHi of the
+  // values at minCode/maxCode, computed at encode time while the dictionary
+  // is in hand) — so header-only operations (rangeOfStr for the manifest,
+  // zone reject in countEq/countBetween) never need dictionary resolution;
+  // minCode/maxCode make zone ACCEPT exact once the dictionary is resolved.
+
+  /** Resolver from a blob's dict_id to its dictionary; null falls back to
+    * the JVM-wide registry below, and shared blobs fail loudly when the
+    * dictionary is found in neither. */
+  type DictResolver = Long => DictTable
+
+  /** JVM-wide content-addressed dictionary registry. Decode paths register
+    * the dictionaries they ship (broadcast) here, so stand-alone kernel
+    * expressions (blob_count_eq_str & co) evaluating later on the same
+    * executor resolve shared blobs without plumbing. Content ids are pure
+    * functions of the values — registration is idempotent and two tables
+    * sharing an id share the dictionary by construction. Bounded: only
+    * capped dictionaries (EncodePipeline maxNdv/maxBytes) are ever built. */
+  private val sharedDicts = new java.util.concurrent.ConcurrentHashMap[Long, DictTable]()
+  def registerDict(id: Long, dt: DictTable): Unit = sharedDicts.putIfAbsent(id, dt)
+  def registerDicts(m: scala.collection.Map[Long, DictTable]): Unit =
+    m.foreach { case (k, v) => registerDict(k, v) }
+  def registeredDict(id: Long): DictTable = sharedDicts.get(id)
+
+  /** A shared dictionary: values sorted unsigned-lexicographic, no
+    * duplicates. Broadcast-friendly; the concatenated view buffer and the
+    * search path are per-JVM lazies. */
+  final class DictTable(val values: Array[Array[Byte]]) extends Serializable {
+    val ndv: Int = values.length
+    @transient private var _buf: Array[Byte] = _
+    @transient private var _offs: Array[Int] = _
+    @transient private var _lens: Array[Int] = _
+    private def ensureView(): Unit = synchronized {
+      if (_buf == null) {
+        var total = 0L
+        values.foreach(v => total += v.length)
+        require(total <= Int.MaxValue, s"shared dictionary too large ($total bytes)")
+        val b = new Array[Byte](total.toInt)
+        val o = new Array[Int](ndv); val l = new Array[Int](ndv)
+        var used = 0; var i = 0
+        while (i < ndv) {
+          o(i) = used; l(i) = values(i).length
+          System.arraycopy(values(i), 0, b, used, l(i))
+          used += l(i); i += 1
+        }
+        _offs = o; _lens = l; _buf = b // buf last: publication guard
+      }
+    }
+    def viewBuf: Array[Byte] = { if (_buf == null) ensureView(); _buf }
+    def viewOffs: Array[Int] = { if (_buf == null) ensureView(); _offs }
+    def viewLens: Array[Int] = { if (_buf == null) ensureView(); _lens }
+    /** binary search (values sorted unsigned-lex); -1 when absent */
+    def codeOf(v: Array[Byte]): Int = {
+      var lo = 0; var hi = ndv - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val c = java.util.Arrays.compareUnsigned(values(mid), v)
+        if (c == 0) return mid
+        else if (c < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+    /** code of the smallest value >= v (ndv when none) */
+    def ceilCode(v: Array[Byte]): Int = {
+      var lo = 0; var hi = ndv
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (java.util.Arrays.compareUnsigned(values(mid), v) < 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    /** code of the largest value <= v (-1 when none) */
+    def floorCode(v: Array[Byte]): Int = ceilCode2(v) - 1
+    private def ceilCode2(v: Array[Byte]): Int = { // smallest code with value > v
+      var lo = 0; var hi = ndv
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (java.util.Arrays.compareUnsigned(values(mid), v) <= 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+  }
+
+  /** deterministic 64-bit content id of a dictionary (order-sensitive) */
+  def dictContentId(values: Array[Array[Byte]]): Long = {
+    var h = 0x9e3779b97f4a7c15L ^ values.length
+    var i = 0
+    while (i < values.length) {
+      val v = values(i)
+      var x = v.length.toLong
+      var j = 0
+      while (j < v.length) { x = x * 131 + (v(j) & 0xff); j += 1 }
+      h = Bits.mix(h ^ x)
+      i += 1
+    }
+    h
+  }
+
+  private def resolveDict(resolver: DictResolver, dictId: Long, id: Int, ndv: Int): DictTable = {
+    val dt = if (resolver != null) resolver(dictId) else sharedDicts.get(dictId)
+    require(dt != null,
+      s"shared dictionary 0x${java.lang.Long.toHexString(dictId)} (codec ${codecName(id)}) " +
+        "not available in this JVM — decode via EncodePipeline.decodeShared, or register " +
+        "the table's dictionaries first (EncodePipeline.loadDicts / Codecs.registerDicts)")
+    require(dt.ndv >= ndv, s"shared dictionary $dictId has ${dt.ndv} entries, blob expects >= $ndv")
+    dt
+  }
+
+  /** encode a (non-null) block against a shared dictionary; returns null if
+    * any value is absent from the dictionary (caller falls back inline). */
+  private def encodeSharedWith(vs: Array[Array[Byte]], dictId: Long, dt: DictTable): Array[Byte] = {
+    if (dt.ndv > 0xffff) return null // header fields are shorts by contract
+    val n = vs.length
+    val codes = new Array[Long](n)
+    var minC = Int.MaxValue; var maxC = -1; var runs = 1
+    var i = 0
+    while (i < n) {
+      val c = dt.codeOf(vs(i))
+      if (c < 0) return null
+      codes(i) = c
+      if (c < minC) minC = c
+      if (c > maxC) maxC = c
+      if (i > 0 && codes(i) != codes(i - 1)) runs += 1
+      i += 1
+    }
+    // rebase to the block's code interval: clustered blocks (sorted input)
+    // touch a narrow dictionary slice and pack far below bitsNeeded(ndv-1)
+    i = 0
+    while (i < n) { codes(i) -= minC; i += 1 }
+    val codeW = BitPack.bitsNeeded(math.max(maxC - minC, 1))
+    val w = new ByteWriter(64)
+    // rle wins when the run streams are smaller than the plain code stream
+    var maxRunLen = 0L
+    val plainBytes = BitPack.packedByteLen(n, codeW)
+    val rleBytes = {
+      var cur = 1L; var mx = 1L
+      var j = 1
+      while (j < n) {
+        if (codes(j) == codes(j - 1)) cur += 1 else cur = 1
+        if (cur > mx) mx = cur
+        j += 1
+      }
+      maxRunLen = mx
+      5 + BitPack.packedByteLen(runs, codeW) + BitPack.packedByteLen(runs, BitPack.bitsNeeded(maxRunLen))
+    }
+    val useRle = rleBytes < plainBytes
+    w.writeByte(if (useRle) SharedRleDict else SharedDictStr)
+    w.writeInt(n); w.writeLong(dictId); w.writeShort(dt.ndv)
+    w.writeShort(minC); w.writeShort(maxC)
+    // inline truncated value bounds (the dictionary is in hand only at
+    // encode time; headers must answer rangeOfStr/zone-reject stand-alone)
+    val lo = truncLo(dt.values(minC), 16)
+    val hi = truncHi(dt.values(maxC), 16)
+    w.writeByte(lo.length); w.writeBytes(lo)
+    if (hi == null) w.writeByte(0xff) else { w.writeByte(hi.length); w.writeBytes(hi) }
+    w.writeByte(codeW)
+    if (!useRle) w.writeBytes(BitPack.pack(codes, codeW))
+    else {
+      val lenW = BitPack.bitsNeeded(maxRunLen)
+      val runVals = new Array[Long](runs); val runLens = new Array[Long](runs)
+      var r2 = -1
+      i = 0
+      while (i < n) {
+        if (r2 < 0 || codes(i) != runVals(r2)) { r2 += 1; runVals(r2) = codes(i); runLens(r2) = 1 }
+        else runLens(r2) += 1
+        i += 1
+      }
+      w.writeInt(runs); w.writeByte(lenW)
+      w.writeBytes(BitPack.pack(runVals, codeW))
+      w.writeBytes(BitPack.pack(runLens, lenW))
+    }
+    w.toArray
+  }
+
+  /** nullable-block encode that CONSIDERS the shared dictionary: encodes
+    * both ways (inline auto-select is the correctness baseline; the shared
+    * form exists only when every value resolves) and keeps the smaller
+    * blob. The inline pass is cheap for shared-eligible columns — they are
+    * low-cardinality by construction; text/html never get here. */
+  def encodeStrsNSharedOpt(vs: Array[Array[Byte]], cached: Fsst.SymbolTable,
+                           dictId: Long, dt: DictTable): (Array[Byte], Fsst.SymbolTable) = {
+    val n = vs.length
+    var nNulls = 0
+    var i = 0
+    while (i < n) { if (vs(i) == null) nNulls += 1; i += 1 }
+    val nonNull =
+      if (nNulls == 0) vs
+      else {
+        val nn = new Array[Array[Byte]](n - nNulls)
+        var k = 0; i = 0
+        while (i < n) { if (vs(i) != null) { nn(k) = vs(i); k += 1 }; i += 1 }
+        nn
+      }
+    val shared = if (nonNull.length == 0) null else encodeSharedWith(nonNull, dictId, dt)
+    val (inline, table) = encodeStrsN(vs, cached)
+    if (shared == null) return (inline, table)
+    val sharedFull =
+      if (nNulls == 0) shared
+      else {
+        // wrap in the standard null bitmap (same layout as encodeStrsN)
+        val bm = new Array[Byte]((n + 7) >> 3)
+        i = 0
+        while (i < n) { if (vs(i) == null) bm(i >> 3) = (bm(i >> 3) | (1 << (i & 7))).toByte; i += 1 }
+        val w = new ByteWriter(shared.length + 16)
+        w.writeByte(NullStr); w.writeInt(n); w.writeBytes(bm); w.writeBytes(shared)
+        w.toArray
+      }
+    if (sharedFull.length < inline.length) (sharedFull, table) else (inline, table)
+  }
+
   // ================= encoded-domain predicate evaluation =================
   // Count/containment of a value WITHOUT materializing the block — the
   // encoded-domain analog of predicate pushdown:
@@ -913,6 +1219,19 @@ object Codecs {
           r.pos += lens(i)
           i += 1
         }
+        n
+      case SharedDictStr | SharedRleDict =>
+        // zone reject from the INLINE bounds first — no dictionary needed
+        // for the common "target outside this block's range" case
+        val h = readSharedHdr(r)
+        if (java.util.Arrays.compareUnsigned(target, h.lo) < 0 ||
+            (h.hi != null && java.util.Arrays.compareUnsigned(target, h.hi) > 0)) return 0L
+        val dt = resolveDict(null, h.dictId, id, h.ndv)
+        val tc = dt.codeOf(target)
+        if (tc < h.minC || tc > h.maxC) return 0L // covers tc == -1 (absent)
+        val codes = readSharedCodes(r, id, count, h.minC)
+        var n = 0L; var j = 0
+        while (j < count) { if (codes(j) == tc) n += 1; j += 1 }
         n
       case PrefixStr =>
         // front-coded equality without materializing values: a value equals
@@ -1186,6 +1505,41 @@ object Codecs {
           while (j < runs) { if (runVals(j) >= first && runVals(j) <= last) n += runLens(j); j += 1 }
           n
         }
+      case SharedDictStr | SharedRleDict =>
+        val h = readSharedHdr(r)
+        // zone reject from the inline bounds: h.lo ≤ every value (truncLo
+        // only lowers) and every value ≤ h.hi when present (truncHi rounds
+        // up) — both comparisons stay sound under truncation
+        if (hi != null) {
+          val c = java.util.Arrays.compareUnsigned(hi, h.lo)
+          if (c < 0 || (c == 0 && !hiInc)) return 0L
+        }
+        if (lo != null && h.hi != null && java.util.Arrays.compareUnsigned(lo, h.hi) > 0) return 0L
+        val dt = resolveDict(null, h.dictId, id, h.ndv)
+        // matching codes form one contiguous interval of the SORTED
+        // dictionary, clamped to this block's [minC, maxC]
+        var first =
+          if (lo == null) h.minC
+          else {
+            var f = dt.ceilCode(lo)
+            if (!loInc && f < dt.ndv && java.util.Arrays.compareUnsigned(dt.values(f), lo) == 0) f += 1
+            f
+          }
+        var last =
+          if (hi == null) h.maxC
+          else {
+            var l = dt.floorCode(hi)
+            if (!hiInc && l >= 0 && java.util.Arrays.compareUnsigned(dt.values(l), hi) == 0) l -= 1
+            l
+          }
+        if (first < h.minC) first = h.minC
+        if (last > h.maxC) last = h.maxC
+        if (first > last) return 0L
+        if (first == h.minC && last == h.maxC) return count.toLong // zone accept
+        val codes = readSharedCodes(r, id, count, h.minC)
+        var n = 0L; var j = 0
+        while (j < count) { if (codes(j) >= first && codes(j) <= last) n += 1; j += 1 }
+        n
       case FsstId =>
         val vs = decodeStrs(blob)
         var n = 0L; var i = 0
@@ -1298,6 +1652,13 @@ object Codecs {
         while (i < ndv - 1) { r.pos += dictLens(i); i += 1 }
         val last = if (ndv == 1) first else r.readBytes(dictLens(ndv - 1))
         (truncLo(first, trunc), truncHi(last, trunc))
+      case SharedDictStr | SharedRleDict =>
+        // bounds were computed against the dictionary at encode time and
+        // stored inline — header-only, no dictionary resolution. Re-apply
+        // the caller's truncation (truncHi of a rounded-up bound only
+        // rounds further up, so the result stays sound).
+        val h = readSharedHdr(r)
+        (truncLo(h.lo, trunc), if (h.hi == null) null else truncHi(h.hi, trunc))
       case RawStr | FsstId | PrefixStr =>
         val vs = decodeStrs(blob)
         var mn = vs(0); var mx = vs(0)

@@ -319,6 +319,10 @@ final class ByteReader(val buf: Array[Byte], var pos: Int = 0) {
       ((buf(pos + 2) & 0xff) << 16) | ((buf(pos + 3) & 0xff) << 24)
     pos += 4; v
   }
+  def readShort(): Int = {
+    val v = (buf(pos) & 0xff) | ((buf(pos + 1) & 0xff) << 8)
+    pos += 2; v
+  }
   def readLong(): Long = {
     val lo = readInt() & 0xffffffffL
     val hi = readInt() & 0xffffffffL

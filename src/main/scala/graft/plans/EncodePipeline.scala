@@ -85,6 +85,97 @@ object EncodePipeline {
   def hashPart(key: String, partitions: Int): Column =
     pmod(xxhash64(col(key)), lit(partitions)).cast(IntegerType)
 
+  // ================== shared (per-partition) dictionaries ==================
+  // Low-cardinality string columns (lang, host, content_type, …) repeat
+  // their dictionary in every ~4k-value block. With shared dictionaries on,
+  // a pre-pass computes each (partition, column)'s distinct set, stores it
+  // ONCE in the manifest side-structure (`outDir/dicts`), and blocks carry
+  // only packed codes + the dictionary's 64-bit content id
+  // (Codecs.SharedDictStr/SharedRleDict). Content-addressing dedupes
+  // identical dictionaries across partitions (a lang column collapses to ONE
+  // table fleet-wide), and caps (maxNdv, maxBytes) bound driver/broadcast
+  // memory — an over-cap (partition, column) simply keeps the inline
+  // self-describing codecs, which is also the per-block fallback whenever
+  // inline encodes smaller. Reference analog: the codec-specialization idea
+  // of pint.hpp:443-456 applied across blocks.
+
+  /** dictionaries for one encode run: (part, column) → content id, plus the
+    * content-deduped tables. Broadcast into the encode job. */
+  final case class SharedDicts(byPartCol: Map[(Int, String), Long],
+                               tables: Map[Long, Codecs.DictTable]) extends Serializable
+
+  /** pre-pass: per-(partition, column) capped distinct sets. Two phases over
+    * one persisted distinct frame: ndv/byte counts FIRST, so an over-cap
+    * column never materializes its values on the driver; then collect only
+    * the eligible pairs (≤ maxNdv values and ≤ maxBytes bytes each — the
+    * driver/broadcast footprint is bounded by parts × cols × maxBytes, and
+    * content-dedup collapses repeated dictionaries to one). */
+  def buildSharedDicts(df: DataFrame, partExpr: Column, cols: Seq[String],
+                       maxNdv: Int = 4096, maxBytes: Int = 1 << 20): SharedDicts = {
+    require(cols.nonEmpty, "sharedDictCols must be non-empty")
+    require(maxNdv <= 0xffff, "shared dictionaries are capped at 65535 entries (short code fields)")
+    val pairs = df.select(partExpr.as("__part"),
+        explode(array(cols.map(c =>
+          struct(lit(c).as("c"), col(c).cast(BinaryType).as("v"))): _*)).as("x"))
+      .select(col("__part"), col("x.c").as("c"), col("x.v").as("v"))
+      .where(col("v").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val eligible = pairs.groupBy(col("__part"), col("c"))
+        .agg(count(lit(1)).as("ndv"), sum(octet_length(col("v"))).as("bytes"))
+        .where(col("ndv") <= maxNdv && col("bytes") <= maxBytes)
+        .select("__part", "c")
+      val rows = pairs.join(broadcast(eligible), Seq("__part", "c"), "left_semi")
+        .groupBy(col("__part"), col("c")).agg(collect_list(col("v")).as("vs"))
+        .collect()
+      val byPartCol = Map.newBuilder[(Int, String), Long]
+      val tables = scala.collection.mutable.Map.empty[Long, Codecs.DictTable]
+      rows.foreach { r =>
+        val part = r.getInt(0); val cName = r.getString(1)
+        val vs = r.getSeq[Array[Byte]](2).toArray
+        // sorted unsigned-lexicographic, same order as the inline dict —
+        // countBetweenStr's code intervals depend on it
+        java.util.Arrays.sort(vs, (a: Array[Byte], b: Array[Byte]) =>
+          java.util.Arrays.compareUnsigned(a, b))
+        val id = Codecs.dictContentId(vs)
+        byPartCol += (((part, cName), id))
+        if (!tables.contains(id)) tables(id) = new Codecs.DictTable(vs)
+      }
+      SharedDicts(byPartCol.result(), tables.toMap)
+    } finally { pairs.unpersist(); () }
+  }
+
+  /** persist the content-deduped dictionaries as a manifest side-structure —
+    * one row per dictionary. Content-addressed, so overwrite on re-run is
+    * idempotent (a resumed run rebuilds identical ids from the same rows). */
+  def writeDicts(spark: SparkSession, outDir: String, dicts: SharedDicts): Unit = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("dict_id", LongType, nullable = false),
+      StructField("ndv", IntegerType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("values", ArrayType(BinaryType, containsNull = false), nullable = false)))
+    val rows = dicts.tables.toSeq.sortBy(_._1).map { case (id, dt) =>
+      org.apache.spark.sql.Row(id, dt.ndv, dt.values.map(_.length.toLong).sum, dt.values.toSeq)
+    }
+    spark.createDataFrame(rows.asJava, schema)
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$outDir/dicts")
+  }
+
+  /** load the dictionary side-structure and register it in this JVM's
+    * content-addressed registry (so stand-alone kernel expressions —
+    * blob_count_eq_str & co — resolve shared blobs); returns the map for
+    * broadcasting into distributed decode. */
+  def loadDicts(spark: SparkSession, outDir: String): Map[Long, Codecs.DictTable] = {
+    val m = spark.read.parquet(s"$outDir/dicts").collect().map { r =>
+      r.getLong(0) -> new Codecs.DictTable(r.getSeq[Array[Byte]](3).toArray)
+    }.toMap
+    Codecs.registerDicts(m)
+    m
+  }
+
   /** encode a table into block rows (one Spark job, one shuffle).
     *
     * The block kernel runs at the InternalRow level (Bridge.toRdd →
@@ -95,7 +186,8 @@ object EncodePipeline {
     * Buffers are primitive arrays reused across blocks; nulls are captured in
     * per-column bitmaps (Codecs.encodeLongsN/encodeStrsN). */
   def encode(df: DataFrame, key: String, partitions: Int, blockSize: Int = 4096,
-             partExpr: Option[Column] = None): DataFrame = {
+             partExpr: Option[Column] = None,
+             sharedDicts: Option[SharedDicts] = None): DataFrame = {
     val plans = plan(df.schema)
     val part = partExpr.getOrElse(hashPart(key, partitions))
     val canon = df
@@ -116,7 +208,11 @@ object EncodePipeline {
     val ps = plans.toArray
     val bs = blockSize
 
-    val rdd = Bridge.toRdd(canon).mapPartitions { it => new BlockIterator(it, ps, bs) }
+    // ship the dictionaries once per executor, not once per task
+    val dictsBc = sharedDicts.map(df.sparkSession.sparkContext.broadcast(_))
+    val rdd = Bridge.toRdd(canon).mapPartitions { it =>
+      new BlockIterator(it, ps, bs, dictsBc.map(_.value).orNull)
+    }
     Bridge.internalCreateDataFrame(df.sparkSession, rdd, outSchema)
   }
 
@@ -125,7 +221,8 @@ object EncodePipeline {
     * auto-selecting codec. Zero per-row allocation: longs land in reused
     * primitive arrays; binaries are the one unavoidable copy out of the
     * UnsafeRow page. */
-  private final class BlockIterator(it: Iterator[InternalRow], plans: Array[ColPlan], blockSize: Int)
+  private final class BlockIterator(it: Iterator[InternalRow], plans: Array[ColPlan], blockSize: Int,
+                                    shared: SharedDicts)
       extends Iterator[InternalRow] {
     private val nCols = plans.length
     private var pending: InternalRow = _ // row.copy() held across next() calls
@@ -134,6 +231,9 @@ object EncodePipeline {
     // per-column FSST tables reused across blocks of ONE partition (reset at
     // part boundaries so each part's output is a pure function of its rows)
     private val fsstCache = new Array[graft.core.Fsst.SymbolTable](nCols)
+    // this partition's shared dictionaries, refreshed at part boundaries
+    private val sharedDict = new Array[Codecs.DictTable](nCols)
+    private val sharedId = new Array[Long](nCols)
     private val longBuf = new Array[Array[Long]](nCols)
     private val binBuf = new Array[Array[Array[Byte]]](nCols)
     private val nullBuf = new Array[Array[Boolean]](nCols)
@@ -156,6 +256,16 @@ object EncodePipeline {
       if (part != lastPart) {
         blockInPart = 0; lastPart = part
         java.util.Arrays.fill(fsstCache.asInstanceOf[Array[AnyRef]], null)
+        if (shared != null) {
+          var c = 0
+          while (c < nCols) {
+            shared.byPartCol.get((part, plans(c).name)) match {
+              case Some(id) => sharedId(c) = id; sharedDict(c) = shared.tables(id)
+              case None => sharedDict(c) = null
+            }
+            c += 1
+          }
+        }
       }
       java.util.Arrays.fill(nNulls, 0)
       var n = 0
@@ -193,7 +303,10 @@ object EncodePipeline {
           out(4 + c * 2) = n * 8L
         } else {
           val vs: Array[Array[Byte]] = java.util.Arrays.copyOf(binBuf(c), n)
-          val (blob, table) = Codecs.encodeStrsN(vs, fsstCache(c))
+          val (blob, table) =
+            if (sharedDict(c) != null)
+              Codecs.encodeStrsNSharedOpt(vs, fsstCache(c), sharedId(c), sharedDict(c))
+            else Codecs.encodeStrsN(vs, fsstCache(c))
           fsstCache(c) = table
           out(3 + c * 2) = blob
           var raw = 0L
@@ -212,7 +325,11 @@ object EncodePipeline {
     * row expands in place to its `__cnt` source rows. Same InternalRow-level
     * path as encode (no external-Row boxing), then a cheap projection
     * restores source types (timestamp/double/string casts). */
-  def decode(enc: DataFrame, sourceSchema: StructType): DataFrame = {
+  def decode(enc: DataFrame, sourceSchema: StructType): DataFrame =
+    decode(enc, sourceSchema, None)
+
+  def decode(enc: DataFrame, sourceSchema: StructType,
+             dicts: Option[Map[Long, Codecs.DictTable]]): DataFrame = {
     val plans = plan(sourceSchema)
     val ps = plans.toArray
     // string-kind columns restore as StringType directly: values are
@@ -228,7 +345,12 @@ object EncodePipeline {
       }, nullable = true)))
     val encSchema = enc.schema
     val eIdx = plans.map(p => encSchema.fieldIndex("e_" + p.name)).toArray
+    // dictionaries travel by broadcast (once per executor) and land in the
+    // JVM-wide content-addressed registry before the first blob is decoded —
+    // the same registry stand-alone kernel expressions resolve against
+    val dictsBc = dicts.filter(_.nonEmpty).map(enc.sparkSession.sparkContext.broadcast(_))
     val rdd = Bridge.toRdd(enc).mapPartitions { rows =>
+      dictsBc.foreach(b => Codecs.registerDicts(b.value))
       val nCols = ps.length
       rows.flatMap { r =>
         val longVals = new Array[Array[Long]](nCols)
@@ -317,7 +439,10 @@ object EncodePipeline {
           useHostPartitioner: Boolean = false,
           failAtWave: Int = -1 /* test hook: throw before committing wave N's metadata */,
           customPart: Option[Column] = None /* e.g. a range partitioner so the
-            metadata zone maps prune; must be a pure function of the row */): Unit = {
+            metadata zone maps prune; must be a pure function of the row */,
+          sharedDictCols: Seq[String] = Nil /* low-cardinality string columns
+            to encode against per-partition shared dictionaries */,
+          sharedMaxNdv: Int = 4096, sharedMaxBytes: Int = 1 << 20): Unit = {
     val spark = df.sparkSession
     val committed: Set[Int] = try {
       spark.read.parquet(s"$outDir/meta").select("__part").distinct()
@@ -327,12 +452,28 @@ object EncodePipeline {
     val partExpr = customPart.getOrElse(
       if (useHostPartitioner) saltedHostPart(key, partitions, salts) else hashPart(key, partitions))
 
+    // shared dictionaries are built from the FULL input (all waves — __part
+    // is a pure function of the row, so the pre-pass and every wave agree)
+    // and written before any data: a resumed run rebuilds identical
+    // content-addressed ids from the same rows, so overwrite is idempotent
+    val shared: Option[SharedDicts] =
+      if (sharedDictCols.isEmpty) None
+      else {
+        val d = buildSharedDicts(df, partExpr, sharedDictCols, sharedMaxNdv, sharedMaxBytes)
+        if (d.tables.isEmpty) None
+        else {
+          writeDicts(spark, outDir, d)
+          Codecs.registerDicts(d.tables) // driver-side kernels (metadata job)
+          Some(d)
+        }
+      }
+
     var w = 0
     while (w < waves) {
       val waveStart = System.currentTimeMillis()
       val inWave = df.filter(pmod(partExpr, lit(waves)) === w &&
         (if (committed.isEmpty) lit(true) else !partExpr.isin(committed.toSeq: _*)))
-      val enc = encode(inWave, key, partitions, blockSize, Some(partExpr))
+      val enc = encode(inWave, key, partitions, blockSize, Some(partExpr), shared)
       // dynamic partition overwrite: a re-run of a crashed wave REPLACES that
       // wave's orphan part directories instead of appending duplicates
       enc.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -387,6 +528,17 @@ object EncodePipeline {
       .drop("__file")
     if (oldParts.isEmpty) byFile
     else byFile.unionByName(data.join(broadcast(oldParts), Seq("__part"), "left_semi"))
+  }
+
+  /** decode a table written with shared dictionaries: loads the dictionary
+    * side-structure (registering it in this JVM for stand-alone kernels) and
+    * threads it through distributed decode via broadcast. Works equally on
+    * tables WITHOUT a dicts side-structure (plain inline blobs). */
+  def decodeShared(spark: SparkSession, outDir: String, sourceSchema: StructType): DataFrame = {
+    val dicts =
+      try loadDicts(spark, outDir)
+      catch { case _: Exception => Map.empty[Long, Codecs.DictTable] } // no dicts/ dir
+    decode(readData(spark, outDir), sourceSchema, if (dicts.isEmpty) None else Some(dicts))
   }
 
   /** metadata read with schema merge across metadata-version eras: a resumed
