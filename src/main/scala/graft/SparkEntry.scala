@@ -236,6 +236,32 @@ object SparkEntry {
           (sum(col("encoded_bytes")) < sum(col("raw_bytes"))).as("encoded_lt_raw"))
         .orderBy(col("column_name"))
     }),
+    "q_shared_dict" -> ((s, dir) => {
+      // per-partition shared dictionaries end-to-end: documents'
+      // low-cardinality source/lang columns encode against once-per-
+      // partition dictionaries stored in the manifest side-structure
+      // (outDir/dicts, content-addressed); blocks carry only rebased codes.
+      // decodeShared resolves them via broadcast + the JVM registry; the
+      // oracle checks the DECODED table, and shared_used pins that the
+      // shared codec actually carried source blocks (the per-block size
+      // competition reliably favors it for a 20-value dictionary).
+      val d = tbl(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_sdict_q").toFile
+      out.deleteOnExit()
+      EncodePipeline.run(d, "doc_id", out.getAbsolutePath, partitions = 8,
+        blockSize = 1024, sharedDictCols = Seq("source", "lang"))
+      val sharedUsed = EncodePipeline.readData(s, out.getAbsolutePath)
+        .agg((sum(when(blob_codec(col("e_source")).startsWith("shared"), 1L)
+          .otherwise(0L)) > 0L).as("shared_used"))
+      val dec = EncodePipeline.decodeShared(s, out.getAbsolutePath, d.schema)
+      dec.groupBy(col("source")).agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("lang")).as("min_lang"),
+          max(col("lang")).as("max_lang"))
+        .crossJoin(broadcast(sharedUsed))
+        .orderBy(col("source"))
+    }),
     "q_null_roundtrip" -> ((s, dir) => {
       // inject nulls into long + string columns, encode → decode, and report
       // oracle-checkable null counts and non-null checksums. A pmod-sampled
@@ -407,54 +433,59 @@ object SparkEntry {
     }),
     "q_media_pipeline" -> ((s, dir) => {
       // multimodal plumbing smoke: synthesized media table -> metadata decode,
-      // resize, frame sampling, feature extraction (stub decoders; real
-      // schema/expression/batch plumbing). Deterministic, rows-only check.
+      // resize, frame sampling, feature extraction over the REAL pure-Scala
+      // BMP/WAV/AVI codecs (compressed formats stay declared stubs).
+      // ONE union + ONE aggregation (r4 verdict item 4): the previous shape
+      // ran eight independent 1-row aggregate jobs glued by crossJoins —
+      // harmless at any scale (all 1-row sides) but eight serialized jobs;
+      // per-kind expressions now run conditionally inside a single pass.
       import graft.operators.MediaOps
-      val media = MediaOps.fakeMediaTable(s, 400, 8)
-      val imgs = media.filter(col("media_type").startsWith("image/"))
-      val vids = media.filter(col("media_type") === "video/fake")
-      // the REAL decode path: BMP payloads parsed/decoded by the pure-Scala
-      // Bmp codec; the checksum aggregates actual pixel bytes read from the
-      // container (encode→decode identity pinned in MediaOpsSpec)
-      val bmps = media.filter(col("media_type") === "image/bmp")
-        .select(MediaOps.pixel_checksum(col("payload")).as("ck"))
-        .agg(count(lit(1)).as("n_bmp"), sum(col("ck")).as("bmp_pixel_sum"))
-      val metaOk = imgs.select(MediaOps.image_meta(col("payload")).as("m"))
-        .agg(count(lit(1)).as("n_images"),
-          sum(when(col("m.valid"), 1L).otherwise(0L)).as("n_valid"),
-          sum(col("m.width") * col("m.height") * col("m.channels")).as("total_pixels"))
-      val resized = imgs.select(MediaOps.image_meta(
-          MediaOps.image_resize(col("payload"), 224, 224)).as("m"))
-        .agg(sum(when(col("m.width") === 224 && col("m.height") === 224, 1L).otherwise(0L)).as("n_resized"))
-      val frames = vids.select(explode(MediaOps.frame_sample(col("payload"), 4)).as("f"))
-        .agg(count(lit(1)).as("n_frames"))
-      val feats = imgs.select(MediaOps.image_feature(col("payload"), 32).as("v"))
-        .agg(count(lit(1)).as("n_features"), max(size(col("v"))).as("dims"))
-      // the REAL audio path: RIFF/WAVE PCM-16 clips parsed/decoded by the
-      // pure-Scala Wav codec; wav_sample_sum aggregates actual PCM samples
-      // read from the container (re-derived independently in the oracle)
-      val wavs = MediaOps.fakeAudioTable(s, 100, 8)
-        .select(MediaOps.audio_meta(col("payload")).as("m"),
-          MediaOps.sample_checksum(col("payload")).as("ck"),
-          MediaOps.audio_meta(MediaOps.audio_resample(col("payload"), 4000)).as("rm"))
-        .agg(count(lit(1)).as("n_wav"),
-          sum(when(col("m.valid"), 1L).otherwise(0L)).as("n_wav_valid"),
-          sum(col("ck")).as("wav_sample_sum"),
-          sum(when(col("rm.valid") && col("rm.sample_rate") === 4000, 1L).otherwise(0L)).as("n_wav_resampled"))
-      // the REAL video path: uncompressed-DIB AVI clips parsed by the
-      // pure-Scala Avi codec; every 2nd frame re-encodes as a real BMP and
-      // flows through the real image pixel decode — the checksum aggregates
-      // actual frame pixels (constants re-derived independently)
-      val avis = MediaOps.fakeAviTable(s, 40, 8)
-      val aviMeta = avis.select(MediaOps.video_meta(col("payload")).as("m"))
-        .agg(count(lit(1)).as("n_avi"),
-          sum(when(col("m.valid"), col("m.n_frames")).otherwise(0L)).as("n_avi_frames"))
-      val aviPix = avis
-        .select(explode(MediaOps.frame_sample(col("payload"), 2)).as("f"))
-        .select(MediaOps.pixel_checksum(col("f")).as("ck"))
-        .agg(count(lit(1)).as("n_avi_sampled"), sum(col("ck")).as("avi_pixel_sum"))
-      metaOk.crossJoin(resized).crossJoin(frames).crossJoin(feats).crossJoin(bmps)
-        .crossJoin(wavs).crossJoin(aviMeta).crossJoin(aviPix)
+      val rows = MediaOps.fakeMediaTable(s, 400, 8).select(col("media_type"), col("payload"))
+        .unionByName(MediaOps.fakeAudioTable(s, 100, 8)
+          .select(lit("audio/wav").as("media_type"), col("payload")))
+        .unionByName(MediaOps.fakeAviTable(s, 40, 8)
+          .select(lit("video/avi").as("media_type"), col("payload")))
+        .select(
+          col("media_type").startsWith("image/").as("is_img"),
+          (col("media_type") === "image/bmp").as("is_bmp"),
+          (col("media_type") === "video/fake").as("is_vid"),
+          (col("media_type") === "audio/wav").as("is_wav"),
+          (col("media_type") === "video/avi").as("is_avi"),
+          col("payload"))
+        .select(col("*"),
+          when(col("is_img"), MediaOps.image_meta(col("payload"))).as("m"),
+          when(col("is_img"), MediaOps.image_meta(
+            MediaOps.image_resize(col("payload"), 224, 224))).as("rm"),
+          when(col("is_bmp"), MediaOps.pixel_checksum(col("payload"))).as("bmp_ck"),
+          when(col("is_vid"), size(MediaOps.frame_sample(col("payload"), 4))).as("n_vid_frames"),
+          when(col("is_img"), size(MediaOps.image_feature(col("payload"), 32))).as("feat_dims"),
+          when(col("is_wav"), MediaOps.audio_meta(col("payload"))).as("am"),
+          when(col("is_wav"), MediaOps.sample_checksum(col("payload"))).as("wav_ck"),
+          when(col("is_wav"), MediaOps.audio_meta(
+            MediaOps.audio_resample(col("payload"), 4000))).as("arm"),
+          when(col("is_avi"), MediaOps.video_meta(col("payload"))).as("vm"),
+          // every-2nd-frame sampling: each frame re-encodes as a real BMP and
+          // flows through the real pixel decode, summed in place
+          when(col("is_avi"), transform(MediaOps.frame_sample(col("payload"), 2),
+            f => MediaOps.pixel_checksum(f))).as("avi_cks"))
+      rows.agg(
+        sum(when(col("is_img"), 1L).otherwise(0L)).as("n_images"),
+        sum(when(col("m.valid"), 1L).otherwise(0L)).as("n_valid"),
+        sum(col("m.width") * col("m.height") * col("m.channels")).as("total_pixels"),
+        sum(when(col("rm.width") === 224 && col("rm.height") === 224, 1L).otherwise(0L)).as("n_resized"),
+        sum(col("n_vid_frames")).as("n_frames"),
+        sum(when(col("is_img"), 1L).otherwise(0L)).as("n_features"),
+        max(col("feat_dims")).as("dims"),
+        sum(when(col("is_bmp"), 1L).otherwise(0L)).as("n_bmp"),
+        sum(col("bmp_ck")).as("bmp_pixel_sum"),
+        sum(when(col("is_wav"), 1L).otherwise(0L)).as("n_wav"),
+        sum(when(col("am.valid"), 1L).otherwise(0L)).as("n_wav_valid"),
+        sum(col("wav_ck")).as("wav_sample_sum"),
+        sum(when(col("arm.valid") && col("arm.sample_rate") === 4000, 1L).otherwise(0L)).as("n_wav_resampled"),
+        sum(when(col("is_avi"), 1L).otherwise(0L)).as("n_avi"),
+        sum(when(col("vm.valid"), col("vm.n_frames")).otherwise(0L)).as("n_avi_frames"),
+        sum(size(col("avi_cks"))).as("n_avi_sampled"),
+        sum(aggregate(col("avi_cks"), lit(0L), (a, x) => a + x)).as("avi_pixel_sum"))
     }),
     "q_embed_dims" -> ((s, dir) => {
       tbl(s, dir, "embeddings").agg(
@@ -609,6 +640,11 @@ object SparkEntry {
         "UNION ALL SELECT 'source', CAST(sum(strlen(source)) AS BIGINT), TRUE FROM documents " +
         "UNION ALL SELECT 'text', CAST(sum(strlen(text)) AS BIGINT), TRUE FROM documents" +
         ") ORDER BY column_name"),
+    "q_shared_dict" ->
+      ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(lang) AS min_lang, max(lang) AS max_lang, TRUE AS shared_used " +
+        "FROM documents GROUP BY source ORDER BY source"),
     "q_null_roundtrip" ->
       ("WITH e AS (SELECT event_id, " +
         "CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS user_id, " +
