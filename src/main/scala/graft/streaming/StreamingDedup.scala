@@ -72,8 +72,42 @@ object StreamingDedup {
   final case class DedupIn(id: Long, h: Long)
   final case class DedupOut(id: Long, h: Long, dups: Long)
 
-  final case class NearDupIn(id: Long, sig: Seq[Long], band: Long)
-  final case class NearDupOut(id_a: Long, id_b: Long, est4: Long, band: Long)
+  final case class NearDupIn(id: Long, sig: Seq[Long], band: Long,
+                             ts: java.sql.Timestamp)
+  final case class NearDupOut(id_a: Long, id_b: Long, est4: Long, band: Long,
+                              ts: java.sql.Timestamp)
+
+  /** `minhashNearDupPairs` with the band-duplicate emissions collapsed: each
+    * near-dup pair surfaces EXACTLY once (the fool-proof form — callers need
+    * no per-sink-batch dedupe). With an event-time column, the collapse runs
+    * through `dropDuplicatesWithinWatermark(id_a, id_b)` so its state is
+    * watermark-bounded like the band state itself (chained stateful
+    * operators — Append-mode flatMapGroupsWithState followed by a
+    * watermark-scoped dedup — the shape an unbounded crawl needs). Without
+    * one, a plain `dropDuplicates` collapses pairs with stream-lifetime
+    * state: fine for drain-and-assert harnesses and bounded backfills,
+    * wrong for an unbounded stream — pass the timestamp there. */
+  def minhashNearDupPairsDistinct(docs: DataFrame, idCol: String, textCol: String,
+                                  tsCol: Option[String] = None,
+                                  delay: String = "10 minutes",
+                                  shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                                  threshold: Double = 0.5, maxBucket: Int = 16,
+                                  ttlMs: Long = 3600000L): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, idCol, textCol, shingleN, k, bands,
+      threshold, maxBucket, ttlMs, tsCol).toDF()
+    tsCol match {
+      case Some(_) =>
+        // the emitted ts is the arriving (later) document's event time; the
+        // watermark travels through the stateful operator chain (Spark ≥3.4
+        // multi-stateful support), so pair-dedup state evicts with it
+        pairs.withWatermark("ts", delay)
+          .dropDuplicatesWithinWatermark("id_a", "id_b")
+          .select(col("id_a"), col("id_b"), col("est4"), col("ts"))
+      case None =>
+        pairs.dropDuplicates("id_a", "id_b")
+          .select(col("id_a"), col("id_b"), col("est4"))
+    }
+  }
 
   /** Streaming MinHash near-duplicate detection — the stream counterpart of
     * the batch TextOps.minhashDupPairs family. Each document's k-long
@@ -86,16 +120,17 @@ object StreamingDedup {
     * 100 TB shape (the batch operator's signature-estimate pre-filter made
     * the same trade; σ ≈ √(J(1-J)/k)).
     *
-    * A pair sharing several bands emits once per shared band: dedupe
-    * downstream (`.dropDuplicates("id_a","id_b")` per sink batch, or
-    * dropDuplicatesWithinWatermark in a continuous pipeline). With
+    * A pair sharing several bands emits once per shared band: use
+    * [[minhashNearDupPairsDistinct]] for the exactly-once form (it chains a
+    * watermark-bounded pair dedup), or dedupe per sink batch. With
     * ttlMs > 0 bucket state times out after inactivity (bounded state);
     * pass ttlMs = 0 (NoTimeout) in drain-and-assert harnesses — see
     * exactStateful's scaladoc for the ProcessingTimeTimeout trap. */
   def minhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           shingleN: Int = 3, k: Int = 64, bands: Int = 16,
                           threshold: Double = 0.5, maxBucket: Int = 16,
-                          ttlMs: Long = 3600000L): Dataset[NearDupOut] = {
+                          ttlMs: Long = 3600000L,
+                          tsCol: Option[String] = None): Dataset[NearDupOut] = {
     import graft.operators.TextOps
     val spark = docs.sparkSession
     import spark.implicits._
@@ -104,10 +139,11 @@ object StreamingDedup {
     val thr4 = math.round(threshold * 10000)
     val sig = TextOps.minhash(
       array_distinct(TextOps.tokenShingles(col(textCol), shingleN)), k)
+    val ts = tsCol.map(col).getOrElse(lit(null).cast("timestamp"))
     docs
-      .select(col(idCol).cast("long").as("id"), sig.as("sig"))
+      .select(col(idCol).cast("long").as("id"), sig.as("sig"), ts.as("ts"))
       .select(col("id"), col("sig"),
-        explode(TextOps.lshBands(col("sig"), bands, k / bands)).as("band"))
+        explode(TextOps.lshBands(col("sig"), bands, k / bands)).as("band"), col("ts"))
       .as[NearDupIn]
       .groupByKey(_.band)
       .flatMapGroupsWithState[List[(Long, Seq[Long])], NearDupOut](
@@ -127,7 +163,7 @@ object StreamingDedup {
                   while (i < k) { if (osig(i) == r.sig(i)) agree += 1; i += 1 }
                   val est4 = agree.toLong * 10000 / k
                   if (est4 >= thr4)
-                    out += NearDupOut(math.min(oid, r.id), math.max(oid, r.id), est4, band)
+                    out += NearDupOut(math.min(oid, r.id), math.max(oid, r.id), est4, band, r.ts)
                 }
               }
               if (entries.length < maxBucket && !entries.exists(_._1 == r.id))

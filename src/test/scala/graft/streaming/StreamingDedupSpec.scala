@@ -176,4 +176,60 @@ class StreamingDedupSpec extends SparkTestBase {
     val rows = spark.sql("SELECT id, dups FROM dedup_neg").as[(Long, Long)].collect().toSet
     assert(rows === Set((-7L, 0L), (-7L, 1L), (-7L, 2L)))
   }
+
+  test("distinct near-dup wrapper emits each planted pair exactly once across bands and batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+      "nu xi omicron pi rho sigma tau upsilon phi chi psi rest").split(" ")
+    def text(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => words(r.nextInt(words.length))).mkString(" ")
+    }
+    val base = text(1, 40)
+    // IDENTICAL text: the pair shares every band → 16 raw emissions without
+    // the wrapper — the exactly-once claim is maximally stressed
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+
+    // event-time path: watermark-bounded pair-dedup state
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingDedup.minhashNearDupPairsDistinct(docs, "doc_id", "text",
+      tsCol = Some("ts"), delay = "10 minutes",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.5, ttlMs = 0L)
+    val q = out.writeStream.format("memory").queryName("near_dup_once")
+      .option("checkpointLocation", shmCheckpoint())
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, base, t0), (2L, text(5, 40), t0))
+    q.processAllAvailable()
+    in.addData((3L, base, t1)) // duplicate arrives in a later micro-batch
+    q.processAllAvailable()
+    in.addData((3L, base, t1)) // replayed row: pair must NOT re-emit
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT id_a, id_b FROM near_dup_once")
+      .as[(Long, Long)].collect()
+    assert(rows.toSeq === Seq((1L, 3L))) // exactly ONE row, not one per band
+
+    // no-event-time path: plain dropDuplicates collapse
+    val in2 = MemoryStream[(Long, String)]
+    val out2 = StreamingDedup.minhashNearDupPairsDistinct(
+      in2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.5, ttlMs = 0L)
+    val q2 = out2.writeStream.format("memory").queryName("near_dup_once2")
+      .option("checkpointLocation", shmCheckpoint())
+      .outputMode(OutputMode.Append()).start()
+    in2.addData((1L, base), (2L, text(5, 40)))
+    q2.processAllAvailable()
+    in2.addData((3L, base))
+    q2.processAllAvailable()
+    q2.stop()
+    spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val rows2 = spark.sql("SELECT id_a, id_b FROM near_dup_once2")
+      .as[(Long, Long)].collect()
+    assert(rows2.toSeq === Seq((1L, 3L)))
+  }
 }
