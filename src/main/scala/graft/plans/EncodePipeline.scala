@@ -643,6 +643,50 @@ object EncodePipeline {
       .join(broadcast(parts), Seq("__part"), "left_semi")
   }
 
+  // ---- collected surviving-part sets (the ManifestPruneRule planner hook
+  // consults these at optimization time; same admit logic as the
+  // readDataPruned* readers, with the same old-era conservatism) ----
+
+  /** every committed part id */
+  def allParts(spark: SparkSession, outDir: String): Array[Int] =
+    readMeta(spark, outDir).select("__part").distinct().collect().map(_.getInt(0)).sorted
+
+  /** parts whose [value_lo, value_hi] zone maps intersect [lo, hi] */
+  def survivingPartsLong(spark: SparkSession, outDir: String,
+                         column: String, lo: Long, hi: Long): Array[Int] = {
+    val meta = readMeta(spark, outDir)
+    val isOldRow =
+      if (meta.columns.contains("data_files")) col("data_files").isNull else lit(true)
+    meta.filter(col("column") === column &&
+        (isOldRow || (col("value_lo") <= hi && col("value_hi") >= lo)))
+      .select("__part").distinct().collect().map(_.getInt(0)).sorted
+  }
+
+  /** parts whose truncated string zone maps intersect [lo, hi]
+    * (unsigned-lexicographic; a null bound = unbounded on that side) */
+  def survivingPartsStr(spark: SparkSession, outDir: String, column: String,
+                        lo: Array[Byte], hi: Array[Byte]): Array[Int] = {
+    val meta = readMeta(spark, outDir)
+    val isOldRow =
+      if (meta.columns.contains("data_files")) col("data_files").isNull else lit(true)
+    val admits = col("str_lo").isNotNull &&
+      (if (hi == null) lit(true) else col("str_lo") <= lit(hi)) &&
+      (col("str_hi").isNull || (if (lo == null) lit(true) else col("str_hi") >= lit(lo)))
+    meta.filter(col("column") === column && (isOldRow || admits))
+      .select("__part").distinct().collect().map(_.getInt(0)).sorted
+  }
+
+  /** parts whose manifest null_value_count admits null rows */
+  def survivingPartsIsNull(spark: SparkSession, outDir: String, column: String): Array[Int] = {
+    val meta = readMeta(spark, outDir)
+    val hasNulls =
+      if (meta.columns.contains("null_value_count"))
+        col("null_value_count").isNull || col("null_value_count") > 0
+      else lit(true)
+    meta.filter(col("column") === column && hasNulls)
+      .select("__part").distinct().collect().map(_.getInt(0)).sorted
+  }
+
   /** join-based bit-identical verification (SURVEY.md §3.4 step 4): returns
     * one summary row (rows, mismatches) — mismatches must be 0. */
   def verifyRoundTrip(original: DataFrame, decoded: DataFrame, key: String): DataFrame = {

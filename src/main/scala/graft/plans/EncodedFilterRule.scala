@@ -260,6 +260,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => EncodedFilterRule)
+    // runs in the same fixed-point batch, AFTER EncodedFilterRule has turned
+    // decoded-domain predicates into blob kernels it can recognize
+    ext.injectOptimizerRule(session => new ManifestPruneRule(session))
     fns.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }

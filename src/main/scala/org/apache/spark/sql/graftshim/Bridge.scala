@@ -36,4 +36,16 @@ object Bridge {
                               schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** root path of a file-source scan node (LogicalRelation over
+    * HadoopFsRelation — both private[sql] in Spark 4), or None. Lets
+    * optimizer rules recognize a graft table scan by its directory layout
+    * without reaching into internals anywhere else. */
+  def fileScanRootPath(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Option[String] =
+    plan match {
+      case org.apache.spark.sql.execution.datasources.LogicalRelationWithTable(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _) =>
+        fs.location.rootPaths.headOption.map(_.toString)
+      case _ => None
+    }
 }

@@ -34,6 +34,36 @@ class PlanShapeSpec extends SparkTestBase {
     assert("PartitionFilters: \\[[^\\]]*\\(__part#\\d+ = 3\\)".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("manifest planner hook: encoded-domain filters open only surviving part directories") {
+    import graft.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_mpr").toFile.getAbsolutePath
+    val docs = WebDocGen.dataset(spark, 1000, 4).toDF()
+    // lang-disjoint parts so the manifest string zone maps are selective
+    EncodePipeline.run(docs, "url", dir, partitions = 8, blockSize = 128,
+      customPart = Some(pmod(xxhash64(col("lang")), lit(8)).cast("int")))
+    val df = spark.read.parquet(s"$dir/data")
+      .filter(blob_contains(col("e_lang"), lit("de")))
+    val plan = planOf(df)
+    // the rule injected __part IN (...) and Catalyst turned it into native
+    // partition pruning (a single-part IN folds further, to equality) —
+    // pruned part directories are never opened
+    val pf = "PartitionFilters: \\[[^\\]]*__part#\\d+ (= \\d+|IN \\(([^)]*)\\))".r
+      .findFirstMatchIn(plan)
+    assert(pf.isDefined, plan)
+    val nParts = Option(pf.get.group(2)).map(_.split(",").length).getOrElse(1)
+    assert(nParts < 8, plan)
+    // and the pruned read returns exactly the unpruned result
+    val expect = spark.read.parquet(s"$dir/data")
+      .agg(sum(blob_count_eq(col("e_lang"), lit("de")))).head().getLong(0)
+    val got = df.agg(sum(blob_count_eq(col("e_lang"), lit("de")))).head().getLong(0)
+    assert(got === expect && got === docs.filter(col("lang") === "de").count())
+    // a probe no part admits folds the scan away entirely
+    val none = spark.read.parquet(s"$dir/data")
+      .filter(blob_contains(col("e_lang"), lit("zz")))
+    assert(none.count() === 0L)
+    assert(!planOf(none).contains("FileScan"), planOf(none))
+  }
+
   test("single-column metadata queries prune the other blob columns") {
     val df = spark.read.parquet(s"$encDir/data").select(octet_length(col("e_lang")))
     val plan = planOf(df)
