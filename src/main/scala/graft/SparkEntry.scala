@@ -441,6 +441,8 @@ object SparkEntry {
       // per-kind expressions now run conditionally inside a single pass.
       import graft.operators.MediaOps
       val rows = MediaOps.fakeMediaTable(s, 400, 8).select(col("media_type"), col("payload"))
+        .unionByName(MediaOps.fakeGifTable(s, 80, 8)
+          .select(col("media_type"), col("payload")))
         .unionByName(MediaOps.fakeAudioTable(s, 100, 8)
           .select(lit("audio/wav").as("media_type"), col("payload")))
         .unionByName(MediaOps.fakeAviTable(s, 40, 8)
@@ -448,6 +450,7 @@ object SparkEntry {
         .select(
           col("media_type").startsWith("image/").as("is_img"),
           (col("media_type") === "image/bmp").as("is_bmp"),
+          (col("media_type") === "image/gif").as("is_gif"),
           (col("media_type") === "video/fake").as("is_vid"),
           (col("media_type") === "audio/wav").as("is_wav"),
           (col("media_type") === "video/avi").as("is_avi"),
@@ -457,6 +460,8 @@ object SparkEntry {
           when(col("is_img"), MediaOps.image_meta(
             MediaOps.image_resize(col("payload"), 224, 224))).as("rm"),
           when(col("is_bmp"), MediaOps.pixel_checksum(col("payload"))).as("bmp_ck"),
+          // real GIF87a/LZW decode path: checksum over the decoded canvas
+          when(col("is_gif"), MediaOps.pixel_checksum(col("payload"))).as("gif_ck"),
           when(col("is_vid"), size(MediaOps.frame_sample(col("payload"), 4))).as("n_vid_frames"),
           when(col("is_img"), size(MediaOps.image_feature(col("payload"), 32))).as("feat_dims"),
           when(col("is_wav"), MediaOps.audio_meta(col("payload"))).as("am"),
@@ -478,6 +483,8 @@ object SparkEntry {
         max(col("feat_dims")).as("dims"),
         sum(when(col("is_bmp"), 1L).otherwise(0L)).as("n_bmp"),
         sum(col("bmp_ck")).as("bmp_pixel_sum"),
+        sum(when(col("is_gif"), 1L).otherwise(0L)).as("n_gif"),
+        sum(col("gif_ck")).as("gif_pixel_sum"),
         sum(when(col("is_wav"), 1L).otherwise(0L)).as("n_wav"),
         sum(when(col("am.valid"), 1L).otherwise(0L)).as("n_wav_valid"),
         sum(col("wav_ck")).as("wav_sample_sum"),
@@ -685,11 +692,15 @@ object SparkEntry {
       // bmp_pixel_sum re-derived independently (python splitmix64 over the
       // generator definition = 111418251): the REAL BMP decode path returns
       // exactly the pixel bytes that were encoded into the container
-      ("SELECT CAST(300 AS BIGINT) AS n_images, CAST(300 AS BIGINT) AS n_valid, " +
-        "CAST(2620428 AS BIGINT) AS total_pixels, CAST(300 AS BIGINT) AS n_resized, " +
-        "CAST(650 AS BIGINT) AS n_frames, CAST(300 AS BIGINT) AS n_features, " +
+      ("SELECT CAST(380 AS BIGINT) AS n_images, CAST(380 AS BIGINT) AS n_valid, " +
+        "CAST(2827398 AS BIGINT) AS total_pixels, CAST(380 AS BIGINT) AS n_resized, " +
+        "CAST(650 AS BIGINT) AS n_frames, CAST(380 AS BIGINT) AS n_features, " +
         "CAST(32 AS BIGINT) AS dims, CAST(100 AS BIGINT) AS n_bmp, " +
         "CAST(111418251 AS BIGINT) AS bmp_pixel_sum, " +
+        // GIF constants re-derived independently (python splitmix64 over the
+        // seededPalettedRgb definition, 80 clips of 20..49 x 16..35): the
+        // REAL GIF87a/LZW decode returns exactly the paletted pixels encoded
+        "CAST(80 AS BIGINT) AS n_gif, CAST(25021775 AS BIGINT) AS gif_pixel_sum, " +
         // audio constants re-derived independently (python splitmix64 over
         // the seededPcm definition): 100 WAV clips, all valid, sample sum
         // -3287541, all 100 resample to 4 kHz with valid headers

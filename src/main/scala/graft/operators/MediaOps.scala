@@ -51,15 +51,20 @@ object MediaOps {
 
   final case class ImageMeta(valid: Boolean, width: Int, height: Int, channels: Int, seed: Long)
 
-  /** real-codec dispatch: BMP / P6 PPM → (w, h, top-down RGB); null for
-    * formats the sandbox has no codec for (they go through the stub) */
+  /** real-codec dispatch: BMP / P6 PPM / GIF → (w, h, top-down RGB); null
+    * for formats the sandbox has no codec for (they go through the stub) */
   def realImage(payload: Array[Byte]): (Int, Int, Array[Byte]) =
     if (Bmp.isBmp(payload)) Bmp.decode(payload)
     else if (Bmp.isPpm(payload)) Bmp.decodePpm(payload)
+    else if (Gif.isGif(payload)) Gif.decode(payload)
     else null
 
   def parseImage(payload: Array[Byte]): ImageMeta = {
-    val real = realImage(payload)
+    // a corrupt real-format container reports valid=false (meta is a
+    // classifier); decodePixels stays loud — same split as VideoMetaExpr
+    val real = try realImage(payload) catch {
+      case _: IllegalArgumentException | _: IndexOutOfBoundsException => null
+    }
     if (real != null) {
       // REAL formats: dimensions read from the actual container header
       return ImageMeta(valid = true, real._1, real._2, channels = 3, seed = 0L)
@@ -120,8 +125,10 @@ object MediaOps {
       if (real != null) {
         val (w, h, rgb) = real
         val resized = Bmp.resizeRgb(w, h, rgb, newW, newH)
-        // re-encode in the source container format
+        // re-encode in the source container format (nearest-neighbor only
+        // SAMPLES source pixels, so a GIF's ≤256-color invariant holds)
         return if (Bmp.isPpm(payload)) Bmp.encodePpm(newW, newH, resized)
+               else if (Gif.isGif(payload)) Gif.encode(newW, newH, resized)
                else Bmp.encode(newW, newH, resized)
       }
       val m = parseImage(payload)
@@ -377,6 +384,35 @@ object MediaOps {
       val nFrames = 4 + (i % 4).toInt
       val frames = (0 until nFrames).map(f => seededRgb(graft.core.Bits.mix(seed ^ f), w, h))
       (i, "video/avi", Avi.encode(w, h, fps = 10, frames))
+    }.toDF("doc_id", "media_type", "payload")
+  }
+
+  /** deterministic paletted RGB field (≤256 distinct colors — GIF's hard
+    * limit): pixel i gets palette slot mix(seed^i) mod 29, each slot a
+    * fixed affine color. Trivially re-derivable in the DuckDB/python
+    * oracle (splitmix64 + modular arithmetic, like seededRgb). */
+  def seededPalettedRgb(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val c = (((graft.core.Bits.mix(seed ^ i) >>> 7) % 29 + 29) % 29).toInt
+      out(i * 3) = ((c * 37 + 11) & 0xff).toByte
+      out(i * 3 + 1) = ((c * 73 + 5) & 0xff).toByte
+      out(i * 3 + 2) = ((c * 151 + 3) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** deterministic synthetic GIF table: REAL GIF87a containers (paletted,
+    * LZW-compressed, fully decodable by the pure-Scala Gif codec) */
+  def fakeGifTable(spark: SparkSession, n: Long, partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val seed = graft.core.Bits.mix(i ^ 0x61F)
+      val w = 20 + (i % 30).toInt
+      val h = 16 + (i % 20).toInt
+      (i, "image/gif", Gif.encode(w, h, seededPalettedRgb(seed, w, h)))
     }.toDF("doc_id", "media_type", "payload")
   }
 
