@@ -98,6 +98,59 @@ object KernelBench {
     bench("prefix decode (urls)", urlBytes, 4) { Codecs.decodeStrs(pfxBlob) }
     bench("prefix decode VIEW (urls)", urlBytes, 4) { Codecs.decodeStrsView(pfxBlob) }
 
+    // encode-side block assembly (NEXT item 2 measurement): the BlockIterator
+    // copies each binary value out of the UnsafeRow page (row.getBinary =
+    // one allocation + memcpy per value). Compare that against (a) a bulk
+    // arena copy of the same bytes and (b) the cheapest string encoders, to
+    // size the headroom an arena/span refactor could recover.
+    {
+      // a fake row page: values packed back-to-back, like UnsafeRow payloads
+      val page = new Array[Byte](textBytes.toInt)
+      val offs = new Array[Int](textRows.length + 1)
+      var o = 0
+      for (i <- textRows.indices) {
+        System.arraycopy(textRows(i), 0, page, o, textRows(i).length)
+        offs(i) = o; o += textRows(i).length
+      }
+      offs(textRows.length) = o
+      val out = new Array[Array[Byte]](textRows.length)
+      bench("assembly copy/value (text)", textBytes, 8) {
+        var i = 0
+        while (i < textRows.length) {
+          val len = offs(i + 1) - offs(i)
+          val a = new Array[Byte](len)
+          System.arraycopy(page, offs(i), a, 0, len)
+          out(i) = a
+          i += 1
+        }
+      }
+      val arena = new Array[Byte](textBytes.toInt)
+      bench("assembly arena copy (text)", textBytes, 8) {
+        System.arraycopy(page, 0, arena, 0, page.length)
+      }
+      // the short-value shape (lang dict column): per-value alloc overhead
+      // dominates relative to the 2-byte payloads
+      val pageS = new Array[Byte](strBytes.toInt)
+      val offsS = new Array[Int](strs.length + 1)
+      o = 0
+      for (i <- strs.indices) {
+        System.arraycopy(strs(i), 0, pageS, o, strs(i).length)
+        offsS(i) = o; o += strs(i).length
+      }
+      offsS(strs.length) = o
+      val outS = new Array[Array[Byte]](strs.length)
+      bench("assembly copy/value (lang)", strBytes, 8) {
+        var i = 0
+        while (i < strs.length) {
+          val len = offsS(i + 1) - offsS(i)
+          val a = new Array[Byte](len)
+          System.arraycopy(pageS, offsS(i), a, 0, len)
+          outS(i) = a
+          i += 1
+        }
+      }
+    }
+
     // raw FSST kernel on one big buffer (no per-row framing)
     val big = sb.toString.getBytes("UTF-8")
     val table = Fsst.train(java.util.Arrays.copyOf(big, 1 << 14))

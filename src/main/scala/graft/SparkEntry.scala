@@ -447,10 +447,13 @@ object SparkEntry {
           .select(lit("audio/wav").as("media_type"), col("payload")))
         .unionByName(MediaOps.fakeAviTable(s, 40, 8)
           .select(lit("video/avi").as("media_type"), col("payload")))
+        .unionByName(MediaOps.fakeAnimatedGifTable(s, 30, 8)
+          .select(col("media_type"), col("payload")))
         .select(
           col("media_type").startsWith("image/").as("is_img"),
           (col("media_type") === "image/bmp").as("is_bmp"),
           (col("media_type") === "image/gif").as("is_gif"),
+          (col("media_type") === "video/gif").as("is_agif"),
           (col("media_type") === "video/fake").as("is_vid"),
           (col("media_type") === "audio/wav").as("is_wav"),
           (col("media_type") === "video/avi").as("is_avi"),
@@ -468,11 +471,13 @@ object SparkEntry {
           when(col("is_wav"), MediaOps.sample_checksum(col("payload"))).as("wav_ck"),
           when(col("is_wav"), MediaOps.audio_meta(
             MediaOps.audio_resample(col("payload"), 4000))).as("arm"),
-          when(col("is_avi"), MediaOps.video_meta(col("payload"))).as("vm"),
+          when(col("is_avi") || col("is_agif"), MediaOps.video_meta(col("payload"))).as("vm"),
           // every-2nd-frame sampling: each frame re-encodes as a real BMP and
           // flows through the real pixel decode, summed in place
           when(col("is_avi"), transform(MediaOps.frame_sample(col("payload"), 2),
-            f => MediaOps.pixel_checksum(f))).as("avi_cks"))
+            f => MediaOps.pixel_checksum(f))).as("avi_cks"),
+          when(col("is_agif"), transform(MediaOps.frame_sample(col("payload"), 2),
+            f => MediaOps.pixel_checksum(f))).as("agif_cks"))
       rows.agg(
         sum(when(col("is_img"), 1L).otherwise(0L)).as("n_images"),
         sum(when(col("m.valid"), 1L).otherwise(0L)).as("n_valid"),
@@ -490,9 +495,13 @@ object SparkEntry {
         sum(col("wav_ck")).as("wav_sample_sum"),
         sum(when(col("arm.valid") && col("arm.sample_rate") === 4000, 1L).otherwise(0L)).as("n_wav_resampled"),
         sum(when(col("is_avi"), 1L).otherwise(0L)).as("n_avi"),
-        sum(when(col("vm.valid"), col("vm.n_frames")).otherwise(0L)).as("n_avi_frames"),
+        sum(when(col("is_avi") && col("vm.valid"), col("vm.n_frames")).otherwise(0L)).as("n_avi_frames"),
         sum(size(col("avi_cks"))).as("n_avi_sampled"),
-        sum(aggregate(col("avi_cks"), lit(0L), (a, x) => a + x)).as("avi_pixel_sum"))
+        sum(aggregate(col("avi_cks"), lit(0L), (a, x) => a + x)).as("avi_pixel_sum"),
+        sum(when(col("is_agif"), 1L).otherwise(0L)).as("n_agif"),
+        sum(when(col("is_agif") && col("vm.valid"), col("vm.n_frames")).otherwise(0L)).as("n_agif_frames"),
+        sum(size(col("agif_cks"))).as("n_agif_sampled"),
+        sum(aggregate(col("agif_cks"), lit(0L), (a, x) => a + x)).as("agif_pixel_sum"))
     }),
     "q_embed_dims" -> ((s, dir) => {
       tbl(s, dir, "embeddings").agg(
@@ -710,7 +719,12 @@ object SparkEntry {
         // fakeAviTable definition): 40 clips, 220 frames total, 120 sampled
         // at every-2nd, real-pixel checksum 19823810
         "CAST(40 AS BIGINT) AS n_avi, CAST(220 AS BIGINT) AS n_avi_frames, " +
-        "CAST(120 AS BIGINT) AS n_avi_sampled, CAST(19823810 AS BIGINT) AS avi_pixel_sum"),
+        "CAST(120 AS BIGINT) AS n_avi_sampled, CAST(19823810 AS BIGINT) AS avi_pixel_sum, " +
+        // animated-GIF constants re-derived independently (python splitmix64
+        // over fakeAnimatedGifTable: 30 clips, 2..5 frames): 103 frames,
+        // 59 sampled at every-2nd, real LZW-decoded pixel checksum 7546963
+        "CAST(30 AS BIGINT) AS n_agif, CAST(103 AS BIGINT) AS n_agif_frames, " +
+        "CAST(59 AS BIGINT) AS n_agif_sampled, CAST(7546963 AS BIGINT) AS agif_pixel_sum"),
     "q_embed_dedup" ->
       ("WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings), " +
         "e AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id + 1000000, list_transform(v, x -> x * 2) FROM e0), " +

@@ -102,6 +102,118 @@ object Gif {
     throw new IllegalStateException("unreachable")
   }
 
+  /** ALL frames of a (possibly multi-image/animated) GIF: frames composite
+    * onto a running canvas at their (left, top) — the "do not dispose"
+    * semantics still-and-slideshow GIFs use — and each emitted frame is the
+    * canvas after drawing. Single-image GIFs yield exactly decode(). */
+  def decodeFrames(payload: Array[Byte]): (Int, Int, IndexedSeq[Array[Byte]]) = {
+    require(isGif(payload), "not a GIF payload")
+    val r = new ByteReader(payload, 6)
+    val sw = readU16(r); val sh = readU16(r)
+    val packed = r.readByte() & 0xff
+    r.readByte(); r.readByte()
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      require(r.remaining >= 3 * n, "truncated GIF global color table")
+      gct = r.readBytes(3 * n)
+    }
+    require(sw > 0 && sh > 0 && sw.toLong * sh * 3 <= Int.MaxValue, s"bad GIF canvas ${sw}x$sh")
+    val canvas = new Array[Byte](sw * sh * 3)
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var done = false
+    while (!done) {
+      require(r.remaining >= 1, "truncated GIF: missing trailer")
+      (r.readByte() & 0xff) match {
+        case 0x21 =>
+          require(r.remaining >= 1, "truncated GIF extension")
+          r.readByte()
+          skipSubBlocks(r)
+        case 0x2c =>
+          val left = readU16(r); val top = readU16(r)
+          val w = readU16(r); val h = readU16(r)
+          val ip = r.readByte() & 0xff
+          val interlaced = (ip & 0x40) != 0
+          val palette =
+            if ((ip & 0x80) != 0) {
+              val n = 2 << (ip & 7)
+              require(r.remaining >= 3 * n, "truncated GIF local color table")
+              r.readBytes(3 * n)
+            } else gct
+          require(palette != null, "GIF image has neither local nor global color table")
+          require(w > 0 && h > 0 && left + w <= sw && top + h <= sh,
+            s"bad GIF frame geometry ${w}x$h@$left,$top in ${sw}x$sh")
+          val minCode = r.readByte() & 0xff
+          require(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
+          val idx = lzwDecode(readSubBlocks(r), minCode, w * h)
+          val rows = rowOrder(h, interlaced)
+          var i = 0
+          var y = 0
+          while (y < h) {
+            val destY = top + rows(y)
+            var x = 0
+            while (x < w) {
+              val c = idx(i) & 0xff
+              require(c * 3 + 2 < palette.length, s"GIF index $c outside palette")
+              val o = (destY * sw + left + x) * 3
+              canvas(o) = palette(c * 3); canvas(o + 1) = palette(c * 3 + 1); canvas(o + 2) = palette(c * 3 + 2)
+              i += 1; x += 1
+            }
+            y += 1
+          }
+          frames += java.util.Arrays.copyOf(canvas, canvas.length)
+        case 0x3b =>
+          require(frames.nonEmpty, "GIF trailer before any image")
+          done = true
+        case other => throw new IllegalArgumentException(f"unknown GIF block 0x$other%02x")
+      }
+    }
+    (sw, sh, frames.toIndexedSeq)
+  }
+
+  /** header-only walk: (canvas w, canvas h, image count) without decoding
+    * any pixel data — sub-blocks are skipped by their length prefixes */
+  def countFrames(payload: Array[Byte]): (Int, Int, Int) = {
+    require(isGif(payload), "not a GIF payload")
+    val r = new ByteReader(payload, 6)
+    val sw = readU16(r); val sh = readU16(r)
+    val packed = r.readByte() & 0xff
+    r.readByte(); r.readByte()
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      require(r.remaining >= 3 * n, "truncated GIF global color table")
+      r.pos += 3 * n
+    }
+    var frames = 0
+    while (true) {
+      require(r.remaining >= 1, "truncated GIF: missing trailer")
+      (r.readByte() & 0xff) match {
+        case 0x21 =>
+          require(r.remaining >= 1, "truncated GIF extension")
+          r.readByte()
+          skipSubBlocks(r)
+        case 0x2c =>
+          require(r.remaining >= 10, "truncated GIF image descriptor")
+          r.pos += 8
+          val ip = r.readByte() & 0xff
+          if ((ip & 0x80) != 0) {
+            val n = 2 << (ip & 7)
+            require(r.remaining >= 3 * n, "truncated GIF local color table")
+            r.pos += 3 * n
+          }
+          require(r.remaining >= 1, "truncated GIF image data")
+          r.readByte() // LZW min code size
+          skipSubBlocks(r)
+          frames += 1
+        case 0x3b =>
+          require(frames > 0, "GIF trailer before any image")
+          return (sw, sh, frames)
+        case other => throw new IllegalArgumentException(f"unknown GIF block 0x$other%02x")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** interlaced GIFs store rows in 4 passes (0,8.. / 4,8.. / 2,4.. / 1,2..) */
   private def rowOrder(h: Int, interlaced: Boolean): Array[Int] = {
     val out = new Array[Int](h)
@@ -223,10 +335,8 @@ object Gif {
   /** GIF87a writer: palette-based (≤256 distinct colors required — the
     * published format's hard limit), real LZW compression with dictionary
     * growth and reset. Round-trips bit-identically through [[decode]]. */
-  def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
-    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff && rgb.length == w * h * 3,
-      s"need ${w.toLong * h * 3} rgb bytes for ${w}x$h, got ${rgb.length}")
-    // build the palette
+  /** palette bytes (padded to 2^bits entries), bits, and per-pixel indices */
+  private def buildPalette(w: Int, h: Int, rgb: Array[Byte]): (Array[Byte], Int, Array[Byte]) = {
     val colorToIdx = new java.util.HashMap[Integer, Integer]()
     val palette = new ByteWriter(64)
     val idx = new Array[Byte](w * h)
@@ -245,23 +355,54 @@ object Gif {
     }
     val ndv = colorToIdx.size()
     var bits = 1
-    while ((1 << bits) < ndv) bits += 1 // GCT size field stores 2^(n+1)
-    if (bits < 1) bits = 1
-    val gctEntries = 1 << math.max(bits, 1)
-    val minCode = math.max(2, bits)
+    while ((1 << bits) < ndv) bits += 1 // table size field stores 2^(n+1)
+    palette.writeBytes(new Array[Byte](((1 << bits) - ndv) * 3)) // pad to 2^n
+    (palette.toArray, bits, idx)
+  }
 
+  def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff && rgb.length == w * h * 3,
+      s"need ${w.toLong * h * 3} rgb bytes for ${w}x$h, got ${rgb.length}")
+    val (palette, bits, idx) = buildPalette(w, h, rgb)
+    val minCode = math.max(2, bits)
     val out = new ByteWriter(1024)
     out.writeBytes("GIF87a".getBytes("US-ASCII"))
     out.writeShort(w); out.writeShort(h)
-    out.writeByte(0x80 | ((math.max(bits, 1) - 1) & 7)) // GCT present, size 2^bits
+    out.writeByte(0x80 | ((bits - 1) & 7)) // GCT present, size 2^bits
     out.writeByte(0); out.writeByte(0)
-    out.writeBytes(palette.toArray)
-    out.writeBytes(new Array[Byte]((gctEntries - ndv) * 3)) // pad table to 2^n
+    out.writeBytes(palette)
     out.writeByte(0x2c)
     out.writeShort(0); out.writeShort(0); out.writeShort(w); out.writeShort(h)
     out.writeByte(0) // no LCT, not interlaced
     out.writeByte(minCode)
     writeSubBlocks(out, lzwEncode(idx, minCode))
+    out.writeByte(0x3b)
+    out.toArray
+  }
+
+  /** multi-image GIF87a writer (the format allows any number of image
+    * blocks): every frame is full-canvas with its OWN local color table, so
+    * frames are palette-independent. Round-trips through [[decodeFrames]];
+    * [[decode]] of the result is frame 0. */
+  def encodeAnimated(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad canvas ${w}x$h")
+    val out = new ByteWriter(1024)
+    out.writeBytes("GIF87a".getBytes("US-ASCII"))
+    out.writeShort(w); out.writeShort(h)
+    out.writeByte(0) // no global color table
+    out.writeByte(0); out.writeByte(0)
+    for (rgb <- frames) {
+      require(rgb.length == w * h * 3, s"frame needs ${w.toLong * h * 3} rgb bytes, got ${rgb.length}")
+      val (palette, bits, idx) = buildPalette(w, h, rgb)
+      val minCode = math.max(2, bits)
+      out.writeByte(0x2c)
+      out.writeShort(0); out.writeShort(0); out.writeShort(w); out.writeShort(h)
+      out.writeByte(0x80 | ((bits - 1) & 7)) // LCT present, size 2^bits
+      out.writeBytes(palette)
+      out.writeByte(minCode)
+      writeSubBlocks(out, lzwEncode(idx, minCode))
+    }
     out.writeByte(0x3b)
     out.toArray
   }

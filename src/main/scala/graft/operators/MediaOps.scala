@@ -222,6 +222,15 @@ object MediaOps {
         }
         return new GenericArrayData(picked.toArray)
       }
+      if (Gif.isGif(payload)) {
+        // multi-image GIFs are a video-like container too: sampled frames
+        // re-encode as real BMPs and flow through the real image path
+        val (w, h, frames) = Gif.decodeFrames(payload)
+        val picked = (0 until frames.length by everyN).map { f =>
+          Bmp.encode(w, h, frames(f)): Any
+        }
+        return new GenericArrayData(picked.toArray)
+      }
       val r = new graft.core.ByteReader(payload)
       require(r.readInt() == VideoMagic, "not a GVID/AVI payload")
       val frames = r.readInt(); val w = r.readInt(); val h = r.readInt()
@@ -251,6 +260,14 @@ object MediaOps {
         // instead of failing the whole query (r4 ADVICE)
         try {
           val (w, h, _, nFrames) = Avi.meta(payload)
+          org.apache.spark.sql.catalyst.InternalRow(true, w, h, nFrames)
+        } catch { case _: Exception =>
+          org.apache.spark.sql.catalyst.InternalRow(false, 0, 0, 0)
+        }
+      } else if (Gif.isGif(payload)) {
+        // multi-image GIFs are video-like; header-only frame count
+        try {
+          val (w, h, nFrames) = Gif.countFrames(payload)
           org.apache.spark.sql.catalyst.InternalRow(true, w, h, nFrames)
         } catch { case _: Exception =>
           org.apache.spark.sql.catalyst.InternalRow(false, 0, 0, 0)
@@ -413,6 +430,21 @@ object MediaOps {
       val w = 20 + (i % 30).toInt
       val h = 16 + (i % 20).toInt
       (i, "image/gif", Gif.encode(w, h, seededPalettedRgb(seed, w, h)))
+    }.toDF("doc_id", "media_type", "payload")
+  }
+
+  /** deterministic synthetic multi-image GIF table: REAL GIF87a containers
+    * with 2..5 full-canvas frames each, every frame its own local color
+    * table — the GIF analog of fakeAviTable */
+  def fakeAnimatedGifTable(spark: SparkSession, n: Long, partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val seed = graft.core.Bits.mix(i ^ 0xA61F)
+      val w = 16 + (i % 12).toInt
+      val h = 12 + (i % 10).toInt
+      val nf = 2 + (i % 4).toInt
+      val frames = (0 until nf).map(f => seededPalettedRgb(graft.core.Bits.mix(seed ^ f), w, h))
+      (i, "video/gif", Gif.encodeAnimated(w, h, frames))
     }.toDF("doc_id", "media_type", "payload")
   }
 

@@ -105,6 +105,71 @@ class GifSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaOps.decodePixels(java.util.Arrays.copyOf(gif, 20)))
   }
 
+  test("multi-image GIF: encodeAnimated→decodeFrames round-trips; decode() is frame 0") {
+    val w = 18; val h = 11
+    val frames = (0 until 5).map(f => MediaOps.seededPalettedRgb(graft.core.Bits.mix(f + 100L), w, h))
+    val gif = Gif.encodeAnimated(w, h, frames)
+    assert(Gif.isGif(gif))
+    val (dw, dh, back) = Gif.decodeFrames(gif)
+    assert(dw === w && dh === h && back.length === 5)
+    for (f <- 0 until 5) assert(java.util.Arrays.equals(back(f), frames(f)), s"frame $f")
+    val (_, _, first) = Gif.decode(gif)
+    assert(java.util.Arrays.equals(first, frames(0)))
+    // header-only frame count agrees without touching pixel data
+    assert(Gif.countFrames(gif) === ((w, h, 5)))
+    assert(Gif.countFrames(Gif.encode(w, h, frames(0))) === ((w, h, 1)))
+    // and video_meta reports it through the expression surface
+    val vm = MediaOps.VideoMetaExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(gif,
+        org.apache.spark.sql.types.BinaryType)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(vm.getBoolean(0) && vm.getInt(1) === w && vm.getInt(2) === h && vm.getInt(3) === 5)
+  }
+
+  test("partial frames composite onto the running canvas at (left, top)") {
+    val w = 20; val h = 14
+    val base = MediaOps.seededPalettedRgb(1L, w, h)
+    val gif1 = Gif.encode(w, h, base)
+    // a small 6x4 patch as its own single-frame animated gif (image block
+    // carries a local color table, so it splices palette-independently)
+    val pw = 6; val ph = 4
+    val patch = MediaOps.seededPalettedRgb(2L, pw, ph)
+    val patchGif = Gif.encodeAnimated(pw, ph, Seq(patch))
+    // splice the patch's image block (starts at 13 — no GCT) before gif1's
+    // trailer, then point its (left, top) at (3, 5)
+    val block = java.util.Arrays.copyOfRange(patchGif, 13, patchGif.length - 1)
+    assert(block(0) === 0x2c.toByte)
+    val left = 3; val top = 5
+    block(1) = left.toByte; block(2) = 0; block(3) = top.toByte; block(4) = 0
+    val out = new Array[Byte](gif1.length - 1 + block.length + 1)
+    System.arraycopy(gif1, 0, out, 0, gif1.length - 1)
+    System.arraycopy(block, 0, out, gif1.length - 1, block.length)
+    out(out.length - 1) = 0x3b
+    val (_, _, fs) = Gif.decodeFrames(out)
+    assert(fs.length === 2)
+    assert(java.util.Arrays.equals(fs(0), base))
+    val expect = java.util.Arrays.copyOf(base, base.length)
+    for (y <- 0 until ph; x <- 0 until pw; ch <- 0 until 3)
+      expect(((top + y) * w + left + x) * 3 + ch) = patch((y * pw + x) * 3 + ch)
+    assert(java.util.Arrays.equals(fs(1), expect))
+  }
+
+  test("frame_sample over a multi-image GIF re-encodes sampled frames as BMPs") {
+    val w = 16; val h = 12
+    val frames = (0 until 6).map(f => MediaOps.seededPalettedRgb(f + 7L, w, h))
+    val gif = Gif.encodeAnimated(w, h, frames)
+    val expr = MediaOps.FrameSampleExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(gif,
+        org.apache.spark.sql.types.BinaryType), 2)
+    val arr = expr.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(arr.numElements() === 3) // frames 0, 2, 4
+    for (i <- 0 until 3) {
+      val bmp = arr.getBinary(i)
+      assert(Bmp.isBmp(bmp))
+      assert(java.util.Arrays.equals(Bmp.decode(bmp)._3, frames(i * 2)))
+    }
+  }
+
   test("GIFs flow through the real image path: meta, pixels, resize, checksum") {
     val rgb = MediaOps.seededPalettedRgb(11L, 24, 16)
     val gif = Gif.encode(24, 16, rgb)
