@@ -307,7 +307,15 @@ object SparkEntry {
           .cast("long").as("n_lang_range"),
         sum(when(expr("exists(decode_strings(e_lang), x -> x >= 'e' AND x <= 'ez')"),
           blob_count_between_str(col("e_lang"), lit("e"), lit("ez"))).otherwise(0L))
-          .cast("long").as("n_lang_range2"))
+          .cast("long").as("n_lang_range2"),
+        // LIKE-prefix form (r5): startswith → [p, succ(p)) byte range over
+        // the sorted dictionary — the canonical webtext url/source filter,
+        // still zero decode (EncodedFilterRule StartsWith pattern)
+        sum(expr("size(filter(decode_strings(e_source), x -> x LIKE 'src1%'))"))
+          .cast("long").as("n_src_prefix"),
+        sum(when(expr("exists(decode_strings(e_source), x -> startswith(x, 'src2'))"),
+          expr("size(filter(decode_strings(e_source), x -> startswith(x, 'src2')))"))
+          .otherwise(0L)).cast("long").as("n_src_prefix2"))
     }),
     "q_codec_plan" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
@@ -746,7 +754,9 @@ object SparkEntry {
         "CAST(sum(CASE WHEN doc_id BETWEEN 300 AND 399 THEN 1 ELSE 0 END) AS BIGINT) AS n_id_range2, " +
         "CAST(sum(CASE WHEN doc_id >= 400 AND doc_id < 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_id_range3, " +
         "CAST(sum(CASE WHEN lang >= 'd' AND lang < 'e' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_range, " +
-        "CAST(sum(CASE WHEN lang >= 'e' AND lang <= 'ez' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_range2 " +
+        "CAST(sum(CASE WHEN lang >= 'e' AND lang <= 'ez' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_range2, " +
+        "CAST(sum(CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_src_prefix, " +
+        "CAST(sum(CASE WHEN source LIKE 'src2%' THEN 1 ELSE 0 END) AS BIGINT) AS n_src_prefix2 " +
         "FROM documents"),
     "q_ngram_jaccard" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +

@@ -163,6 +163,14 @@ object EncodedFilterRule extends Rule[LogicalPlan] {
       Some(SRange(utf8Bytes(l), loInc = true, null, hiInc = true))
     case LessThan(l @ Literal(s, t), x) if isBoundType(t) && x.semanticEquals(v) && s != null =>
       Some(SRange(utf8Bytes(l), loInc = false, null, hiInc = true))
+    // startswith(x, 'p') / x LIKE 'p%' (LikeSimplification runs in the same
+    // fixed point): a prefix test IS the byte range [p, succ(p)) under
+    // UTF8_BINARY — the default collation, the only one these kernels see.
+    // All-0xFF prefixes have no successor → one-sided range; empty prefix
+    // matches every non-null string → [ "", +inf ), same 3VL as >=.
+    case StartsWith(x, l @ Literal(s, t)) if isBoundType(t) && x.semanticEquals(v) && s != null =>
+      val p = utf8Bytes(l)
+      Some(SRange(p, loInc = true, prefixSucc(p), hiInc = false))
     case And(a, b) =>
       for (ra <- strRangeOf(a, v); rb <- strRangeOf(b, v)) yield {
         val (lo, loInc) = tighterLo(ra.lo, ra.loInc, rb.lo, rb.loInc)
@@ -170,6 +178,18 @@ object EncodedFilterRule extends Rule[LogicalPlan] {
         SRange(lo, loInc, hi, hiInc)
       }
     case _ => None
+  }
+
+  /** the smallest byte string greater than every string with prefix `p`:
+    * drop trailing 0xFF bytes, increment the last remaining byte; null
+    * (unbounded) when p is empty or all-0xFF */
+  private def prefixSucc(p: Array[Byte]): Array[Byte] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) return null
+    val out = java.util.Arrays.copyOf(p, i + 1)
+    out(i) = (out(i) + 1).toByte
+    out
   }
 
   private def tighterLo(a: Array[Byte], aInc: Boolean,

@@ -180,6 +180,41 @@ class PlanShapeSpec extends SparkTestBase {
     assert(eqPlan.contains("blob_contains") && !eqPlan.contains("decode_strings"), eqPlan)
   }
 
+  test("LIKE-prefix pushdown: startswith becomes a [p, succ(p)) byte range, no decode") {
+    import graft.functions._
+    val docs = WebDocGen.dataset(spark, 200, 2).toDF()
+    val enc = EncodePipeline.encode(docs, "url", 2, 64)
+
+    for (pred <- Seq("x LIKE 'e%'", "startswith(x, 'e')")) {
+      val f = enc.select(expr(s"size(filter(decode_strings(e_lang), x -> $pred))").as("n"))
+      val plan = f.queryExecution.optimizedPlan.toString
+      assert(plan.contains("blob_count_between_str"), plan)
+      assert(!plan.contains("decode_strings"), plan)
+      val nBlob = f.agg(sum("n")).head().getLong(0)
+      val nDecode = enc.select(explode(decode_strings(col("e_lang"))).as("l"))
+        .filter(col("l").startsWith("e")).count()
+      assert(nBlob === nDecode)
+      assert(nBlob > 0) // 'en'/'es' exist in the fixture
+    }
+    // exists-form over the url column (the canonical webtext filter shape);
+    // cross-check against the decoded ground truth
+    val ex = enc.filter(expr("exists(decode_strings(e_url), x -> x LIKE 'https://host-1%')"))
+    val exPlan = ex.queryExecution.optimizedPlan.toString
+    assert(exPlan.contains("blob_contains_between_str") && !exPlan.contains("decode_strings"), exPlan)
+    val viaDecode = enc.select(col("__part"), col("__block"),
+        explode(decode_strings(col("e_url"))).as("u"))
+      .filter(col("u").startsWith("https://host-1"))
+      .select(col("__part"), col("__block")).distinct().count()
+    assert(ex.count() === viaDecode)
+    // carry-edge: a prefix whose last byte is 0xBF inside a multi-byte char
+    // still gets a correct byte successor; no-hit prefixes answer 0 without
+    // decode (UTF-8 can never contain 0xFF, so the unbounded-successor
+    // branch of prefixSucc is defensive-only for string inputs)
+    val hi = enc.filter(expr("exists(decode_strings(e_lang), x -> startswith(x, 'ÿ'))"))
+    assert(!hi.queryExecution.optimizedPlan.toString.contains("decode_strings"))
+    assert(hi.count() === 0L)
+  }
+
   test("binary-column range pushdown mirrors the string forms") {
     import graft.functions._
     val docs = WebDocGen.dataset(spark, 200, 2).toDF()
