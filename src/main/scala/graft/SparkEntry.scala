@@ -315,7 +315,13 @@ object SparkEntry {
           .cast("long").as("n_src_prefix"),
         sum(when(expr("exists(decode_strings(e_source), x -> startswith(x, 'src2'))"),
           expr("size(filter(decode_strings(e_source), x -> startswith(x, 'src2')))"))
-          .otherwise(0L)).cast("long").as("n_src_prefix2"))
+          .otherwise(0L)).cast("long").as("n_src_prefix2"),
+        // IN-list form (r5): contains/count-eq disjunction, zero decode
+        sum(expr("size(filter(decode_strings(e_lang), x -> x IN ('en', 'de', 'fr')))"))
+          .cast("long").as("n_lang_in"),
+        sum(expr("size(filter(decode_longs(e_doc_id), x -> x IN " +
+          "(CAST(5 AS BIGINT), CAST(50 AS BIGINT), CAST(500 AS BIGINT))))"))
+          .cast("long").as("n_id_in"))
     }),
     "q_codec_plan" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
@@ -756,7 +762,9 @@ object SparkEntry {
         "CAST(sum(CASE WHEN lang >= 'd' AND lang < 'e' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_range, " +
         "CAST(sum(CASE WHEN lang >= 'e' AND lang <= 'ez' THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_range2, " +
         "CAST(sum(CASE WHEN source LIKE 'src1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_src_prefix, " +
-        "CAST(sum(CASE WHEN source LIKE 'src2%' THEN 1 ELSE 0 END) AS BIGINT) AS n_src_prefix2 " +
+        "CAST(sum(CASE WHEN source LIKE 'src2%' THEN 1 ELSE 0 END) AS BIGINT) AS n_src_prefix2, " +
+        "CAST(sum(CASE WHEN lang IN ('en', 'de', 'fr') THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_in, " +
+        "CAST(sum(CASE WHEN doc_id IN (5, 50, 500) THEN 1 ELSE 0 END) AS BIGINT) AS n_id_in " +
         "FROM documents"),
     "q_ngram_jaccard" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 
-import graft.functions.{BlobContains, BlobContainsBetween, BlobContainsBetweenStr, BlobCountBetween, BlobCountBetweenStr, BlobNullCount, DecodeBinary, DecodeLongs, DecodeStrings}
+import graft.functions.{BlobContains, BlobContainsBetween, BlobContainsBetweenStr, BlobCountBetween, BlobCountBetweenStr, BlobCountEq, BlobNullCount, DecodeBinary, DecodeLongs, DecodeStrings}
 
 /** Encoded-domain predicate pushdown (SURVEY.md §4 extension point): a
   * membership or range test against a *decoded* block —
@@ -54,10 +54,13 @@ object EncodedFilterRule extends Rule[LogicalPlan] {
       body match {
         case EqualTo(x, l @ Literal(_, LongType)) if x.semanticEquals(v) => BlobContains(blob, l)
         case EqualTo(l @ Literal(_, LongType), x) if x.semanticEquals(v) => BlobContains(blob, l)
-        case _ => rangeOf(body, v) match {
-          case Some((lo, hi)) =>
-            BlobContainsBetween(blob, Literal(lo, LongType), Literal(hi, LongType))
-          case None => ae
+        case _ => inListLits(body, v) match {
+          case Some(ls) => ls.map(l => BlobContains(blob, l): Expression).reduce(Or)
+          case None => rangeOf(body, v) match {
+            case Some((lo, hi)) =>
+              BlobContainsBetween(blob, Literal(lo, LongType), Literal(hi, LongType))
+            case None => ae
+          }
         }
       }
 
@@ -67,10 +70,13 @@ object EncodedFilterRule extends Rule[LogicalPlan] {
     // is -1, but Cast(BlobCountBetween) of a null blob is null.
     case sz @ Size(ArrayFilter(DecodeLongs(blob),
         LambdaFunction(body, Seq(v: NamedLambdaVariable), _)), false) =>
-      rangeOf(body, v) match {
-        case Some((lo, hi)) =>
-          Cast(BlobCountBetween(blob, Literal(lo, LongType), Literal(hi, LongType)), IntegerType)
-        case None => sz
+      inListLits(body, v) match {
+        case Some(ls) => Cast(ls.map(l => BlobCountEq(blob, l): Expression).reduce(Add(_, _)), IntegerType)
+        case None => rangeOf(body, v) match {
+          case Some((lo, hi)) =>
+            Cast(BlobCountBetween(blob, Literal(lo, LongType), Literal(hi, LongType)), IntegerType)
+          case None => sz
+        }
       }
 
     // exists(decode_strings(b), x -> <literal equality / range on x>) —
@@ -82,20 +88,26 @@ object EncodedFilterRule extends Rule[LogicalPlan] {
       body match {
         case EqualTo(x, l @ Literal(_, StringType)) if x.semanticEquals(v) => BlobContains(blob, l)
         case EqualTo(l @ Literal(_, StringType), x) if x.semanticEquals(v) => BlobContains(blob, l)
-        case _ => strRangeOf(body, v) match {
-          case Some(r) if r.lo != null || r.hi != null =>
-            BlobContainsBetweenStr(blob, binLit(r.lo), binLit(r.hi), r.loInc, r.hiInc)
-          case _ => ae
+        case _ => inListLits(body, v) match {
+          case Some(ls) => ls.map(l => BlobContains(blob, l): Expression).reduce(Or)
+          case None => strRangeOf(body, v) match {
+            case Some(r) if r.lo != null || r.hi != null =>
+              BlobContainsBetweenStr(blob, binLit(r.lo), binLit(r.hi), r.loInc, r.hiInc)
+            case _ => ae
+          }
         }
       }
 
-    // size(filter(decode_strings(b), x -> <range>))
+    // size(filter(decode_strings(b), x -> <range / IN-list>))
     case sz @ Size(ArrayFilter(DecodeStrings(blob),
         LambdaFunction(body, Seq(v: NamedLambdaVariable), _)), false) =>
-      strRangeOf(body, v) match {
-        case Some(r) if r.lo != null || r.hi != null =>
-          Cast(BlobCountBetweenStr(blob, binLit(r.lo), binLit(r.hi), r.loInc, r.hiInc), IntegerType)
-        case _ => sz
+      inListLits(body, v) match {
+        case Some(ls) => Cast(ls.map(l => BlobCountEq(blob, l): Expression).reduce(Add(_, _)), IntegerType)
+        case None => strRangeOf(body, v) match {
+          case Some(r) if r.lo != null || r.hi != null =>
+            Cast(BlobCountBetweenStr(blob, binLit(r.lo), binLit(r.hi), r.loInc, r.hiInc), IntegerType)
+          case _ => sz
+        }
       }
 
     // binary-column parity: the byte-string kernels compare unsigned
@@ -109,19 +121,46 @@ object EncodedFilterRule extends Rule[LogicalPlan] {
       body match {
         case EqualTo(x, l @ Literal(_, BinaryType)) if x.semanticEquals(v) => BlobContains(blob, l)
         case EqualTo(l @ Literal(_, BinaryType), x) if x.semanticEquals(v) => BlobContains(blob, l)
-        case _ => strRangeOf(body, v) match {
-          case Some(r) if r.lo != null || r.hi != null =>
-            BlobContainsBetweenStr(blob, binLit(r.lo), binLit(r.hi), r.loInc, r.hiInc)
-          case _ => ae
+        case _ => inListLits(body, v) match {
+          case Some(ls) => ls.map(l => BlobContains(blob, l): Expression).reduce(Or)
+          case None => strRangeOf(body, v) match {
+            case Some(r) if r.lo != null || r.hi != null =>
+              BlobContainsBetweenStr(blob, binLit(r.lo), binLit(r.hi), r.loInc, r.hiInc)
+            case _ => ae
+          }
         }
       }
     case sz @ Size(ArrayFilter(DecodeBinary(blob),
         LambdaFunction(body, Seq(v: NamedLambdaVariable), _)), false) =>
-      strRangeOf(body, v) match {
-        case Some(r) if r.lo != null || r.hi != null =>
-          Cast(BlobCountBetweenStr(blob, binLit(r.lo), binLit(r.hi), r.loInc, r.hiInc), IntegerType)
-        case _ => sz
+      inListLits(body, v) match {
+        case Some(ls) => Cast(ls.map(l => BlobCountEq(blob, l): Expression).reduce(Add(_, _)), IntegerType)
+        case None => strRangeOf(body, v) match {
+          case Some(r) if r.lo != null || r.hi != null =>
+            Cast(BlobCountBetweenStr(blob, binLit(r.lo), binLit(r.hi), r.loInc, r.hiInc), IntegerType)
+          case _ => sz
+        }
       }
+  }
+
+  /** the distinct non-null literal values of an IN-list predicate on `v`
+    * (both the `In` form and the optimizer's `InSet` conversion); None when
+    * the body is not an IN over literals, or any list element is null /
+    * non-literal (a null element makes IN three-valued in a way a
+    * contains-disjunction would not reproduce). The disjunction-of-contains
+    * rewrite is 3VL-exact: each BlobContains is null exactly when the block
+    * has no match but holds nulls, matching exists() semantics term-wise. */
+  private def inListLits(body: Expression, v: NamedLambdaVariable): Option[Seq[Literal]] = body match {
+    case In(x, vs) if x.semanticEquals(v) &&
+        vs.forall { case Literal(s, _) => s != null; case _ => false } =>
+      val seen = scala.collection.mutable.LinkedHashMap[Any, Literal]()
+      vs.foreach { case l @ Literal(s, _) =>
+        val k = s match { case b: Array[Byte] => b.toSeq; case other => other }
+        if (!seen.contains(k)) seen(k) = l
+      }
+      Some(seen.values.toSeq)
+    case InSet(x, hset) if x.semanticEquals(v) && !hset.contains(null) =>
+      Some(hset.toSeq.map(s => Literal(s, x.dataType)))
+    case _ => None
   }
 
   /** half-open/closed byte-string interval; null bound = unbounded */

@@ -215,6 +215,46 @@ class PlanShapeSpec extends SparkTestBase {
     assert(hi.count() === 0L)
   }
 
+  test("IN-list pushdown: exists/size-filter over IN become contains/count-eq terms") {
+    import graft.functions._
+    val docs = WebDocGen.dataset(spark, 200, 2).toDF()
+    val enc = EncodePipeline.encode(docs, "url", 2, 64)
+
+    // exists(x -> x IN (...)) → OR of blob_contains (both In and the
+    // optimizer's InSet conversion past the 10-element threshold)
+    val inSmall = enc.filter(expr("exists(decode_strings(e_lang), x -> x IN ('en', 'de'))"))
+    val planSmall = inSmall.queryExecution.optimizedPlan.toString
+    assert(planSmall.contains("blob_contains") && !planSmall.contains("decode_strings"), planSmall)
+    val big = (0 until 12).map(i => s"'v$i'").mkString(", ") + ", 'en'"
+    val inBig = enc.filter(expr(s"exists(decode_strings(e_lang), x -> x IN ($big))"))
+    val planBig = inBig.queryExecution.optimizedPlan.toString
+    assert(planBig.contains("blob_contains") && !planBig.contains("decode_strings"), planBig)
+
+    // counts agree with decoding, and duplicate list values don't double-count
+    val n = enc.select(expr(
+      "size(filter(decode_strings(e_lang), x -> x IN ('en', 'de', 'en')))").as("n"))
+    assert(!n.queryExecution.optimizedPlan.toString.contains("decode_strings"))
+    val nBlob = n.agg(sum("n")).head().getLong(0)
+    val nDecode = enc.select(explode(decode_strings(col("e_lang"))).as("l"))
+      .filter(col("l").isin("en", "de")).count()
+    assert(nBlob === nDecode && nBlob > 0)
+
+    // long IN-list through both forms (two real timestamps from the data)
+    val Array(t1, t2) = enc.select(explode(decode_longs(col("e_warc_ts"))).as("t"))
+      .distinct().orderBy("t").limit(2).collect().map(_.getLong(0))
+    val ln = enc.select(expr(
+      s"size(filter(decode_longs(e_warc_ts), x -> x IN (CAST($t1 AS BIGINT), CAST($t2 AS BIGINT))))").as("n"))
+    assert(!ln.queryExecution.optimizedPlan.toString.contains("decode_longs"))
+    val lnDecode = enc.select(explode(decode_longs(col("e_warc_ts"))).as("t"))
+      .filter(col("t").isin(t1, t2)).count()
+    assert(ln.agg(sum("n")).head().getLong(0) === lnDecode && lnDecode >= 2)
+
+    // a null element in the list disables the rewrite (3VL not reproducible)
+    val withNull = enc.filter(expr(
+      "exists(decode_strings(e_lang), x -> x IN ('en', CAST(NULL AS STRING)))"))
+    assert(withNull.queryExecution.optimizedPlan.toString.contains("decode_strings"))
+  }
+
   test("binary-column range pushdown mirrors the string forms") {
     import graft.functions._
     val docs = WebDocGen.dataset(spark, 200, 2).toDF()
