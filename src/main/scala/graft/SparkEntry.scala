@@ -262,6 +262,29 @@ object SparkEntry {
         .crossJoin(broadcast(sharedUsed))
         .orderBy(col("source"))
     }),
+    "q_compact" -> ((s, dir) => {
+      // table-format maintenance end-to-end: write fragmented (under-filled
+      // 16-value blocks), COMPACT to full 2048-value blocks (generation-
+      // superseding manifest append), VACUUM the superseded files, decode
+      // through the generation-resolved readers. The oracle checks the
+      // decoded table; `compacted` pins that the rewrite actually ran
+      // (all 8 parts), shrank the block count, and reclaimed files.
+      val d = tbl(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_compact_q").toFile
+      out.deleteOnExit()
+      EncodePipeline.run(d, "doc_id", out.getAbsolutePath, partitions = 8, blockSize = 16)
+      val blocksBefore = EncodePipeline.readData(s, out.getAbsolutePath).count()
+      val nCompacted = EncodePipeline.compact(s, out.getAbsolutePath, d.schema, blockSize = 2048).size
+      val blocksAfter = EncodePipeline.readData(s, out.getAbsolutePath).count()
+      val removed = EncodePipeline.vacuum(s, out.getAbsolutePath)
+      EncodePipeline.decodeShared(s, out.getAbsolutePath, d.schema).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        countDistinct(col("lang")).cast("long").as("n_langs"),
+        min(col("doc_id")).cast("long").as("min_id"),
+        max(col("doc_id")).cast("long").as("max_id"),
+        lit(nCompacted == 8 && blocksAfter < blocksBefore && removed > 0).as("compacted"))
+    }),
     "q_null_roundtrip" -> ((s, dir) => {
       // inject nulls into long + string columns, encode → decode, and report
       // oracle-checkable null counts and non-null checksums. A pmod-sampled
@@ -675,6 +698,12 @@ object SparkEntry {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "min(lang) AS min_lang, max(lang) AS max_lang, TRUE AS shared_used " +
         "FROM documents GROUP BY source ORDER BY source"),
+    "q_compact" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id, " +
+        "TRUE AS compacted FROM documents"),
     "q_null_roundtrip" ->
       ("WITH e AS (SELECT event_id, " +
         "CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS user_id, " +

@@ -530,6 +530,284 @@ object EncodePipeline {
     else byFile.unionByName(data.join(broadcast(oldParts), Seq("__part"), "left_semi"))
   }
 
+  // ---------------- compaction (manifest generations) ----------------
+
+  /** re-block fragmented committed parts into full blocks and SUPERSEDE
+    * their manifest rows — the Iceberg rewrite-data-files pattern, kept
+    * append-only: new files land beside the old ones under `data/`, the
+    * commit is one parquet append of manifest rows carrying `gen`+1, and
+    * [[readMeta]] resolves every reader (plain, pruned, planner hook) to
+    * the highest generation per part, so superseded files become invisible
+    * orphans ([[vacuum]] reclaims them). Crash anywhere leaves the previous
+    * generation fully readable; a re-run re-compacts idempotently.
+    *
+    * Candidates: parts whose current manifest lists >= `minFiles` data
+    * files (append fragmentation) or more blocks than ceil(rows/blockSize)
+    * (under-filled blocks from small writes). Parts with any part-level
+    * (null data_files) tracking are never rewritten — those readers scan
+    * whole directories and would double-count. Shared-dict blobs decode
+    * through the side-structure and re-encode self-contained. Single
+    * maintenance writer assumed (Iceberg parity). Returns compacted ids. */
+  def compact(spark: SparkSession, outDir: String, sourceSchema: StructType,
+              blockSize: Int = 4096, minFiles: Int = 2): Seq[Int] = {
+    val t0 = System.currentTimeMillis()
+    val meta = readMeta(spark, outDir)
+    if (!meta.columns.contains("data_files")) return Nil
+    val hasGen = meta.columns.contains("gen")
+    // a part's manifest rows are (column × commit)-grained: total files is
+    // the DISTINCT union across commits, total blocks the per-column sum
+    val perCol = meta.groupBy(col("__part"), col("column")).agg(
+      min(col("data_files").isNotNull.cast("int")).as("tracked"),
+      sum(col("blocks")).as("blocks"),
+      sum(col("rows")).as("rows"))
+    val overBlocked = perCol
+      .withColumn("over", (col("blocks") >
+        ceil(col("rows").cast("double") / lit(blockSize.toDouble))).cast("int"))
+      .groupBy(col("__part"))
+      .agg(min(col("tracked")).as("tracked"), max(col("over")).as("over"))
+    val fileCounts = meta.filter(col("data_files").isNotNull)
+      .select(col("__part"), explode(col("data_files")).as("f")).distinct()
+      .groupBy(col("__part")).agg(count(lit(1)).as("nfiles"))
+    val cands = overBlocked.join(fileCounts, Seq("__part"), "left")
+      .filter(col("tracked") === 1 &&
+        (coalesce(col("nfiles"), lit(0L)) >= minFiles || col("over") === 1))
+      .select("__part").collect().map(_.getInt(0)).sorted
+    if (cands.isEmpty) return Nil
+    val nextGen = 1 + (if (hasGen)
+      meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+
+    // file names present per part BEFORE the write: everything else found
+    // afterwards is this run's output (names are globally unique); orphans
+    // of crashed attempts are in the before-set and stay excluded
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFilesOnDisk(p: Int): Set[String] = {
+      val d = new org.apache.hadoop.fs.Path(s"$outDir/data/__part=$p")
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName)
+        .filterNot(_.startsWith("_")).toSet
+    }
+    val before = cands.map(p => p -> partFilesOnDisk(p)).toMap
+
+    val plans = plan(sourceSchema)
+    val ps = plans.toArray
+    val enc = readData(spark, outDir).filter(col("__part").isin(cands.toSeq: _*))
+    val sorted = enc
+      .repartition(math.max(1, math.min(cands.length, 64)), col("__part"))
+      .sortWithinPartitions(col("__part"), col("__block"))
+    val s2 = sorted.schema
+    val partIdx = s2.fieldIndex("__part")
+    val cntIdx = s2.fieldIndex("__cnt")
+    val eIdx = plans.map(p => s2.fieldIndex("e_" + p.name)).toArray
+    val outSchema = StructType(Seq(
+      StructField("__part", IntegerType, nullable = false),
+      StructField("__block", IntegerType, nullable = false),
+      StructField("__cnt", IntegerType, nullable = false)
+    ) ++ plans.flatMap(p => Seq(
+      StructField("e_" + p.name, BinaryType, nullable = false),
+      StructField("r_" + p.name, LongType, nullable = false))))
+    val dicts = (try loadDicts(spark, outDir)
+                 catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
+    val dictsBc = if (dicts.isEmpty) None else Some(spark.sparkContext.broadcast(dicts))
+    val bs = blockSize
+    val rdd = Bridge.toRdd(sorted).mapPartitions { it =>
+      dictsBc.foreach(b => Codecs.registerDicts(b.value))
+      new ReblockIterator(it, ps, bs, partIdx, cntIdx, eIdx)
+    }
+    Bridge.internalCreateDataFrame(spark, rdd, outSchema)
+      .write.mode("append").partitionBy("__part").parquet(s"$outDir/data")
+
+    // identify this run's files by name diff, read exactly them back (the
+    // manifest must describe the bytes on disk, not the pre-write plan)
+    val newByPart = cands.map(p => p -> (partFilesOnDisk(p) -- before(p)).toSeq.sorted).toMap
+    val newPaths = newByPart.toSeq.flatMap { case (p, names) =>
+      names.map(n => s"$outDir/data/__part=$p/$n")
+    }
+    require(newPaths.nonEmpty, "compaction wrote no files")
+    val written = spark.read.option("basePath", s"$outDir/data").parquet(newPaths: _*)
+    val partFiles = written
+      .select(col("__part"), input_file_name().as("__file"))
+      .groupBy(col("__part"))
+      .agg(sort_array(collect_set(col("__file"))).as("data_files"))
+    metadata(written, sourceSchema)
+      .join(partFiles, Seq("__part"))
+      .withColumn("wave", lit(-1))
+      .withColumn("wall_millis", lit(System.currentTimeMillis() - t0))
+      .withColumn("attempt", lit(1))
+      .withColumn("gen", lit(nextGen))
+      .write.mode("append").parquet(s"$outDir/meta")
+    cands.toSeq
+  }
+
+  /** delete data files no current manifest row references — superseded
+    * generations and crashed-attempt orphans. Part-level-tracked parts
+    * (null data_files) are untouched: their whole directory IS the table.
+    * Returns the number of files deleted. Single maintenance writer
+    * assumed, like [[compact]]. */
+  def vacuum(spark: SparkSession, outDir: String): Int = {
+    val meta = readMeta(spark, outDir)
+    if (!meta.columns.contains("data_files")) return 0
+    val untracked = meta.filter(col("data_files").isNull)
+      .select("__part").distinct().collect().map(_.getInt(0)).toSet
+    val referenced = meta.filter(col("data_files").isNotNull)
+      .select(explode(col("data_files")).as("f")).distinct()
+      .collect().map(r => fileSuffix(r.getString(0))).toSet
+    val dataPath = new org.apache.hadoop.fs.Path(s"$outDir/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataPath)) return 0
+    var deleted = 0
+    fs.listStatus(dataPath).filter(_.isDirectory).foreach { d =>
+      val dirName = d.getPath.getName
+      if (dirName.startsWith("__part=") &&
+          !untracked.contains(dirName.stripPrefix("__part=").toInt)) {
+        fs.listStatus(d.getPath).filter(_.isFile).foreach { f =>
+          val name = f.getPath.getName
+          if (!name.startsWith("_") && !referenced.contains(s"$dirName/$name")) {
+            if (fs.delete(f.getPath, false)) deleted += 1
+          }
+        }
+      }
+    }
+    deleted
+  }
+
+  /** "__part=3/part-xyz.parquet" suffix of a recorded file URI/path — the
+    * normalization that survives file:/ vs file:/// scheme differences
+    * between input_file_name() and Hadoop FileSystem listings */
+  private def fileSuffix(uri: String): String = {
+    val i = uri.lastIndexOf("/data/")
+    if (i >= 0) uri.substring(i + 6) else uri
+  }
+
+  /** block-stream re-blocker: consumes (__part, __block)-sorted encoded
+    * block rows, concatenates each part's decoded values in block order
+    * (preserving the within-part key sort the encoder established — PREFIX
+    * stays effective), and re-emits full `blockSize` blocks through the
+    * same auto-selecting codecs. Memory is bounded by ~2 blocks per column;
+    * rows are never materialized. */
+  private final class ReblockIterator(it: Iterator[InternalRow], plans: Array[ColPlan],
+      blockSize: Int, partIdx: Int, cntIdx: Int, eIdx: Array[Int])
+      extends Iterator[InternalRow] {
+    private val nCols = plans.length
+    private val out = new scala.collection.mutable.Queue[InternalRow]()
+    private var curPart = Int.MinValue
+    private var started = false
+    private var blockOut = 0
+    private var pend = 0
+    private var cap = blockSize * 2
+    private val longP = new Array[Array[Long]](nCols)
+    private val nullP = new Array[Array[Boolean]](nCols)
+    private val binP = new Array[Array[Array[Byte]]](nCols)
+    private val fsstCache = new Array[graft.core.Fsst.SymbolTable](nCols)
+    locally {
+      var c = 0
+      while (c < nCols) {
+        if (plans(c).kind == 'l') { longP(c) = new Array[Long](cap); nullP(c) = new Array[Boolean](cap) }
+        else binP(c) = new Array[Array[Byte]](cap)
+        c += 1
+      }
+    }
+
+    private def ensure(n: Int): Unit = if (n > cap) {
+      val nc = math.max(n, cap * 2)
+      var c = 0
+      while (c < nCols) {
+        if (plans(c).kind == 'l') {
+          longP(c) = java.util.Arrays.copyOf(longP(c), nc)
+          nullP(c) = java.util.Arrays.copyOf(nullP(c), nc)
+        } else binP(c) = java.util.Arrays.copyOf(binP(c), nc)
+        c += 1
+      }
+      cap = nc
+    }
+
+    private def appendBlock(r: InternalRow): Unit = {
+      val m = r.getInt(cntIdx)
+      ensure(pend + m)
+      var c = 0
+      while (c < nCols) {
+        val blob = r.getBinary(eIdx(c))
+        if (plans(c).kind == 'l') {
+          val (v, nu) = Codecs.decodeLongsN(blob)
+          require(v.length == m, s"block count mismatch: ${v.length} != $m")
+          System.arraycopy(v, 0, longP(c), pend, m)
+          if (nu != null) System.arraycopy(nu, 0, nullP(c), pend, m)
+          else java.util.Arrays.fill(nullP(c), pend, pend + m, false)
+        } else {
+          val vs = Codecs.decodeStrsN(blob)
+          require(vs.length == m, s"block count mismatch: ${vs.length} != $m")
+          System.arraycopy(vs, 0, binP(c), pend, m)
+        }
+        c += 1
+      }
+      pend += m
+    }
+
+    private def emit(n: Int): Unit = {
+      val vals = new Array[Any](3 + nCols * 2)
+      vals(0) = curPart; vals(1) = blockOut; vals(2) = n
+      var c = 0
+      while (c < nCols) {
+        if (plans(c).kind == 'l') {
+          val vs = java.util.Arrays.copyOf(longP(c), n)
+          var hasNull = false
+          var j = 0
+          while (j < n && !hasNull) { hasNull = nullP(c)(j); j += 1 }
+          vals(3 + c * 2) = Codecs.encodeLongsN(vs,
+            if (hasNull) java.util.Arrays.copyOf(nullP(c), n) else null)
+          vals(4 + c * 2) = n * 8L
+        } else {
+          val vs = java.util.Arrays.copyOf(binP(c), n)
+          val (blob, table) = Codecs.encodeStrsN(vs, fsstCache(c))
+          fsstCache(c) = table
+          vals(3 + c * 2) = blob
+          var raw = 0L
+          var j = 0
+          while (j < n) { if (vs(j) != null) raw += vs(j).length; j += 1 }
+          vals(4 + c * 2) = raw
+        }
+        c += 1
+      }
+      out.enqueue(new GenericInternalRow(vals))
+      val rem = pend - n
+      var c2 = 0
+      while (c2 < nCols) {
+        if (plans(c2).kind == 'l') {
+          System.arraycopy(longP(c2), n, longP(c2), 0, rem)
+          System.arraycopy(nullP(c2), n, nullP(c2), 0, rem)
+        } else {
+          System.arraycopy(binP(c2), n, binP(c2), 0, rem)
+          java.util.Arrays.fill(binP(c2).asInstanceOf[Array[AnyRef]], rem, pend, null)
+        }
+        c2 += 1
+      }
+      pend = rem
+      blockOut += 1
+    }
+
+    private def advance(): Unit = {
+      while (out.isEmpty && (it.hasNext || pend > 0)) {
+        if (it.hasNext) {
+          val r = it.next()
+          val p = r.getInt(partIdx)
+          if (!started) { curPart = p; started = true }
+          if (p != curPart) {
+            if (pend > 0) emit(pend) // final short block of the previous part
+            curPart = p; blockOut = 0
+            java.util.Arrays.fill(fsstCache.asInstanceOf[Array[AnyRef]], null)
+          }
+          appendBlock(r)
+          while (pend >= blockSize) emit(blockSize)
+        } else {
+          emit(pend)
+        }
+      }
+    }
+
+    override def hasNext: Boolean = { advance(); out.nonEmpty }
+    override def next(): InternalRow = { advance(); out.dequeue() }
+  }
+
   /** decode a table written with shared dictionaries: loads the dictionary
     * side-structure (registering it in this JVM for stand-alone kernels) and
     * threads it through distributed decode via broadcast. Works equally on
@@ -545,14 +823,44 @@ object EncodePipeline {
     * pre-upgrade directory holds meta files missing the newer columns
     * (data_files/str_lo/...); without mergeSchema the read schema would be
     * file-order dependent and newer columns could vanish entirely. */
-  private def readMeta(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+  private def readMeta(spark: SparkSession, outDir: String): DataFrame = {
+    val m = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    if (!m.columns.contains("gen")) return m // never compacted: zero overhead
+    // generation resolution (compaction supersede): per part, only the
+    // rows of the highest generation are current; pre-gen rows read as 0.
+    // Multiple SAME-gen rows per part (multi-wave / streaming appends)
+    // all stay current, exactly as before compaction existed.
+    val withGen = m.withColumn("gen", coalesce(col("gen"), lit(0)))
+    val cur = withGen.groupBy(col("__part")).agg(max(col("gen")).as("gen"))
+    withGen.join(broadcast(cur), Seq("__part", "gen"), "left_semi")
+  }
 
   /** manifest-level pruning: read only committed parts whose metadata value
     * bounds ([value_lo, value_hi] zone maps, written at encode time) admit
     * `value` in `column` — the Iceberg manifest-skipping pattern. Parts whose
     * bounds miss the predicate are never opened; within surviving parts,
     * blob_count_eq / blob_count_between skip at block level. */
+  /** partition-pruned scan of `parts`: the __part semi-join prunes whole
+    * directories (DPP). On a never-compacted table this IS the read — the
+    * pinned plan shape. Once a table carries generations, the surviving
+    * parts' rows are additionally restricted to the CURRENT manifest file
+    * lists (compaction supersede + orphan safety within kept dirs). */
+  private def scanParts(spark: SparkSession, outDir: String,
+                        meta: DataFrame, parts: DataFrame): DataFrame = {
+    val data = spark.read.parquet(s"$outDir/data")
+    if (!meta.columns.contains("gen"))
+      return data.join(broadcast(parts), Seq("__part"), "left_semi")
+    val files = meta.filter(col("data_files").isNotNull)
+      .select(explode(col("data_files")).as("__file")).distinct()
+    val oldParts = meta.filter(col("data_files").isNull).select("__part").distinct()
+    // input_file_name must bind to the scan BEFORE any join lands another
+    // source in the plan (Spark: "does not support more than one source")
+    val tagged = data.withColumn("__file", input_file_name())
+    tagged.join(broadcast(files), Seq("__file"), "left_semi").drop("__file")
+      .unionByName(data.join(broadcast(oldParts), Seq("__part"), "left_semi"))
+      .join(broadcast(parts), Seq("__part"), "left_semi")
+  }
+
   def readDataPruned(spark: SparkSession, outDir: String,
                      column: String, value: Long): DataFrame = {
     val meta = readMeta(spark, outDir)
@@ -564,8 +872,7 @@ object EncodePipeline {
       .filter(col("column") === column &&
         (isOldRow || (col("value_lo") <= value && col("value_hi") >= value)))
       .select("__part").distinct()
-    spark.read.parquet(s"$outDir/data")
-      .join(broadcast(parts), Seq("__part"), "left_semi")
+    scanParts(spark, outDir, meta, parts)
   }
 
   /** string-column manifest pruning: parts whose truncated byte-string zone
@@ -588,8 +895,7 @@ object EncodePipeline {
     val parts = meta
       .filter(col("column") === column && (isOldRow || admits))
       .select("__part").distinct()
-    spark.read.parquet(s"$outDir/data")
-      .join(broadcast(parts), Seq("__part"), "left_semi")
+    scanParts(spark, outDir, meta, parts)
   }
 
   /** RANGE-probe pruning: parts whose manifest [value_lo, value_hi] zone
@@ -604,8 +910,7 @@ object EncodePipeline {
       .filter(col("column") === column &&
         (isOldRow || (col("value_lo") <= hi && col("value_hi") >= lo)))
       .select("__part").distinct()
-    spark.read.parquet(s"$outDir/data")
-      .join(broadcast(parts), Seq("__part"), "left_semi")
+    scanParts(spark, outDir, meta, parts)
   }
 
   /** string RANGE-probe pruning: parts whose truncated byte-string zone
@@ -623,8 +928,7 @@ object EncodePipeline {
     val parts = meta
       .filter(col("column") === column && (isOldRow || admits))
       .select("__part").distinct()
-    spark.read.parquet(s"$outDir/data")
-      .join(broadcast(parts), Seq("__part"), "left_semi")
+    scanParts(spark, outDir, meta, parts)
   }
 
   /** IS NULL-probe pruning: only parts whose manifest null_value_count for
@@ -639,8 +943,7 @@ object EncodePipeline {
       else lit(true)
     val parts = meta.filter(col("column") === column && hasNulls)
       .select("__part").distinct()
-    spark.read.parquet(s"$outDir/data")
-      .join(broadcast(parts), Seq("__part"), "left_semi")
+    scanParts(spark, outDir, meta, parts)
   }
 
   // ---- collected surviving-part sets (the ManifestPruneRule planner hook
