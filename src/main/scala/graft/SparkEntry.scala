@@ -480,6 +480,8 @@ object SparkEntry {
       val rows = MediaOps.fakeMediaTable(s, 400, 8).select(col("media_type"), col("payload"))
         .unionByName(MediaOps.fakeGifTable(s, 80, 8)
           .select(col("media_type"), col("payload")))
+        .unionByName(MediaOps.fakePngTable(s, 60, 8)
+          .select(col("media_type"), col("payload")))
         .unionByName(MediaOps.fakeAudioTable(s, 100, 8)
           .select(lit("audio/wav").as("media_type"), col("payload")))
         .unionByName(MediaOps.fakeAviTable(s, 40, 8)
@@ -490,6 +492,7 @@ object SparkEntry {
           col("media_type").startsWith("image/").as("is_img"),
           (col("media_type") === "image/bmp").as("is_bmp"),
           (col("media_type") === "image/gif").as("is_gif"),
+          (col("media_type") === "image/png").as("is_png"),
           (col("media_type") === "video/gif").as("is_agif"),
           (col("media_type") === "video/fake").as("is_vid"),
           (col("media_type") === "audio/wav").as("is_wav"),
@@ -502,6 +505,8 @@ object SparkEntry {
           when(col("is_bmp"), MediaOps.pixel_checksum(col("payload"))).as("bmp_ck"),
           // real GIF87a/LZW decode path: checksum over the decoded canvas
           when(col("is_gif"), MediaOps.pixel_checksum(col("payload"))).as("gif_ck"),
+          // real PNG path: inflate + un-filter, checksum the decoded pixels
+          when(col("is_png"), MediaOps.pixel_checksum(col("payload"))).as("png_ck"),
           when(col("is_vid"), size(MediaOps.frame_sample(col("payload"), 4))).as("n_vid_frames"),
           when(col("is_img"), size(MediaOps.image_feature(col("payload"), 32))).as("feat_dims"),
           when(col("is_wav"), MediaOps.audio_meta(col("payload"))).as("am"),
@@ -527,6 +532,8 @@ object SparkEntry {
         sum(col("bmp_ck")).as("bmp_pixel_sum"),
         sum(when(col("is_gif"), 1L).otherwise(0L)).as("n_gif"),
         sum(col("gif_ck")).as("gif_pixel_sum"),
+        sum(when(col("is_png"), 1L).otherwise(0L)).as("n_png"),
+        sum(col("png_ck")).as("png_pixel_sum"),
         sum(when(col("is_wav"), 1L).otherwise(0L)).as("n_wav"),
         sum(when(col("am.valid"), 1L).otherwise(0L)).as("n_wav_valid"),
         sum(col("wav_ck")).as("wav_sample_sum"),
@@ -744,15 +751,19 @@ object SparkEntry {
       // bmp_pixel_sum re-derived independently (python splitmix64 over the
       // generator definition = 111418251): the REAL BMP decode path returns
       // exactly the pixel bytes that were encoded into the container
-      ("SELECT CAST(380 AS BIGINT) AS n_images, CAST(380 AS BIGINT) AS n_valid, " +
-        "CAST(2827398 AS BIGINT) AS total_pixels, CAST(380 AS BIGINT) AS n_resized, " +
-        "CAST(650 AS BIGINT) AS n_frames, CAST(380 AS BIGINT) AS n_features, " +
+      ("SELECT CAST(440 AS BIGINT) AS n_images, CAST(440 AS BIGINT) AS n_valid, " +
+        "CAST(2973228 AS BIGINT) AS total_pixels, CAST(440 AS BIGINT) AS n_resized, " +
+        "CAST(650 AS BIGINT) AS n_frames, CAST(440 AS BIGINT) AS n_features, " +
         "CAST(32 AS BIGINT) AS dims, CAST(100 AS BIGINT) AS n_bmp, " +
         "CAST(111418251 AS BIGINT) AS bmp_pixel_sum, " +
         // GIF constants re-derived independently (python splitmix64 over the
         // seededPalettedRgb definition, 80 clips of 20..49 x 16..35): the
         // REAL GIF87a/LZW decode returns exactly the paletted pixels encoded
         "CAST(80 AS BIGINT) AS n_gif, CAST(25021775 AS BIGINT) AS gif_pixel_sum, " +
+        // PNG constants re-derived independently (python splitmix64 over the
+        // seededRgb definition, 60 images of 24..43 x 18..31): the REAL
+        // inflate + un-filter decode returns exactly the bytes encoded
+        "CAST(60 AS BIGINT) AS n_png, CAST(18617405 AS BIGINT) AS png_pixel_sum, " +
         // audio constants re-derived independently (python splitmix64 over
         // the seededPcm definition): 100 WAV clips, all valid, sample sum
         // -3287541, all 100 resample to 4 kHz with valid headers

@@ -51,12 +51,13 @@ object MediaOps {
 
   final case class ImageMeta(valid: Boolean, width: Int, height: Int, channels: Int, seed: Long)
 
-  /** real-codec dispatch: BMP / P6 PPM / GIF → (w, h, top-down RGB); null
-    * for formats the sandbox has no codec for (they go through the stub) */
+  /** real-codec dispatch: BMP / P6 PPM / GIF / PNG → (w, h, top-down RGB);
+    * null for formats with no codec here (they go through the stub) */
   def realImage(payload: Array[Byte]): (Int, Int, Array[Byte]) =
     if (Bmp.isBmp(payload)) Bmp.decode(payload)
     else if (Bmp.isPpm(payload)) Bmp.decodePpm(payload)
     else if (Gif.isGif(payload)) Gif.decode(payload)
+    else if (Png.isPng(payload)) Png.decode(payload)
     else null
 
   def parseImage(payload: Array[Byte]): ImageMeta = {
@@ -129,6 +130,7 @@ object MediaOps {
         // SAMPLES source pixels, so a GIF's ≤256-color invariant holds)
         return if (Bmp.isPpm(payload)) Bmp.encodePpm(newW, newH, resized)
                else if (Gif.isGif(payload)) Gif.encode(newW, newH, resized)
+               else if (Png.isPng(payload)) Png.encode(newW, newH, resized)
                else Bmp.encode(newW, newH, resized)
       }
       val m = parseImage(payload)
@@ -430,6 +432,20 @@ object MediaOps {
       val w = 20 + (i % 30).toInt
       val h = 16 + (i % 20).toInt
       (i, "image/gif", Gif.encode(w, h, seededPalettedRgb(seed, w, h)))
+    }.toDF("doc_id", "media_type", "payload")
+  }
+
+  /** deterministic synthetic PNG table: REAL color-type-2 PNGs (zlib-
+    * compressed, filtered scanlines via the writer) over full-range seeded
+    * RGB — oracle constants re-derivable from seededRgb alone, independent
+    * of the compression */
+  def fakePngTable(spark: SparkSession, n: Long, partitions: Int = 8): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val seed = graft.core.Bits.mix(i ^ 0x9E6)
+      val w = 24 + (i % 20).toInt
+      val h = 18 + (i % 14).toInt
+      (i, "image/png", Png.encode(w, h, seededRgb(seed, w, h)))
     }.toDF("doc_id", "media_type", "payload")
   }
 
