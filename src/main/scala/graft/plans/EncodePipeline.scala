@@ -504,8 +504,19 @@ object EncodePipeline {
     * orphan files from crashed waves are invisible even when they share a
     * committed part directory). Falls back to part-level committed-set
     * filtering for metadata written before the file-path column existed. */
-  def readData(spark: SparkSession, outDir: String): DataFrame = {
-    val meta = readMeta(spark, outDir)
+  def readData(spark: SparkSession, outDir: String): DataFrame =
+    readDataWithMeta(spark, outDir, readMeta(spark, outDir))
+
+  /** time travel: the table as of generation `gen` — per part, the rows of
+    * the highest generation ≤ gen (a part compacted past `gen` reads its
+    * older files). Superseded files must still exist: [[vacuum]] expires
+    * history, exactly like Iceberg's expire-snapshots. Tables never
+    * compacted have a single generation 0. */
+  def readDataAt(spark: SparkSession, outDir: String, gen: Int): DataFrame =
+    readDataWithMeta(spark, outDir, readMetaAt(spark, outDir, Some(gen)))
+
+  private def readDataWithMeta(spark: SparkSession, outDir: String,
+                               meta: DataFrame): DataFrame = {
     if (!meta.columns.contains("data_files")) {
       // pure pre-data_files metadata: part-level committed-set filtering
       val committed = meta.select("__part").distinct()
@@ -528,6 +539,73 @@ object EncodePipeline {
       .drop("__file")
     if (oldParts.isEmpty) byFile
     else byFile.unionByName(data.join(broadcast(oldParts), Seq("__part"), "left_semi"))
+  }
+
+  // ---------------- batch append (streaming-grade commits) ----------------
+
+  /** append one batch of rows to a tracked table: encode, land new data
+    * files beside the existing ones, then commit ONE manifest append
+    * recording exactly this batch's files under `wave = batchId`.
+    *
+    * Exactly-once by batchId: if the manifest already carries rows for this
+    * batch the call is a no-op and returns false — the foreachBatch replay
+    * contract (Structured Streaming re-runs a failed micro-batch with the
+    * same id). A crash between the data write and the manifest append
+    * leaves only invisible orphans ([[vacuum]] reclaims them); committed
+    * batches are immediately visible to every reader, prunable by the
+    * manifest, and compactable by [[compact]]. On a previously-compacted
+    * table, new rows join each part's CURRENT generation so they are not
+    * superseded by older compactions. */
+  def appendCommit(df: DataFrame, key: String, outDir: String, partitions: Int,
+                   blockSize: Int = 4096, batchId: Long = 0L): Boolean = {
+    val spark = df.sparkSession
+    val t0 = System.currentTimeMillis()
+    val rawMeta = try {
+      Some(spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta"))
+    } catch { case _: Exception => None }
+    if (rawMeta.exists(m => !m.filter(col("wave") === batchId.toInt).isEmpty)) return false
+
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snapshot(): Map[String, Set[String]] = {
+      val d = new org.apache.hadoop.fs.Path(s"$outDir/data")
+      if (!fs.exists(d)) Map.empty
+      else fs.listStatus(d).filter(s => s.isDirectory && s.getPath.getName.startsWith("__part="))
+        .map { s =>
+          s.getPath.getName -> fs.listStatus(s.getPath).filter(_.isFile)
+            .map(_.getPath.getName).filterNot(_.startsWith("_")).toSet
+        }.toMap
+    }
+    val before = snapshot()
+    val enc = encode(df, key, partitions, blockSize)
+    enc.write.mode("append").partitionBy("__part").parquet(s"$outDir/data")
+    val after = snapshot()
+    val newPaths = after.toSeq.flatMap { case (dir, names) =>
+      (names -- before.getOrElse(dir, Set.empty)).toSeq.sorted
+        .map(n => s"$outDir/data/$dir/$n")
+    }
+    if (newPaths.isEmpty) return false // empty batch
+    val written = spark.read.option("basePath", s"$outDir/data").parquet(newPaths: _*)
+    val partFiles = written
+      .select(col("__part"), input_file_name().as("__file"))
+      .groupBy(col("__part"))
+      .agg(sort_array(collect_set(col("__file"))).as("data_files"))
+    var rows = metadata(written, df.schema)
+      .join(partFiles, Seq("__part"))
+      .withColumn("wave", lit(batchId.toInt))
+      .withColumn("wall_millis", lit(System.currentTimeMillis() - t0))
+      .withColumn("attempt", lit(1))
+    // join the CURRENT generation per part so a past compaction does not
+    // supersede this append (tables never compacted carry no gen at all)
+    rawMeta.filter(_.columns.contains("gen")).foreach { m =>
+      val cur = m.groupBy(col("__part"))
+        .agg(max(coalesce(col("gen"), lit(0))).as("__curgen"))
+      rows = rows.join(broadcast(cur), Seq("__part"), "left")
+        .withColumn("gen", coalesce(col("__curgen"), lit(0)))
+        .drop("__curgen")
+    }
+    rows.write.mode("append").parquet(s"$outDir/meta")
+    true
   }
 
   // ---------------- compaction (manifest generations) ----------------
@@ -823,16 +901,22 @@ object EncodePipeline {
     * pre-upgrade directory holds meta files missing the newer columns
     * (data_files/str_lo/...); without mergeSchema the read schema would be
     * file-order dependent and newer columns could vanish entirely. */
-  private def readMeta(spark: SparkSession, outDir: String): DataFrame = {
+  private def readMeta(spark: SparkSession, outDir: String): DataFrame =
+    readMetaAt(spark, outDir, None)
+
+  private def readMetaAt(spark: SparkSession, outDir: String,
+                         upTo: Option[Int]): DataFrame = {
     val m = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
     if (!m.columns.contains("gen")) return m // never compacted: zero overhead
     // generation resolution (compaction supersede): per part, only the
-    // rows of the highest generation are current; pre-gen rows read as 0.
-    // Multiple SAME-gen rows per part (multi-wave / streaming appends)
-    // all stay current, exactly as before compaction existed.
+    // rows of the highest generation (≤ upTo for time travel) are current;
+    // pre-gen rows read as 0. Multiple SAME-gen rows per part (multi-wave /
+    // streaming appends) all stay current, exactly as before compaction
+    // existed.
     val withGen = m.withColumn("gen", coalesce(col("gen"), lit(0)))
-    val cur = withGen.groupBy(col("__part")).agg(max(col("gen")).as("gen"))
-    withGen.join(broadcast(cur), Seq("__part", "gen"), "left_semi")
+    val visible = upTo.map(g => withGen.filter(col("gen") <= g)).getOrElse(withGen)
+    val cur = visible.groupBy(col("__part")).agg(max(col("gen")).as("gen"))
+    visible.join(broadcast(cur), Seq("__part", "gen"), "left_semi")
   }
 
   /** manifest-level pruning: read only committed parts whose metadata value

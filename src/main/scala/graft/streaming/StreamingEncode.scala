@@ -10,10 +10,16 @@ import graft.plans.EncodePipeline
   * data + metadata layout as the batch pipeline.
   *
   * The reference is batch-only (no runtime at all); this is the engine's
-  * continuous-ingestion surface. Exactly-once story: the streaming
-  * checkpoint provides at-least-once batch replay, and the sink write is
-  * the pipeline's idempotent dynamic-partition overwrite + metadata commit,
-  * so replays of a failed micro-batch converge (same `__part` → same files).
+  * continuous-ingestion surface. Exactly-once story (r5): each micro-batch
+  * lands through [[EncodePipeline.appendCommit]] — new data files appended
+  * into the SAME tracked layout batch writes use, one manifest append
+  * recording exactly this batch's files under `wave = batchId`, and a
+  * replayed micro-batch (same id, the foreachBatch at-least-once contract)
+  * is detected in the manifest and skipped. A crash between the data write
+  * and the manifest commit leaves only invisible orphans (vacuum reclaims
+  * them). Streamed tables are thus first-class: readable by readData /
+  * decodeShared, manifest-prunable, and compactable by
+  * EncodePipeline.compact once batches fragment the parts.
   */
 object StreamingEncode {
 
@@ -31,17 +37,7 @@ object StreamingEncode {
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          // per-batch directories + overwrite ⇒ a replayed micro-batch
-          // rewrites exactly its own files (idempotent), never siblings'
-          val enc = EncodePipeline.encode(batch, key, partitions, blockSize)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          enc.write.mode("overwrite").parquet(s"$outDir/data/batch=$batchId")
-          EncodePipeline.metadata(enc, schema)
-            .withColumn("wave", org.apache.spark.sql.functions.lit(batchId.toInt))
-            .withColumn("wall_millis", org.apache.spark.sql.functions.lit(0L))
-            .withColumn("attempt", org.apache.spark.sql.functions.lit(1))
-            .write.mode("overwrite").parquet(s"$outDir/meta/batch=$batchId")
-          enc.unpersist()
+          EncodePipeline.appendCommit(batch, key, outDir, partitions, blockSize, batchId)
         }
         ()
       }

@@ -131,6 +131,24 @@ class CompactionSpec extends SparkTestBase {
     assert(sharedAfter === 0)
   }
 
+  test("time travel: generation 0 still reads the pre-compaction table") {
+    val docs = WebDocGen.dataset(spark, 400, 4).toDF()
+    val expect = sortedRows(docs)
+    val out = tmpDir()
+    EncodePipeline.run(docs, "url", out, partitions = 4, blockSize = 32)
+    val blocks0 = EncodePipeline.readData(spark, out).count()
+    assert(EncodePipeline.compact(spark, out, docs.schema, blockSize = 256).nonEmpty)
+    // current read: compacted generation; gen-0 read: the original blocks
+    assert(EncodePipeline.readData(spark, out).count() < blocks0)
+    val at0 = EncodePipeline.readDataAt(spark, out, 0)
+    assert(at0.count() === blocks0)
+    assert(sortedRows(EncodePipeline.decode(at0, docs.schema)) === expect)
+    // vacuum expires history: generation 0 is no longer materializable,
+    // the current generation unaffected (Iceberg expire-snapshots parity)
+    assert(EncodePipeline.vacuum(spark, out) > 0)
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, docs.schema)) === expect)
+  }
+
   test("crash-orphan files are invisible and vacuumed") {
     val docs = WebDocGen.dataset(spark, 300, 4).toDF()
     val out = tmpDir()

@@ -26,14 +26,28 @@ class StreamingEncodeSpec extends SparkTestBase {
     q.processAllAvailable()
     q.stop()
 
-    val enc = spark.read.parquet(s"$out/data")
-    val decoded = EncodePipeline.decode(enc, schema)
+    // streamed output is a first-class tracked table: the manifest-aware
+    // reader resolves it, not just a raw directory scan
+    val decoded = EncodePipeline.decodeShared(spark, out, schema)
     assert(decoded.count() === 500L)
     val all = WebDocGen.dataset(spark, 500, 2).toDF()
     val summary = EncodePipeline.verifyRoundTrip(all, decoded, "url").head()
     assert(summary.getLong(1) === 0L)
-    // metadata landed per batch
+    // metadata landed per batch, with file tracking
     val meta = spark.read.parquet(s"$out/meta")
     assert(meta.select("wave").distinct().count() === 2L)
+    assert(meta.filter(org.apache.spark.sql.functions.col("data_files").isNull).count() === 0L)
+
+    // replaying a committed batch id is a manifest-detected no-op
+    assert(!EncodePipeline.appendCommit(batch1, "url", out, 4, 64, batchId = 0L))
+
+    // two batches fragmented the parts; compaction + vacuum unify them and
+    // the decoded table is unchanged
+    val compacted = EncodePipeline.compact(spark, out, schema, blockSize = 512)
+    assert(compacted.nonEmpty)
+    assert(EncodePipeline.vacuum(spark, out) > 0)
+    val after = EncodePipeline.decodeShared(spark, out, schema)
+    assert(EncodePipeline.verifyRoundTrip(all, after, "url").head().getLong(1) === 0L)
+    assert(after.count() === 500L)
   }
 }
