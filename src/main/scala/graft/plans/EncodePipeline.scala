@@ -344,7 +344,11 @@ object EncodePipeline {
         case _   => BinaryType
       }, nullable = true)))
     val encSchema = enc.schema
-    val eIdx = plans.map(p => encSchema.fieldIndex("e_" + p.name)).toArray
+    // by-NAME resolution with -1 for absent columns (schema evolution: a
+    // target schema may carry columns the table — or some of its parts,
+    // when read with mergeSchema — never wrote; they decode as all-null)
+    val eIdx = plans.map(p => encSchema.fieldNames.indexOf("e_" + p.name)).toArray
+    val cntIdx = encSchema.fieldIndex("__cnt")
     // dictionaries travel by broadcast (once per executor) and land in the
     // JVM-wide content-addressed registry before the first blob is decoded —
     // the same registry stand-alone kernel expressions resolve against
@@ -357,17 +361,25 @@ object EncodePipeline {
         val longNulls = new Array[Array[Boolean]](nCols)
         val strViews = new Array[Codecs.StrView](nCols)
         val binVals = new Array[Array[Array[Byte]]](nCols)
-        var n = 0
+        val allNull = new Array[Boolean](nCols)
+        val n = r.getInt(cntIdx)
         var c = 0
         while (c < nCols) {
-          val blob = r.getBinary(eIdx(c))
-          if (ps(c).kind == 'l') {
-            val (v, nu) = Codecs.decodeLongsN(blob)
-            longVals(c) = v; longNulls(c) = nu; n = v.length
-          } else if (ps(c).kind == 's') {
-            strViews(c) = Codecs.decodeStrsView(blob); n = strViews(c).n
+          if (eIdx(c) < 0 || r.isNullAt(eIdx(c))) {
+            allNull(c) = true // column absent from this part's era
           } else {
-            binVals(c) = Codecs.decodeStrsN(blob); n = binVals(c).length
+            val blob = r.getBinary(eIdx(c))
+            if (ps(c).kind == 'l') {
+              val (v, nu) = Codecs.decodeLongsN(blob)
+              longVals(c) = v; longNulls(c) = nu
+              require(v.length == n, s"block count mismatch: ${v.length} != $n")
+            } else if (ps(c).kind == 's') {
+              strViews(c) = Codecs.decodeStrsView(blob)
+              require(strViews(c).n == n, s"block count mismatch: ${strViews(c).n} != $n")
+            } else {
+              binVals(c) = Codecs.decodeStrsN(blob)
+              require(binVals(c).length == n, s"block count mismatch: ${binVals(c).length} != $n")
+            }
           }
           c += 1
         }
@@ -375,17 +387,19 @@ object EncodePipeline {
           val vals = new Array[Any](nCols)
           var c2 = 0
           while (c2 < nCols) {
-            vals(c2) = ps(c2).kind match {
-              case 'l' =>
-                if (longNulls(c2) != null && longNulls(c2)(i)) null
-                else java.lang.Long.valueOf(longVals(c2)(i))
-              case 's' =>
-                val v = strViews(c2)
-                val len = v.lens(i)
-                if (len < 0) null
-                else org.apache.spark.unsafe.types.UTF8String.fromBytes(v.buf, v.offs(i), len)
-              case _ => binVals(c2)(i)
-            }
+            vals(c2) =
+              if (allNull(c2)) null
+              else ps(c2).kind match {
+                case 'l' =>
+                  if (longNulls(c2) != null && longNulls(c2)(i)) null
+                  else java.lang.Long.valueOf(longVals(c2)(i))
+                case 's' =>
+                  val v = strViews(c2)
+                  val len = v.lens(i)
+                  if (len < 0) null
+                  else org.apache.spark.unsafe.types.UTF8String.fromBytes(v.buf, v.offs(i), len)
+                case _ => binVals(c2)(i)
+              }
             c2 += 1
           }
           new GenericInternalRow(vals): InternalRow
@@ -520,7 +534,7 @@ object EncodePipeline {
     if (!meta.columns.contains("data_files")) {
       // pure pre-data_files metadata: part-level committed-set filtering
       val committed = meta.select("__part").distinct()
-      return spark.read.parquet(s"$outDir/data")
+      return spark.read.option("mergeSchema", "true").parquet(s"$outDir/data")
         .join(broadcast(committed), Seq("__part"), "left_semi")
     }
     // MIXED metadata (a pre-data_files directory resumed by this version)
@@ -532,7 +546,9 @@ object EncodePipeline {
       // a part in BOTH eras (re-commit anomaly): part-level wins (superset)
       .join(broadcast(oldParts), Seq("__part"), "left_anti")
       .select(explode(col("data_files")).as("__file")).distinct()
-    val data = spark.read.parquet(s"$outDir/data")
+    // mergeSchema: parts written before a column was added lack its e_/r_
+    // fields; the union schema carries them as null (schema evolution)
+    val data = spark.read.option("mergeSchema", "true").parquet(s"$outDir/data")
     val byFile = data
       .withColumn("__file", input_file_name())
       .join(broadcast(files), Seq("__file"), "left_semi")
@@ -563,7 +579,11 @@ object EncodePipeline {
     val rawMeta = try {
       Some(spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta"))
     } catch { case _: Exception => None }
-    if (rawMeta.exists(m => !m.filter(col("wave") === batchId.toInt).isEmpty)) return false
+    // replay detection keys on a DEDICATED batch_id column — run()'s wave
+    // numbering also starts at 0, so keying on wave would silently drop
+    // batch 0 appended to a batch-written table
+    if (rawMeta.exists(m => m.columns.contains("batch_id") &&
+        !m.filter(col("batch_id") === batchId).isEmpty)) return false
 
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -595,6 +615,7 @@ object EncodePipeline {
       .withColumn("wave", lit(batchId.toInt))
       .withColumn("wall_millis", lit(System.currentTimeMillis() - t0))
       .withColumn("attempt", lit(1))
+      .withColumn("batch_id", lit(batchId))
     // join the CURRENT generation per part so a past compaction does not
     // supersede this append (tables never compacted carry no gen at all)
     rawMeta.filter(_.columns.contains("gen")).foreach { m =>
@@ -676,7 +697,10 @@ object EncodePipeline {
     val s2 = sorted.schema
     val partIdx = s2.fieldIndex("__part")
     val cntIdx = s2.fieldIndex("__cnt")
-    val eIdx = plans.map(p => s2.fieldIndex("e_" + p.name)).toArray
+    // -1 = column absent from every file of this table era: compaction
+    // under a newer schema materializes it as all-null blocks (rewrite IS
+    // the schema-migration path)
+    val eIdx = plans.map(p => s2.fieldNames.indexOf("e_" + p.name)).toArray
     val outSchema = StructType(Seq(
       StructField("__part", IntegerType, nullable = false),
       StructField("__block", IntegerType, nullable = false),
@@ -804,17 +828,27 @@ object EncodePipeline {
       ensure(pend + m)
       var c = 0
       while (c < nCols) {
-        val blob = r.getBinary(eIdx(c))
-        if (plans(c).kind == 'l') {
-          val (v, nu) = Codecs.decodeLongsN(blob)
-          require(v.length == m, s"block count mismatch: ${v.length} != $m")
-          System.arraycopy(v, 0, longP(c), pend, m)
-          if (nu != null) System.arraycopy(nu, 0, nullP(c), pend, m)
-          else java.util.Arrays.fill(nullP(c), pend, pend + m, false)
+        // an absent/null blob is a pre-evolution block: all-null values
+        if (eIdx(c) < 0 || r.isNullAt(eIdx(c))) {
+          if (plans(c).kind == 'l') {
+            java.util.Arrays.fill(longP(c), pend, pend + m, 0L)
+            java.util.Arrays.fill(nullP(c), pend, pend + m, true)
+          } else {
+            java.util.Arrays.fill(binP(c).asInstanceOf[Array[AnyRef]], pend, pend + m, null)
+          }
         } else {
-          val vs = Codecs.decodeStrsN(blob)
-          require(vs.length == m, s"block count mismatch: ${vs.length} != $m")
-          System.arraycopy(vs, 0, binP(c), pend, m)
+          val blob = r.getBinary(eIdx(c))
+          if (plans(c).kind == 'l') {
+            val (v, nu) = Codecs.decodeLongsN(blob)
+            require(v.length == m, s"block count mismatch: ${v.length} != $m")
+            System.arraycopy(v, 0, longP(c), pend, m)
+            if (nu != null) System.arraycopy(nu, 0, nullP(c), pend, m)
+            else java.util.Arrays.fill(nullP(c), pend, pend + m, false)
+          } else {
+            val vs = Codecs.decodeStrsN(blob)
+            require(vs.length == m, s"block count mismatch: ${vs.length} != $m")
+            System.arraycopy(vs, 0, binP(c), pend, m)
+          }
         }
         c += 1
       }
@@ -931,7 +965,7 @@ object EncodePipeline {
     * lists (compaction supersede + orphan safety within kept dirs). */
   private def scanParts(spark: SparkSession, outDir: String,
                         meta: DataFrame, parts: DataFrame): DataFrame = {
-    val data = spark.read.parquet(s"$outDir/data")
+    val data = spark.read.option("mergeSchema", "true").parquet(s"$outDir/data")
     if (!meta.columns.contains("gen"))
       return data.join(broadcast(parts), Seq("__part"), "left_semi")
     val files = meta.filter(col("data_files").isNotNull)
@@ -1021,13 +1055,27 @@ object EncodePipeline {
     * Old-era rows (count not recorded) are conservatively kept. */
   def readDataPrunedIsNull(spark: SparkSession, outDir: String, column: String): DataFrame = {
     val meta = readMeta(spark, outDir)
-    val hasNulls =
-      if (meta.columns.contains("null_value_count"))
-        col("null_value_count").isNull || col("null_value_count") > 0
-      else lit(true)
-    val parts = meta.filter(col("column") === column && hasNulls)
-      .select("__part").distinct()
-    scanParts(spark, outDir, meta, parts)
+    scanParts(spark, outDir, meta, isNullSurvivors(meta, column))
+  }
+
+  /** parts that may hold nulls for `column`: everything except parts
+    * PROVABLY null-free — rows for the column exist, cover every row of
+    * the part (schema evolution: a commit that predates the column is
+    * all-null for it and has no row to say so), and all recorded
+    * null_value_counts are 0. */
+  private def isNullSurvivors(meta: DataFrame, column: String): DataFrame = {
+    val all = meta.select("__part").distinct()
+    if (!meta.columns.contains("null_value_count")) return all
+    val perCol = meta.groupBy(col("__part"), col("column")).agg(
+      sum(col("rows")).as("r"),
+      sum(when(col("null_value_count").isNull, 1).otherwise(0)).as("unk"),
+      sum(coalesce(col("null_value_count"), lit(0L))).as("nulls"))
+    val totals = perCol.groupBy(col("__part")).agg(max(col("r")).as("total"))
+    val proved = perCol.filter(col("column") === column)
+      .join(totals, Seq("__part"))
+      .filter(col("unk") === 0 && col("nulls") === 0 && col("r") === col("total"))
+      .select("__part")
+    all.join(broadcast(proved), Seq("__part"), "left_anti")
   }
 
   // ---- collected surviving-part sets (the ManifestPruneRule planner hook
@@ -1066,12 +1114,7 @@ object EncodePipeline {
   /** parts whose manifest null_value_count admits null rows */
   def survivingPartsIsNull(spark: SparkSession, outDir: String, column: String): Array[Int] = {
     val meta = readMeta(spark, outDir)
-    val hasNulls =
-      if (meta.columns.contains("null_value_count"))
-        col("null_value_count").isNull || col("null_value_count") > 0
-      else lit(true)
-    meta.filter(col("column") === column && hasNulls)
-      .select("__part").distinct().collect().map(_.getInt(0)).sorted
+    isNullSurvivors(meta, column).collect().map(_.getInt(0)).sorted
   }
 
   /** join-based bit-identical verification (SURVEY.md §3.4 step 4): returns

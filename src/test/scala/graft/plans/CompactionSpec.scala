@@ -131,6 +131,19 @@ class CompactionSpec extends SparkTestBase {
     assert(sharedAfter === 0)
   }
 
+  test("appendCommit batch 0 lands on a run()-written table (no wave-0 collision)") {
+    val all = WebDocGen.dataset(spark, 400, 4).toDF()
+    val docs1 = all.filter(pmod(unix_micros(col("warc_ts")), lit(2L)) === 0)
+    val docs2 = all.filter(pmod(unix_micros(col("warc_ts")), lit(2L)) =!= 0)
+    val out = tmpDir()
+    EncodePipeline.run(docs1, "url", out, partitions = 4, blockSize = 128)
+    // run() committed wave 0 — a streaming batch 0 must still land
+    assert(EncodePipeline.appendCommit(docs2, "url", out, 4, 128, batchId = 0L))
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, all.schema)) === sortedRows(all))
+    // and its replay is detected
+    assert(!EncodePipeline.appendCommit(docs2, "url", out, 4, 128, batchId = 0L))
+  }
+
   test("time travel: generation 0 still reads the pre-compaction table") {
     val docs = WebDocGen.dataset(spark, 400, 4).toDF()
     val expect = sortedRows(docs)
