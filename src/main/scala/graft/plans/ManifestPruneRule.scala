@@ -38,20 +38,29 @@ class ManifestPruneRule(spark: SparkSession) extends Rule[LogicalPlan] with Pred
       Bridge.fileScanRootPath(child) match {
         case Some(path) if path.endsWith("/data") && hasMeta(path) =>
           val outDir = path.stripSuffix("/data")
-          val probes = splitConjunctivePredicates(cond).flatMap(probeOf)
+          // each conjunct may be a single probe or a DISJUNCTION of probes
+          // (the IN-list rewrite produces OR-of-contains): a disjunction
+          // prunes to the UNION of its disjuncts' survivors, and only when
+          // every disjunct is recognizable — an opaque disjunct could
+          // admit any part
+          val probes: Seq[Seq[Probe]] = splitConjunctivePredicates(cond).flatMap { conj =>
+            val ds = splitDisjunctivePredicates(conj).map(probeOf)
+            if (ds.nonEmpty && ds.forall(_.isDefined)) Some(ds.map(_.get)) else None
+          }
           val partAttr = child.output.find(_.name == "__part")
           if (probes.isEmpty || partAttr.isEmpty) f
           else {
             try {
+              def survivorsOf(p: Probe): Set[Int] = p match {
+                case LongRange(c, lo, hi) =>
+                  EncodePipeline.survivingPartsLong(spark, outDir, c, lo, hi).toSet
+                case StrRange(c, lo, hi) =>
+                  EncodePipeline.survivingPartsStr(spark, outDir, c, lo, hi).toSet
+                case NullProbe(c) =>
+                  EncodePipeline.survivingPartsIsNull(spark, outDir, c).toSet
+              }
               val surviving = probes
-                .map {
-                  case LongRange(c, lo, hi) =>
-                    EncodePipeline.survivingPartsLong(spark, outDir, c, lo, hi).toSet
-                  case StrRange(c, lo, hi) =>
-                    EncodePipeline.survivingPartsStr(spark, outDir, c, lo, hi).toSet
-                  case NullProbe(c) =>
-                    EncodePipeline.survivingPartsIsNull(spark, outDir, c).toSet
-                }
+                .map(_.map(survivorsOf).reduce(_ union _))
                 .reduce(_ intersect _)
               val all = EncodePipeline.allParts(spark, outDir).length
               if (surviving.isEmpty)

@@ -62,6 +62,20 @@ class PlanShapeSpec extends SparkTestBase {
       .filter(blob_contains(col("e_lang"), lit("zz")))
     assert(none.count() === 0L)
     assert(!planOf(none).contains("FileScan"), planOf(none))
+    // an OR of probes (the IN-list rewrite shape) prunes to the UNION of
+    // the disjuncts' survivors — still fewer than all parts here
+    val inList = spark.read.parquet(s"$dir/data")
+      .filter(blob_contains(col("e_lang"), lit("de")) ||
+        blob_contains(col("e_lang"), lit("fr")))
+    val inPlan = planOf(inList)
+    val pfIn = "PartitionFilters: \\[[^\\]]*__part#\\d+ (= \\d+|IN \\(([^)]*)\\))".r
+      .findFirstMatchIn(inPlan)
+    assert(pfIn.isDefined, inPlan)
+    val inParts = Option(pfIn.get.group(2)).map(_.split(",").length).getOrElse(1)
+    assert(inParts < 8, inPlan)
+    val gotIn = inList.agg(sum(blob_count_eq(col("e_lang"), lit("de")) +
+      blob_count_eq(col("e_lang"), lit("fr")))).head().getLong(0)
+    assert(gotIn === docs.filter(col("lang").isin("de", "fr")).count())
   }
 
   test("single-column metadata queries prune the other blob columns") {
