@@ -23,11 +23,18 @@ import graft.plans.EncodePipeline
   */
 object StreamingEncode {
 
-  /** start encoding `inDir` (parquet files with `schema`) into `outDir`. */
+  /** start encoding `inDir` (parquet files with `schema`) into `outDir`.
+    * `compactEvery` > 0 runs the maintenance pair (compact to
+    * `compactBlockSize`, then vacuum) after every N committed batches —
+    * safe here because foreachBatch serializes with the appends, honoring
+    * the single-maintenance-writer contract. Maintenance is best-effort:
+    * a failure logs and leaves the (always-consistent) table to the next
+    * cycle rather than failing the query. */
   def start(spark: SparkSession, inDir: String, outDir: String,
             schema: org.apache.spark.sql.types.StructType, key: String,
             partitions: Int, blockSize: Int = 4096,
-            checkpoint: Option[String] = None): StreamingQuery = {
+            checkpoint: Option[String] = None,
+            compactEvery: Int = 0, compactBlockSize: Int = 4096): StreamingQuery = {
     spark.readStream
       .schema(schema)
       .parquet(inDir)
@@ -37,7 +44,17 @@ object StreamingEncode {
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          EncodePipeline.appendCommit(batch, key, outDir, partitions, blockSize, batchId)
+          val committed = EncodePipeline.appendCommit(
+            batch, key, outDir, partitions, blockSize, batchId)
+          if (committed && compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            try {
+              if (EncodePipeline.compact(spark, outDir, schema, compactBlockSize).nonEmpty)
+                EncodePipeline.vacuum(spark, outDir)
+            } catch {
+              case e: Exception =>
+                System.err.println(s"[graft] streaming compaction skipped: ${e.getMessage}")
+            }
+          }
         }
         ()
       }

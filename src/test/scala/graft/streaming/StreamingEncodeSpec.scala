@@ -50,4 +50,29 @@ class StreamingEncodeSpec extends SparkTestBase {
     assert(EncodePipeline.verifyRoundTrip(all, after, "url").head().getLong(1) === 0L)
     assert(after.count() === 500L)
   }
+
+  test("inline maintenance: compactEvery runs the compact+vacuum pair between batches") {
+    val in = java.nio.file.Files.createTempDirectory("graft_stream_in2").toFile.getAbsolutePath
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out2").toFile.getAbsolutePath
+    val batch1 = WebDocGen.dataset(spark, 250, 2).toDF()
+    batch1.write.mode("append").parquet(in)
+    val schema = batch1.schema
+    // compactEvery=2: maintenance fires after the second committed batch
+    val q = StreamingEncode.start(spark, in, out, schema, "url", partitions = 4,
+      blockSize = 32, compactEvery = 2, compactBlockSize = 512)
+    q.processAllAvailable()
+    import spark.implicits._
+    val batch2 = spark.range(250, 500).map(i => WebDocGen.make(i)).toDF()
+    batch2.write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    // the table went through a generation bump (compaction ran) and decodes
+    // to the exact union
+    val meta = spark.read.option("mergeSchema", "true").parquet(s"$out/meta")
+    assert(meta.columns.contains("gen"))
+    val all = WebDocGen.dataset(spark, 500, 2).toDF()
+    val dec = EncodePipeline.decodeShared(spark, out, schema)
+    assert(dec.count() === 500L)
+    assert(EncodePipeline.verifyRoundTrip(all, dec, "url").head().getLong(1) === 0L)
+  }
 }
