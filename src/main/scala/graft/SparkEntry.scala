@@ -569,10 +569,12 @@ object SparkEntry {
       // toward recall instead of vanishing from the groupBy
       val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      // integer outputs (total exact-top-5 hits recovered) so the oracle pin
+      // is hash-robust; recall@5 = hits_at_5 / (5 * n_queries)
       q.select(col("vec_id").as("query_id")).distinct()
         .join(hits, Seq("query_id"), "left")
         .select(coalesce(col("h"), lit(0L)).as("h"))
-        .agg(count(lit(1)).as("n_queries"), round(avg(col("h")) / 5.0, 3).as("recall_at_5"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("h")).as("hits_at_5"))
     }),
     "q_ann_ivf_recall" -> ((s, dir) => {
       // IVF tier: recall@5 vs brute force at nprobe=4 of 16 centroids (i.e.
@@ -594,11 +596,14 @@ object SparkEntry {
       val cost = cands.agg(count(lit(1)).as("n_cand"))
         .crossJoin(emb.agg(count(lit(1)).as("n_total")))
         .crossJoin(q.agg(count(lit(1)).as("n_q")))
-        .select(round(col("n_cand") / (col("n_total") * col("n_q")), 3).as("cand_frac"))
+        .select(floor(col("n_cand") * 1000L / (col("n_total") * col("n_q")))
+          .cast("long").as("cand_pm"))
+      // integer outputs (hits recovered + candidates scanned per-mille) so
+      // the oracle pin is hash-robust; recall@5 = hits_at_5 / (5 * n_queries)
       q.select(col("vec_id").as("query_id")).distinct()
         .join(hits, Seq("query_id"), "left")
         .select(coalesce(col("h"), lit(0L)).as("h"))
-        .agg(count(lit(1)).as("n_queries"), round(avg(col("h")) / 5.0, 3).as("recall_at_5"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("h")).as("hits_at_5"))
         .crossJoin(cost)
     })
   )
@@ -685,6 +690,19 @@ object SparkEntry {
     "q_embed_dims" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_vecs, CAST(max(len(embedding)) AS BIGINT) AS dims " +
         "FROM embeddings"),
+    // recall pins (NEXT r5 item 5): the query set and both index builds are
+    // fully deterministic (seeded hyperplanes; driver k-means over a fixed
+    // 2048-row sample), so the hit counts vs exact top-5 are constants at the
+    // driver's verify scale (sf0.01). n_queries comes from the data; only the
+    // approx side (not expressible in SQL) is pinned. LSH (16 planes, 8
+    // bands): 25/25 exact neighbors recovered. IVF (16 centroids, nprobe=4):
+    // 15/25 recovered while scoring 250 per-mille of collection x queries.
+    "q_ann_lsh_recall" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(25 AS BIGINT) AS hits_at_5 " +
+        "FROM embeddings WHERE vec_id < 5"),
+    "q_ann_ivf_recall" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(15 AS BIGINT) AS hits_at_5, " +
+        "CAST(250 AS BIGINT) AS cand_pm FROM embeddings WHERE vec_id < 5"),
     "q_quality_stats" ->
       ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
