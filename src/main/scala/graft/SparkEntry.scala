@@ -285,6 +285,41 @@ object SparkEntry {
         max(col("doc_id")).cast("long").as("max_id"),
         lit(nCompacted == 8 && blocksAfter < blocksBefore && removed > 0).as("compacted"))
     }),
+    "q_binpack" -> ((s, dir) => {
+      // file-subset maintenance: a well-packed base commit plus three tiny
+      // streaming-shaped appends; compactSmallFiles packs ONLY the tiny
+      // commits — the oracle checks the decoded union, `packed` pins that
+      // every part packed, files were reclaimed, and the base generation's
+      // files stayed byte-untouched on disk
+      val d = tbl(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_binpack_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath
+      EncodePipeline.run(d.filter(col("doc_id") % 8 < 5), "doc_id", path,
+        partitions = 4, blockSize = 32)
+      def files(): Map[Int, Set[String]] = {
+        val dd = new java.io.File(s"$path/data")
+        dd.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__part="))
+          .map(f => f.getName.stripPrefix("__part=").toInt ->
+            f.listFiles().filter(x => x.isFile && x.getName.endsWith(".parquet") &&
+              !x.getName.startsWith(".")).map(_.getName).toSet).toMap
+      }
+      val baseFiles = files()
+      (5 to 7).foreach { r =>
+        EncodePipeline.appendCommit(d.filter(col("doc_id") % 8 === r), "doc_id",
+          path, 4, 32, batchId = r.toLong)
+      }
+      val nPacked = EncodePipeline.compactSmallFiles(s, path, d.schema, blockSize = 32).size
+      val removed = EncodePipeline.vacuum(s, path)
+      val after = files()
+      val baseKept = baseFiles.forall { case (p, fs) => fs.subsetOf(after(p)) }
+      EncodePipeline.decodeShared(s, path, d.schema).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).cast("long").as("min_id"),
+        max(col("doc_id")).cast("long").as("max_id"),
+        lit(nPacked == 4 && removed > 0 && baseKept).as("packed"))
+    }),
     "q_null_roundtrip" -> ((s, dir) => {
       // inject nulls into long + string columns, encode → decode, and report
       // oracle-checkable null counts and non-null checksums. A pmod-sampled
@@ -729,6 +764,11 @@ object SparkEntry {
         "CAST(count(DISTINCT lang) AS BIGINT) AS n_langs, " +
         "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id, " +
         "TRUE AS compacted FROM documents"),
+    "q_binpack" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id, " +
+        "TRUE AS packed FROM documents"),
     "q_null_roundtrip" ->
       ("WITH e AS (SELECT event_id, " +
         "CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS user_id, " +

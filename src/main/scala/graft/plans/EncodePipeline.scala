@@ -674,7 +674,23 @@ object EncodePipeline {
     if (cands.isEmpty) return Nil
     val nextGen = 1 + (if (hasGen)
       meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+    val enc = readData(spark, outDir).filter(col("__part").isin(cands.toSeq: _*))
+    rewriteBlocks(spark, outDir, sourceSchema, enc, cands.toSeq, blockSize, t0)
+      .withColumn("gen", lit(nextGen))
+      .write.mode("append").parquet(s"$outDir/meta")
+    cands.toSeq
+  }
 
+  /** shared rewrite core for [[compact]] and [[compactSmallFiles]]: reblock
+    * `enc`'s block rows to `blockSize`, land the new files beside the old
+    * ones, and return manifest rows (sans `gen`) describing exactly the
+    * bytes this run put on disk. `blockOffset` shifts each part's fresh
+    * block numbering past its existing ids when older files stay current
+    * beside the rewrite (file-subset mode). */
+  private def rewriteBlocks(spark: SparkSession, outDir: String,
+      sourceSchema: StructType, enc: DataFrame, cands: Seq[Int],
+      blockSize: Int, t0: Long,
+      blockOffset: Map[Int, Int] = Map.empty): DataFrame = {
     // file names present per part BEFORE the write: everything else found
     // afterwards is this run's output (names are globally unique); orphans
     // of crashed attempts are in the before-set and stay excluded
@@ -690,7 +706,6 @@ object EncodePipeline {
 
     val plans = plan(sourceSchema)
     val ps = plans.toArray
-    val enc = readData(spark, outDir).filter(col("__part").isin(cands.toSeq: _*))
     val sorted = enc
       .repartition(math.max(1, math.min(cands.length, 64)), col("__part"))
       .sortWithinPartitions(col("__part"), col("__block"))
@@ -716,8 +731,16 @@ object EncodePipeline {
       dictsBc.foreach(b => Codecs.registerDicts(b.value))
       new ReblockIterator(it, ps, bs, partIdx, cntIdx, eIdx)
     }
-    Bridge.internalCreateDataFrame(spark, rdd, outSchema)
-      .write.mode("append").partitionBy("__part").parquet(s"$outDir/data")
+    val fresh = Bridge.internalCreateDataFrame(spark, rdd, outSchema)
+    val shifted = if (blockOffset.isEmpty) fresh else {
+      val offs = spark.createDataFrame(blockOffset.toSeq).toDF("__part", "__off")
+      fresh.join(broadcast(offs), Seq("__part"), "left")
+        .withColumn("__block",
+          (col("__block") + coalesce(col("__off"), lit(0))).cast("int"))
+        .drop("__off")
+        .select(outSchema.fieldNames.map(col).toSeq: _*)
+    }
+    shifted.write.mode("append").partitionBy("__part").parquet(s"$outDir/data")
 
     // identify this run's files by name diff, read exactly them back (the
     // manifest must describe the bytes on disk, not the pre-write plan)
@@ -736,9 +759,69 @@ object EncodePipeline {
       .withColumn("wave", lit(-1))
       .withColumn("wall_millis", lit(System.currentTimeMillis() - t0))
       .withColumn("attempt", lit(1))
+  }
+
+  /** file-subset compaction (bin-packing): within each part, rewrite ONLY
+    * the small commits — appends whose row count underfills a single
+    * `blockSize` block, the streaming micro-batch fragmentation shape —
+    * into freshly-packed blocks, leaving well-filled files byte-untouched
+    * on disk. The manifest append supersedes by generation exactly like
+    * [[compact]], but the new generation re-lists the untouched commits'
+    * rows verbatim (same files, same stats, same batch ids), so [[vacuum]]
+    * reclaims only the packed-away small files. Much cheaper than a whole-
+    * part rewrite on tables where a large sorted base accretes a trickle of
+    * small appends. Crash anywhere leaves the previous generation fully
+    * readable; single maintenance writer assumed. Returns packed part ids. */
+  def compactSmallFiles(spark: SparkSession, outDir: String,
+                        sourceSchema: StructType, blockSize: Int = 4096,
+                        minSmall: Int = 2): Seq[Int] = {
+    val t0 = System.currentTimeMillis()
+    val meta = readMeta(spark, outDir)
+    if (!meta.columns.contains("data_files")) return Nil
+    val hasGen = meta.columns.contains("gen")
+    val tracked = meta.filter(col("data_files").isNotNull)
+    // commit grain: one append's manifest rows share a data_files list per
+    // part (rows is per-column but identical across a commit's columns)
+    val commits = tracked.groupBy(col("__part"), col("data_files"))
+      .agg(max(col("rows")).as("rows"))
+    // same guard as [[compact]]: part-level (null data_files) parts are
+    // read as whole directories and must never be partially rewritten
+    val partLevel = meta.filter(col("data_files").isNull)
+      .select("__part").distinct().collect().map(_.getInt(0)).toSet
+    val cands = commits.filter(col("rows") < blockSize)
+      .groupBy(col("__part")).agg(count(lit(1)).as("nsmall"))
+      .filter(col("nsmall") >= minSmall)
+      .select("__part").collect().map(_.getInt(0))
+      .filterNot(partLevel).sorted.toSeq
+    if (cands.isEmpty) return Nil
+    val nextGen = 1 + (if (hasGen)
+      meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+
+    val smallSets = commits
+      .filter(col("rows") < blockSize && col("__part").isin(cands: _*))
+      .select(col("__part"), col("data_files"))
+    val smallPaths = smallSets.select(explode(col("data_files")).as("f"))
+      .distinct().collect()
+      .map(r => s"$outDir/data/" + fileSuffix(r.getString(0))).toSeq
+    // fresh block ids start past each part's current maximum so the rewrite
+    // never collides with the ids of the files it leaves in place
+    val maxBlk = readData(spark, outDir).filter(col("__part").isin(cands: _*))
+      .groupBy(col("__part")).agg(max(col("__block")).as("mb"))
+      .collect().map(r => r.getInt(0) -> (r.getInt(1) + 1)).toMap
+    val enc = spark.read.option("mergeSchema", "true")
+      .option("basePath", s"$outDir/data").parquet(smallPaths: _*)
+    val newRows = rewriteBlocks(spark, outDir, sourceSchema, enc, cands,
+        blockSize, t0, maxBlk)
       .withColumn("gen", lit(nextGen))
+    // untouched commits carry forward verbatim at the new generation: same
+    // files, same stats, same batch_id (streaming replay detection keeps
+    // working); only the packed-away small commits are superseded
+    val kept = tracked.filter(col("__part").isin(cands: _*))
+      .join(smallSets, Seq("__part", "data_files"), "left_anti")
+      .withColumn("gen", lit(nextGen))
+    newRows.unionByName(kept, allowMissingColumns = true)
       .write.mode("append").parquet(s"$outDir/meta")
-    cands.toSeq
+    cands
   }
 
   /** delete data files no current manifest row references — superseded

@@ -162,6 +162,50 @@ class CompactionSpec extends SparkTestBase {
     assert(sortedRows(EncodePipeline.decodeShared(spark, out, docs.schema)) === expect)
   }
 
+  test("bin-packing: small appends pack; the big base files stay byte-identical") {
+    import spark.implicits._
+    val base = WebDocGen.dataset(spark, 600, 4).toDF()
+    val out = tmpDir()
+    // ~150 rows/part: well above the 64-row small threshold
+    EncodePipeline.run(base, "url", out, partitions = 4, blockSize = 64)
+    def currentFiles(): Map[Int, Set[String]] = {
+      val dir = new java.io.File(s"$out/data")
+      dir.listFiles().filter(d => d.isDirectory && d.getName.startsWith("__part="))
+        .map(d => d.getName.stripPrefix("__part=").toInt ->
+          d.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith(".")).map(_.getName).toSet).toMap
+    }
+    val baseFiles = currentFiles()
+    // three streaming-shaped tiny appends (~10 rows/part each)
+    (0 until 3).foreach { b =>
+      val batch = spark.range(600 + b * 40, 600 + (b + 1) * 40)
+        .map(i => WebDocGen.make(i)).toDF()
+      assert(EncodePipeline.appendCommit(batch, "url", out, 4, 64, batchId = b.toLong))
+    }
+    val all = WebDocGen.dataset(spark, 720, 4).toDF()
+    val expect = sortedRows(all)
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, all.schema)) === expect)
+
+    val packed = EncodePipeline.compactSmallFiles(spark, out, all.schema, blockSize = 64)
+    assert(packed.nonEmpty)
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, all.schema)) === expect)
+    val removed = EncodePipeline.vacuum(spark, out)
+    assert(removed > 0)
+    // the base generation's files survive untouched — only the small
+    // appends were rewritten (plus one fresh pack file per packed part)
+    val after = currentFiles()
+    packed.foreach { p =>
+      assert(baseFiles(p).subsetOf(after(p)), s"part $p base file rewritten")
+      assert(after(p).size === baseFiles(p).size + 1)
+    }
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, all.schema)) === expect)
+    // idempotent: one pack file per part is below minSmall=2, nothing to do
+    assert(EncodePipeline.compactSmallFiles(spark, out, all.schema, blockSize = 64).isEmpty)
+    // streaming replay detection survives the carried-forward rows
+    val replay = spark.range(600, 640).map(i => WebDocGen.make(i)).toDF()
+    assert(!EncodePipeline.appendCommit(replay, "url", out, 4, 64, batchId = 0L))
+  }
+
   test("crash-orphan files are invisible and vacuumed") {
     val docs = WebDocGen.dataset(spark, 300, 4).toDF()
     val out = tmpDir()
