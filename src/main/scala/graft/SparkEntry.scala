@@ -747,6 +747,14 @@ object SparkEntry {
       ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(CASE lang WHEN 'en' THEN 160 ELSE 0 END AS BIGINT) AS n_correct " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    // codec-selection pin: the auto-selector's choice per events block is
+    // deterministic on the seeded fixture — every 4096-id block picks
+    // delta(ts)/bitpack(user)/dict(type)/dict(props); the block count is
+    // data-derived, only the four codec names are pinned.
+    "q_codec_plan" ->
+      ("SELECT 'delta' AS ts_codec, 'bitpack' AS user_codec, " +
+        "'dict' AS type_codec, 'dict' AS props_codec, " +
+        "CAST(count(DISTINCT event_id // 4096) AS BIGINT) AS count FROM events"),
     "q_quality_stats" ->
       ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
