@@ -295,8 +295,11 @@ object SparkEntry {
       val out = java.nio.file.Files.createTempDirectory("graft_binpack_q").toFile
       out.deleteOnExit()
       val path = out.getAbsolutePath
+      // scale-relative small threshold: appends land ~n/32 rows/part
+      // (< n/16), the base ~5n/32 (>= n/16), at any fixture size
+      val bs = math.max(4, (d.count() / 16).toInt)
       EncodePipeline.run(d.filter(col("doc_id") % 8 < 5), "doc_id", path,
-        partitions = 4, blockSize = 32)
+        partitions = 4, blockSize = bs)
       def files(): Map[Int, Set[String]] = {
         val dd = new java.io.File(s"$path/data")
         dd.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__part="))
@@ -307,9 +310,9 @@ object SparkEntry {
       val baseFiles = files()
       (5 to 7).foreach { r =>
         EncodePipeline.appendCommit(d.filter(col("doc_id") % 8 === r), "doc_id",
-          path, 4, 32, batchId = r.toLong)
+          path, 4, bs, batchId = r.toLong)
       }
-      val nPacked = EncodePipeline.compactSmallFiles(s, path, d.schema, blockSize = 32).size
+      val nPacked = EncodePipeline.compactSmallFiles(s, path, d.schema, blockSize = bs).size
       val removed = EncodePipeline.vacuum(s, path)
       val after = files()
       val baseKept = baseFiles.forall { case (p, fs) => fs.subsetOf(after(p)) }
