@@ -188,7 +188,10 @@ object EncodePipeline {
   def encode(df: DataFrame, key: String, partitions: Int, blockSize: Int = 4096,
              partExpr: Option[Column] = None,
              sharedDicts: Option[SharedDicts] = None): DataFrame = {
-    val plans = plan(df.schema)
+    // a pre-existing __part column is a placement directive (rewrite paths
+    // like deleteWhere preserve the original assignment via
+    // partExpr = col("__part")), never a data column to encode
+    val plans = plan(StructType(df.schema.filterNot(_.name == "__part")))
     val part = partExpr.getOrElse(hashPart(key, partitions))
     val canon = df
       .withColumn("__part", part)
@@ -329,7 +332,16 @@ object EncodePipeline {
     decode(enc, sourceSchema, None)
 
   def decode(enc: DataFrame, sourceSchema: StructType,
-             dicts: Option[Map[Long, Codecs.DictTable]]): DataFrame = {
+             dicts: Option[Map[Long, Codecs.DictTable]]): DataFrame =
+    decode(enc, sourceSchema, dicts, keepPart = false)
+
+  /** `keepPart = true` carries the physical __part id through to the
+    * decoded rows — rewrite paths ([[deleteWhere]]) use it to put
+    * surviving rows back exactly where they came from, independent of
+    * which partitioner originally placed them. */
+  def decode(enc: DataFrame, sourceSchema: StructType,
+             dicts: Option[Map[Long, Codecs.DictTable]],
+             keepPart: Boolean): DataFrame = {
     val plans = plan(sourceSchema)
     val ps = plans.toArray
     // string-kind columns restore as StringType directly: values are
@@ -337,13 +349,17 @@ object EncodePipeline {
     // buffer (Codecs.StrView) — no per-value byte[] copy on the hottest
     // decode loop. Binary-kind columns still need owned arrays
     // (InternalRow's binary accessor returns Array[Byte]).
-    val canonSchema = StructType(plans.map(p =>
-      StructField(p.name, p.kind match {
-        case 'l' => LongType
-        case 's' => StringType
-        case _   => BinaryType
-      }, nullable = true)))
+    val canonSchema = StructType(
+      (if (keepPart) Seq(StructField("__part", IntegerType, nullable = false)) else Nil) ++
+      plans.map(p =>
+        StructField(p.name, p.kind match {
+          case 'l' => LongType
+          case 's' => StringType
+          case _   => BinaryType
+        }, nullable = true)))
     val encSchema = enc.schema
+    val partIdx = if (keepPart) encSchema.fieldIndex("__part") else -1
+    val off = if (keepPart) 1 else 0
     // by-NAME resolution with -1 for absent columns (schema evolution: a
     // target schema may carry columns the table — or some of its parts,
     // when read with mergeSchema — never wrote; they decode as all-null)
@@ -383,11 +399,13 @@ object EncodePipeline {
           }
           c += 1
         }
+        val partVal: Any = if (partIdx >= 0) Integer.valueOf(r.getInt(partIdx)) else null
         (0 until n).iterator.map { i =>
-          val vals = new Array[Any](nCols)
+          val vals = new Array[Any](nCols + off)
+          if (off == 1) vals(0) = partVal
           var c2 = 0
           while (c2 < nCols) {
-            vals(c2) =
+            vals(c2 + off) =
               if (allNull(c2)) null
               else ps(c2).kind match {
                 case 'l' =>
@@ -407,7 +425,8 @@ object EncodePipeline {
       }
     }
     Bridge.internalCreateDataFrame(enc.sparkSession, rdd, canonSchema)
-      .select(plans.map(p => restoreCol(p, col(p.name))): _*)
+      .select((if (keepPart) Seq(col("__part")) else Nil) ++
+        plans.map(p => restoreCol(p, col(p.name))): _*)
   }
 
   /** per-(part, column) metrics: rows, blocks, raw vs encoded bytes, codecs,
@@ -691,19 +710,6 @@ object EncodePipeline {
       sourceSchema: StructType, enc: DataFrame, cands: Seq[Int],
       blockSize: Int, t0: Long,
       blockOffset: Map[Int, Int] = Map.empty): DataFrame = {
-    // file names present per part BEFORE the write: everything else found
-    // afterwards is this run's output (names are globally unique); orphans
-    // of crashed attempts are in the before-set and stay excluded
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def partFilesOnDisk(p: Int): Set[String] = {
-      val d = new org.apache.hadoop.fs.Path(s"$outDir/data/__part=$p")
-      if (!fs.exists(d)) Set.empty
-      else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName)
-        .filterNot(_.startsWith("_")).toSet
-    }
-    val before = cands.map(p => p -> partFilesOnDisk(p)).toMap
-
     val plans = plan(sourceSchema)
     val ps = plans.toArray
     val sorted = enc
@@ -740,7 +746,29 @@ object EncodePipeline {
         .drop("__off")
         .select(outSchema.fieldNames.map(col).toSeq: _*)
     }
-    shifted.write.mode("append").partitionBy("__part").parquet(s"$outDir/data")
+    landAndDescribe(spark, outDir, sourceSchema, shifted, cands, t0)
+  }
+
+  /** land freshly-encoded block rows beside the existing files and return
+    * manifest rows (sans `gen`) describing exactly the bytes this run put
+    * on disk. The before/after name diff isolates this run's output from
+    * both the current generation and any crashed-attempt orphans. */
+  private def landAndDescribe(spark: SparkSession, outDir: String,
+      sourceSchema: StructType, encOut: DataFrame, cands: Seq[Int],
+      t0: Long): DataFrame = {
+    // file names present per part BEFORE the write: everything else found
+    // afterwards is this run's output (names are globally unique); orphans
+    // of crashed attempts are in the before-set and stay excluded
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFilesOnDisk(p: Int): Set[String] = {
+      val d = new org.apache.hadoop.fs.Path(s"$outDir/data/__part=$p")
+      if (!fs.exists(d)) Set.empty
+      else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName)
+        .filterNot(_.startsWith("_")).toSet
+    }
+    val before = cands.map(p => p -> partFilesOnDisk(p)).toMap
+    encOut.write.mode("append").partitionBy("__part").parquet(s"$outDir/data")
 
     // identify this run's files by name diff, read exactly them back (the
     // manifest must describe the bytes on disk, not the pre-write plan)
@@ -748,7 +776,7 @@ object EncodePipeline {
     val newPaths = newByPart.toSeq.flatMap { case (p, names) =>
       names.map(n => s"$outDir/data/__part=$p/$n")
     }
-    require(newPaths.nonEmpty, "compaction wrote no files")
+    require(newPaths.nonEmpty, "rewrite wrote no files")
     val written = spark.read.option("basePath", s"$outDir/data").parquet(newPaths: _*)
     val partFiles = written
       .select(col("__part"), input_file_name().as("__file"))
@@ -822,6 +850,86 @@ object EncodePipeline {
     newRows.unionByName(kept, allowMissingColumns = true)
       .write.mode("append").parquet(s"$outDir/meta")
     cands
+  }
+
+  /** copy-on-write row-level DELETE (Iceberg COW parity): rewrite ONLY the
+    * parts containing matching rows — survivors re-encode into fresh
+    * blocks under a new generation, fully-emptied parts get tombstone
+    * manifest rows (zero files), untouched parts keep their files
+    * byte-identical on disk. Rows where `pred` is NULL are KEPT (SQL
+    * DELETE three-valued logic: only pred = TRUE deletes). The delete is
+    * visible to every reader immediately; [[readDataAt]] time travel still
+    * sees the pre-delete generations until [[vacuum]] expires them.
+    * Shared-dict blobs re-encode self-contained, like [[compact]]. At
+    * fleet scale, scope `pred` to prunable columns so the decode scan
+    * rides the manifest skip path. Single maintenance writer assumed.
+    * Returns the number of rows deleted. */
+  def deleteWhere(spark: SparkSession, outDir: String,
+                  sourceSchema: StructType, key: String, pred: Column,
+                  blockSize: Int = 4096): Long = {
+    val t0 = System.currentTimeMillis()
+    val meta = readMeta(spark, outDir)
+    val hasGen = meta.columns.contains("gen")
+    val dicts = (try loadDicts(spark, outDir)
+                 catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
+    def decoded() = decode(readData(spark, outDir), sourceSchema,
+      if (dicts.isEmpty) None else Some(dicts), keepPart = true)
+    val hit = coalesce(pred, lit(false))
+    val byPart = decoded().groupBy(col("__part"))
+      .agg(sum(hit.cast("long")).as("n_del"), count(lit(1)).as("n_all"))
+      .filter(col("n_del") > 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    if (byPart.isEmpty) return 0L
+    val cands = byPart.map(_._1).toSeq.sorted
+    // part-level (null data_files) parts are read as whole directories and
+    // cannot be selectively superseded — same guard as [[compact]]
+    val partLevel: Set[Int] =
+      if (!meta.columns.contains("data_files")) cands.toSet
+      else meta.filter(col("data_files").isNull).select("__part").distinct()
+        .collect().map(_.getInt(0)).toSet
+    require(!cands.exists(partLevel),
+      "deleteWhere requires file-tracked parts; compact() the table first")
+    val nextGen = 1 + (if (hasGen)
+      meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+    val nDeleted = byPart.map(_._2).sum
+    val fullParts = byPart.filter(t => t._2 == t._3).map(_._1).toSeq.sorted
+    val liveParts = cands.filterNot(fullParts.toSet)
+    val newRows = if (liveParts.isEmpty) None else {
+      val survivors = decoded().filter(col("__part").isin(liveParts: _*) && !hit)
+      val encOut = encode(survivors, key, math.max(1, liveParts.length),
+        blockSize, partExpr = Some(col("__part")))
+      Some(landAndDescribe(spark, outDir, sourceSchema, encOut, liveParts, t0)
+        .withColumn("gen", lit(nextGen)))
+    }
+    // a part whose every row matched must still advance generation, or its
+    // old rows would stay current: tombstone rows with an EMPTY file list
+    // (explode reads them as zero files; vacuum reclaims the directory)
+    val tombstones = if (fullParts.isEmpty) None else Some(
+      meta.filter(col("data_files").isNotNull && col("__part").isin(fullParts: _*))
+        .select(col("__part"), col("column")).distinct()
+        .withColumn("rows", lit(0L))
+        .withColumn("blocks", lit(0L))
+        .withColumn("raw_bytes", lit(0L))
+        .withColumn("encoded_bytes", lit(0L))
+        .withColumn("codecs", array().cast("array<string>"))
+        .withColumn("value_lo", lit(null).cast("long"))
+        .withColumn("value_hi", lit(null).cast("long"))
+        .withColumn("str_lo", lit(null).cast("binary"))
+        .withColumn("str_hi", lit(null).cast("binary"))
+        .withColumn("null_value_count", lit(0L))
+        .withColumn("data_files", array().cast("array<string>"))
+        .withColumn("wave", lit(-1))
+        .withColumn("wall_millis", lit(System.currentTimeMillis() - t0))
+        .withColumn("attempt", lit(1))
+        .withColumn("gen", lit(nextGen)))
+    val manifest = (newRows, tombstones) match {
+      case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case _                  => return 0L
+    }
+    manifest.write.mode("append").parquet(s"$outDir/meta")
+    nDeleted
   }
 
   /** delete data files no current manifest row references — superseded
