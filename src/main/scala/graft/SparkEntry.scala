@@ -323,6 +323,35 @@ object SparkEntry {
         max(col("doc_id")).cast("long").as("max_id"),
         lit(nPacked == 4 && removed > 0 && baseKept).as("packed"))
     }),
+    "q_delete" -> ((s, dir) => {
+      // copy-on-write row-level DELETE end-to-end: encode documents, DELETE
+      // a slice under a predicate with a NULL region (doc_id%11==0 rows get
+      // a NULL pred and must SURVIVE — SQL DELETE three-valued logic),
+      // vacuum the superseded generation, decode through the generation-
+      // resolved readers. The oracle recomputes the survivors in DuckDB;
+      // n_deleted pins the return count, tt_ok pins that pre-delete time
+      // travel saw the full table and vacuum reclaimed files.
+      val d = tbl(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_delete_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath
+      EncodePipeline.run(d, "doc_id", path, partitions = 8, blockSize = 1024)
+      val nAll = d.count()
+      val pred = when(col("doc_id") % 11 === 0, lit(null).cast("boolean"))
+        .otherwise(col("doc_id") % 7 === 2)
+      val nDel = EncodePipeline.deleteWhere(s, path, d.schema, "doc_id", pred,
+        blockSize = 1024)
+      val ttRows = EncodePipeline.decode(
+        EncodePipeline.readDataAt(s, path, 0), d.schema).count()
+      val removed = EncodePipeline.vacuum(s, path)
+      EncodePipeline.decodeShared(s, path, d.schema).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).cast("long").as("min_id"),
+        max(col("doc_id")).cast("long").as("max_id"),
+        lit(nDel).cast("long").as("n_deleted"),
+        lit(ttRows == nAll && removed > 0).as("tt_ok"))
+    }),
     "q_null_roundtrip" -> ((s, dir) => {
       // inject nulls into long + string columns, encode → decode, and report
       // oracle-checkable null counts and non-null checksums. A pmod-sampled
@@ -789,6 +818,14 @@ object SparkEntry {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id, " +
         "TRUE AS packed FROM documents"),
+    "q_delete" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM documents " +
+        "WHERE doc_id % 11 <> 0 AND doc_id % 7 = 2) AS n_deleted, " +
+        "TRUE AS tt_ok FROM documents " +
+        "WHERE NOT (doc_id % 11 <> 0 AND doc_id % 7 = 2)"),
     "q_null_roundtrip" ->
       ("WITH e AS (SELECT event_id, " +
         "CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS user_id, " +
