@@ -352,6 +352,38 @@ object SparkEntry {
         lit(nDel).cast("long").as("n_deleted"),
         lit(ttRows == nAll && removed > 0).as("tt_ok"))
     }),
+    "q_update" -> ((s, dir) => {
+      // copy-on-write row-level UPDATE end-to-end: encode documents, UPDATE
+      // a slice (doc_id%13==0 rows get a NULL pred and must stay UNCHANGED
+      // — SQL UPDATE three-valued logic) with assignments that reference
+      // the old row (n_chars + 1000), vacuum, decode. The oracle recomputes
+      // the updated table in DuckDB; n_updated pins the return count and
+      // tt_ok pins pre-update time travel + file reclamation.
+      val d = tbl(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_update_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath
+      EncodePipeline.run(d, "doc_id", path, partitions = 8, blockSize = 1024)
+      val sumBefore = d.agg(sum(col("n_chars"))).head().getLong(0)
+      val pred = when(col("doc_id") % 13 === 0, lit(null).cast("boolean"))
+        .otherwise(col("doc_id") % 5 === 1)
+      val nUpd = EncodePipeline.updateWhere(s, path, d.schema, "doc_id", pred,
+        Map("lang" -> lit("xx"), "n_chars" -> (col("n_chars") + 1000L)),
+        blockSize = 1024)
+      val ttSum = EncodePipeline.decode(
+        EncodePipeline.readDataAt(s, path, 0), d.schema)
+        .agg(sum(col("n_chars"))).head().getLong(0)
+      val removed = EncodePipeline.vacuum(s, path)
+      EncodePipeline.decodeShared(s, path, d.schema)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .crossJoin(broadcast(
+          EncodePipeline.decodeShared(s, path, d.schema).agg(
+            lit(nUpd).cast("long").as("n_updated"),
+            lit(ttSum == sumBefore && removed > 0).as("tt_ok"))))
+        .orderBy(col("lang"))
+    }),
     "q_null_roundtrip" -> ((s, dir) => {
       // inject nulls into long + string columns, encode → decode, and report
       // oracle-checkable null counts and non-null checksums. A pmod-sampled
@@ -826,6 +858,16 @@ object SparkEntry {
         "WHERE doc_id % 11 <> 0 AND doc_id % 7 = 2) AS n_deleted, " +
         "TRUE AS tt_ok FROM documents " +
         "WHERE NOT (doc_id % 11 <> 0 AND doc_id % 7 = 2)"),
+    "q_update" ->
+      ("WITH u AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 13 <> 0 AND doc_id % 5 = 1 THEN 'xx' ELSE lang END AS lang, " +
+        "CASE WHEN doc_id % 13 <> 0 AND doc_id % 5 = 1 THEN n_chars + 1000 ELSE n_chars END AS n_chars " +
+        "FROM documents) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM documents " +
+        "WHERE doc_id % 13 <> 0 AND doc_id % 5 = 1) AS n_updated, " +
+        "TRUE AS tt_ok FROM u GROUP BY lang ORDER BY lang"),
     "q_null_roundtrip" ->
       ("WITH e AS (SELECT event_id, " +
         "CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS user_id, " +

@@ -932,6 +932,64 @@ object EncodePipeline {
     nDeleted
   }
 
+  /** copy-on-write row-level UPDATE (Iceberg COW parity): rewrite ONLY the
+    * parts containing matching rows — every row of an affected part
+    * re-encodes under a new generation, with `set` assignments applied to
+    * the rows where `pred` is TRUE (NULL or FALSE leaves the row unchanged
+    * — SQL UPDATE three-valued logic). Assignments may reference the row's
+    * other columns (`set("n_chars" -> col("n_chars") + 1)`), and are cast
+    * to the column's declared type. The partitioning key itself cannot be
+    * assigned: that would move rows across parts, which is a [[deleteWhere]]
+    * + append, not an in-place rewrite. Untouched parts keep their files
+    * byte-identical; time travel sees pre-update generations until
+    * [[vacuum]]. Single maintenance writer assumed. Returns the number of
+    * rows updated. */
+  def updateWhere(spark: SparkSession, outDir: String,
+                  sourceSchema: StructType, key: String, pred: Column,
+                  set: Map[String, Column], blockSize: Int = 4096): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    require(!set.contains(key),
+      s"updateWhere cannot assign the partitioning key '$key' (rows would change parts)")
+    val bad = set.keySet.diff(sourceSchema.fieldNames.toSet)
+    require(bad.isEmpty, s"updateWhere assigns unknown columns: ${bad.mkString(", ")}")
+    val t0 = System.currentTimeMillis()
+    val meta = readMeta(spark, outDir)
+    val hasGen = meta.columns.contains("gen")
+    val dicts = (try loadDicts(spark, outDir)
+                 catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
+    def decoded() = decode(readData(spark, outDir), sourceSchema,
+      if (dicts.isEmpty) None else Some(dicts), keepPart = true)
+    val hit = coalesce(pred, lit(false))
+    val byPart = decoded().groupBy(col("__part"))
+      .agg(sum(hit.cast("long")).as("n_upd"))
+      .filter(col("n_upd") > 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    if (byPart.isEmpty) return 0L
+    val cands = byPart.map(_._1).toSeq.sorted
+    val partLevel: Set[Int] =
+      if (!meta.columns.contains("data_files")) cands.toSet
+      else meta.filter(col("data_files").isNull).select("__part").distinct()
+        .collect().map(_.getInt(0)).toSet
+    require(!cands.exists(partLevel),
+      "updateWhere requires file-tracked parts; compact() the table first")
+    val nextGen = 1 + (if (hasGen)
+      meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+    val rewritten = decoded()
+      .filter(col("__part").isin(cands: _*))
+      .select(col("__part") +: sourceSchema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None    => col(f.name)
+        }
+      }: _*)
+    val encOut = encode(rewritten, key, math.max(1, cands.length),
+      blockSize, partExpr = Some(col("__part")))
+    landAndDescribe(spark, outDir, sourceSchema, encOut, cands, t0)
+      .withColumn("gen", lit(nextGen))
+      .write.mode("append").parquet(s"$outDir/meta")
+    byPart.map(_._2).sum
+  }
+
   /** delete data files no current manifest row references — superseded
     * generations and crashed-attempt orphans. Part-level-tracked parts
     * (null data_files) are untouched: their whole directory IS the table.
