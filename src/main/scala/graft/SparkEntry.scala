@@ -352,6 +352,45 @@ object SparkEntry {
         lit(nDel).cast("long").as("n_deleted"),
         lit(ttRows == nAll && removed > 0).as("tt_ok"))
     }),
+    "q_delete_lazy" -> ((s, dir) => {
+      // merge-on-read row-level DELETE end-to-end: position-delete bitmaps
+      // land in the deletes/ side structure with ZERO data bytes rewritten
+      // (zero_rewrite pins every data file byte-identical), scans apply
+      // them, and materializeDeletes folds them into a copy-on-write
+      // rewrite that decodes to the same table (mat_ok pins fold count,
+      // side-structure removal, and post-fold equality). NULL pred keeps
+      // (doc_id%9==0 region). Oracle recomputes survivors in DuckDB.
+      val d = tbl(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_mor_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath
+      EncodePipeline.run(d, "doc_id", path, partitions = 8, blockSize = 1024)
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$path/data"))
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .map(f => f.getAbsolutePath -> f.length()).toMap
+      }
+      val before = files()
+      val pred = when(col("doc_id") % 9 === 0, lit(null).cast("boolean"))
+        .otherwise(col("doc_id") % 6 === 3)
+      val nDel = EncodePipeline.deleteWhereLazy(s, path, d.schema, pred)
+      val zeroRewrite = files() == before
+      val morRows = EncodePipeline.decodeShared(s, path, d.schema).count()
+      val folded = EncodePipeline.materializeDeletes(s, path, d.schema, "doc_id",
+        blockSize = 1024)
+      val matOk = folded == nDel && !new java.io.File(s"$path/deletes").exists() &&
+        EncodePipeline.decodeShared(s, path, d.schema).count() == morRows
+      EncodePipeline.decodeShared(s, path, d.schema).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).cast("long").as("min_id"),
+        max(col("doc_id")).cast("long").as("max_id"),
+        lit(nDel).cast("long").as("n_deleted"),
+        lit(zeroRewrite).as("zero_rewrite"),
+        lit(matOk).as("mat_ok"))
+    }),
     "q_update" -> ((s, dir) => {
       // copy-on-write row-level UPDATE end-to-end: encode documents, UPDATE
       // a slice (doc_id%13==0 rows get a NULL pred and must stay UNCHANGED
@@ -858,6 +897,14 @@ object SparkEntry {
         "WHERE doc_id % 11 <> 0 AND doc_id % 7 = 2) AS n_deleted, " +
         "TRUE AS tt_ok FROM documents " +
         "WHERE NOT (doc_id % 11 <> 0 AND doc_id % 7 = 2)"),
+    "q_delete_lazy" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM documents " +
+        "WHERE doc_id % 9 <> 0 AND doc_id % 6 = 3) AS n_deleted, " +
+        "TRUE AS zero_rewrite, TRUE AS mat_ok FROM documents " +
+        "WHERE NOT (doc_id % 9 <> 0 AND doc_id % 6 = 3)"),
     "q_update" ->
       ("WITH u AS (SELECT doc_id, " +
         "CASE WHEN doc_id % 13 <> 0 AND doc_id % 5 = 1 THEN 'xx' ELSE lang END AS lang, " +

@@ -341,7 +341,31 @@ object EncodePipeline {
     * which partitioner originally placed them. */
   def decode(enc: DataFrame, sourceSchema: StructType,
              dicts: Option[Map[Long, Codecs.DictTable]],
-             keepPart: Boolean): DataFrame = {
+             keepPart: Boolean): DataFrame =
+    decodeEx(enc, sourceSchema, dicts, keepPart, lineage = false, Map.empty)
+
+  /** merge-on-read scan lineage: prepends `__part`, `__file` (data-file
+    * "__part=p/name" id), `__block`, and `__pos` (the row's ORIGINAL in-block ordinal,
+    * stable under delete-vector application) to the decoded rows — the
+    * coordinates [[deleteWhereLazy]] anchors position-delete bitmaps to. */
+  def decodeWithLineage(enc: DataFrame, sourceSchema: StructType,
+                        dicts: Option[Map[Long, Codecs.DictTable]],
+                        deletes: Map[(String, Int), Array[Byte]]): DataFrame =
+    decodeEx(enc, sourceSchema, dicts, keepPart = true, lineage = true, deletes)
+
+  private def decodeEx(enc0: DataFrame, sourceSchema: StructType,
+             dicts: Option[Map[Long, Codecs.DictTable]],
+             keepPart: Boolean, lineage: Boolean,
+             deletes: Map[(String, Int), Array[Byte]]): DataFrame = {
+    val needFile = lineage || deletes.nonEmpty
+    // data-file id: the "__part=p/name" suffix (same normalization as
+    // [[fileSuffix]]) — unique per file, stable under table relocation —
+    // the anchor delete vectors key on. Callers reading through
+    // [[readDataKeepFile]] arrive with it attached (Spark rejects
+    // input_file_name() above a multi-source join).
+    val enc = if (needFile && !enc0.columns.contains("__fname"))
+      enc0.withColumn("__fname", regexp_extract(input_file_name(), "[^/]+/[^/]+$", 0))
+    else enc0
     val plans = plan(sourceSchema)
     val ps = plans.toArray
     // string-kind columns restore as StringType directly: values are
@@ -349,8 +373,14 @@ object EncodePipeline {
     // buffer (Codecs.StrView) — no per-value byte[] copy on the hottest
     // decode loop. Binary-kind columns still need owned arrays
     // (InternalRow's binary accessor returns Array[Byte]).
-    val canonSchema = StructType(
+    val lead =
       (if (keepPart) Seq(StructField("__part", IntegerType, nullable = false)) else Nil) ++
+      (if (lineage) Seq(
+        StructField("__file", StringType, nullable = false),
+        StructField("__block", IntegerType, nullable = false),
+        StructField("__pos", IntegerType, nullable = false)) else Nil)
+    val canonSchema = StructType(
+      lead ++
       plans.map(p =>
         StructField(p.name, p.kind match {
           case 'l' => LongType
@@ -359,7 +389,10 @@ object EncodePipeline {
         }, nullable = true)))
     val encSchema = enc.schema
     val partIdx = if (keepPart) encSchema.fieldIndex("__part") else -1
-    val off = if (keepPart) 1 else 0
+    val fnameIdx = if (needFile) encSchema.fieldIndex("__fname") else -1
+    val blockIdx = if (needFile) encSchema.fieldIndex("__block") else -1
+    val off = lead.length
+    val lineageAt = if (keepPart) 1 else 0
     // by-NAME resolution with -1 for absent columns (schema evolution: a
     // target schema may carry columns the table — or some of its parts,
     // when read with mergeSchema — never wrote; they decode as all-null)
@@ -369,8 +402,14 @@ object EncodePipeline {
     // JVM-wide content-addressed registry before the first blob is decoded —
     // the same registry stand-alone kernel expressions resolve against
     val dictsBc = dicts.filter(_.nonEmpty).map(enc.sparkSession.sparkContext.broadcast(_))
+    // delete vectors travel by broadcast too: bitmaps exist only for blocks
+    // with deletes, so the map is ∝ deleted rows, not table size
+    val delBc = if (deletes.isEmpty) None
+                else Some(enc.sparkSession.sparkContext.broadcast(deletes))
+    val emitLineage = lineage
     val rdd = Bridge.toRdd(enc).mapPartitions { rows =>
       dictsBc.foreach(b => Codecs.registerDicts(b.value))
+      val delMap = delBc.map(_.value).orNull
       val nCols = ps.length
       rows.flatMap { r =>
         val longVals = new Array[Array[Long]](nCols)
@@ -400,9 +439,22 @@ object EncodePipeline {
           c += 1
         }
         val partVal: Any = if (partIdx >= 0) Integer.valueOf(r.getInt(partIdx)) else null
-        (0 until n).iterator.map { i =>
+        val fname = if (fnameIdx >= 0) r.getUTF8String(fnameIdx).toString else null
+        val blockId = if (blockIdx >= 0) r.getInt(blockIdx) else -1
+        val fnameU = if (emitLineage)
+          org.apache.spark.unsafe.types.UTF8String.fromString(fname) else null
+        val bm: Array[Byte] =
+          if (delMap == null) null else delMap.getOrElse((fname, blockId), null)
+        (0 until n).iterator
+          .filter(i => bm == null || !bitSet(bm, i))
+          .map { i =>
           val vals = new Array[Any](nCols + off)
-          if (off == 1) vals(0) = partVal
+          if (partIdx >= 0) vals(0) = partVal
+          if (emitLineage) {
+            vals(lineageAt) = fnameU
+            vals(lineageAt + 1) = Integer.valueOf(blockId)
+            vals(lineageAt + 2) = Integer.valueOf(i)
+          }
           var c2 = 0
           while (c2 < nCols) {
             vals(c2 + off) =
@@ -425,9 +477,14 @@ object EncodePipeline {
       }
     }
     Bridge.internalCreateDataFrame(enc.sparkSession, rdd, canonSchema)
-      .select((if (keepPart) Seq(col("__part")) else Nil) ++
+      .select(lead.map(f => col(f.name)) ++
         plans.map(p => restoreCol(p, col(p.name))): _*)
   }
+
+  /** bit `i` of a position-delete bitmap (little-endian within bytes);
+    * positions beyond the stored bytes are not deleted */
+  private def bitSet(bm: Array[Byte], i: Int): Boolean =
+    (i >> 3) < bm.length && (bm(i >> 3) & (1 << (i & 7))) != 0
 
   /** per-(part, column) metrics: rows, blocks, raw vs encoded bytes, codecs,
     * plus header-derived value bounds for long-kind columns (the zone-map /
@@ -549,11 +606,20 @@ object EncodePipeline {
     readDataWithMeta(spark, outDir, readMetaAt(spark, outDir, Some(gen)))
 
   private def readDataWithMeta(spark: SparkSession, outDir: String,
-                               meta: DataFrame): DataFrame = {
+                               meta: DataFrame, keepFile: Boolean = false): DataFrame = {
+    // input_file_name() must sit directly above the single data relation
+    // (Spark rejects it over a multi-source join). The "__part=p/name"
+    // suffix is what delete vectors key on — the BASENAME alone is NOT
+    // unique: one partitionBy task writes the same part-NNNNN-<jobUUID>
+    // name into every __part directory it lands rows in.
+    def withName(df: DataFrame): DataFrame =
+      if (keepFile) df.withColumn("__fname",
+        regexp_extract(input_file_name(), "[^/]+/[^/]+$", 0))
+      else df
     if (!meta.columns.contains("data_files")) {
       // pure pre-data_files metadata: part-level committed-set filtering
       val committed = meta.select("__part").distinct()
-      return spark.read.option("mergeSchema", "true").parquet(s"$outDir/data")
+      return withName(spark.read.option("mergeSchema", "true").parquet(s"$outDir/data"))
         .join(broadcast(committed), Seq("__part"), "left_semi")
     }
     // MIXED metadata (a pre-data_files directory resumed by this version)
@@ -568,13 +634,19 @@ object EncodePipeline {
     // mergeSchema: parts written before a column was added lack its e_/r_
     // fields; the union schema carries them as null (schema evolution)
     val data = spark.read.option("mergeSchema", "true").parquet(s"$outDir/data")
-    val byFile = data
+    val byFile = withName(data)
       .withColumn("__file", input_file_name())
       .join(broadcast(files), Seq("__file"), "left_semi")
       .drop("__file")
     if (oldParts.isEmpty) byFile
-    else byFile.unionByName(data.join(broadcast(oldParts), Seq("__part"), "left_semi"))
+    else byFile.unionByName(withName(data).join(broadcast(oldParts), Seq("__part"), "left_semi"))
   }
+
+  /** [[readData]] with the data-file "__part=p/name" id attached as
+    * `__fname` — the form [[decodeEx]] needs for delete-vector application
+    * and lineage */
+  private[plans] def readDataKeepFile(spark: SparkSession, outDir: String): DataFrame =
+    readDataWithMeta(spark, outDir, readMeta(spark, outDir), keepFile = true)
 
   // ---------------- batch append (streaming-grade commits) ----------------
 
@@ -668,6 +740,7 @@ object EncodePipeline {
     * maintenance writer assumed (Iceberg parity). Returns compacted ids. */
   def compact(spark: SparkSession, outDir: String, sourceSchema: StructType,
               blockSize: Int = 4096, minFiles: Int = 2): Seq[Int] = {
+    requireNoLiveDeletes(spark, outDir, "compact")
     val t0 = System.currentTimeMillis()
     val meta = readMeta(spark, outDir)
     if (!meta.columns.contains("data_files")) return Nil
@@ -803,6 +876,7 @@ object EncodePipeline {
   def compactSmallFiles(spark: SparkSession, outDir: String,
                         sourceSchema: StructType, blockSize: Int = 4096,
                         minSmall: Int = 2): Seq[Int] = {
+    requireNoLiveDeletes(spark, outDir, "compactSmallFiles")
     val t0 = System.currentTimeMillis()
     val meta = readMeta(spark, outDir)
     if (!meta.columns.contains("data_files")) return Nil
@@ -867,6 +941,7 @@ object EncodePipeline {
   def deleteWhere(spark: SparkSession, outDir: String,
                   sourceSchema: StructType, key: String, pred: Column,
                   blockSize: Int = 4096): Long = {
+    requireNoLiveDeletes(spark, outDir, "deleteWhere")
     val t0 = System.currentTimeMillis()
     val meta = readMeta(spark, outDir)
     val hasGen = meta.columns.contains("gen")
@@ -901,10 +976,24 @@ object EncodePipeline {
       Some(landAndDescribe(spark, outDir, sourceSchema, encOut, liveParts, t0)
         .withColumn("gen", lit(nextGen)))
     }
-    // a part whose every row matched must still advance generation, or its
-    // old rows would stay current: tombstone rows with an EMPTY file list
-    // (explode reads them as zero files; vacuum reclaims the directory)
-    val tombstones = if (fullParts.isEmpty) None else Some(
+    val tombstones = tombstoneRows(meta, fullParts, nextGen, t0)
+    val manifest = (newRows, tombstones) match {
+      case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case _                  => return 0L
+    }
+    manifest.write.mode("append").parquet(s"$outDir/meta")
+    nDeleted
+  }
+
+  /** a part whose every row was removed must still advance generation, or
+    * its old rows would stay current: tombstone manifest rows with an EMPTY
+    * file list (explode reads them as zero files; vacuum reclaims the
+    * directory) */
+  private def tombstoneRows(meta: DataFrame, fullParts: Seq[Int],
+                            nextGen: Int, t0: Long): Option[DataFrame] =
+    if (fullParts.isEmpty) None else Some(
       meta.filter(col("data_files").isNotNull && col("__part").isin(fullParts: _*))
         .select(col("__part"), col("column")).distinct()
         .withColumn("rows", lit(0L))
@@ -922,15 +1011,6 @@ object EncodePipeline {
         .withColumn("wall_millis", lit(System.currentTimeMillis() - t0))
         .withColumn("attempt", lit(1))
         .withColumn("gen", lit(nextGen)))
-    val manifest = (newRows, tombstones) match {
-      case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
-      case (Some(a), None)    => a
-      case (None, Some(b))    => b
-      case _                  => return 0L
-    }
-    manifest.write.mode("append").parquet(s"$outDir/meta")
-    nDeleted
-  }
 
   /** copy-on-write row-level UPDATE (Iceberg COW parity): rewrite ONLY the
     * parts containing matching rows — every row of an affected part
@@ -952,6 +1032,7 @@ object EncodePipeline {
       s"updateWhere cannot assign the partitioning key '$key' (rows would change parts)")
     val bad = set.keySet.diff(sourceSchema.fieldNames.toSet)
     require(bad.isEmpty, s"updateWhere assigns unknown columns: ${bad.mkString(", ")}")
+    requireNoLiveDeletes(spark, outDir, "updateWhere")
     val t0 = System.currentTimeMillis()
     val meta = readMeta(spark, outDir)
     val hasGen = meta.columns.contains("gen")
@@ -988,6 +1069,153 @@ object EncodePipeline {
       .withColumn("gen", lit(nextGen))
       .write.mode("append").parquet(s"$outDir/meta")
     byPart.map(_._2).sum
+  }
+
+  // ------------- merge-on-read positional deletes (Iceberg v3 DVs) -------------
+
+  /** merge-on-read row-level DELETE: writes position-delete bitmaps keyed by
+    * (data-file "__part=p/name" id, block) to the append-only `outDir/deletes/` side
+    * structure — ZERO data bytes are rewritten, which is the honest delete
+    * at fleet scale (a copy-on-write [[deleteWhere]] rewrites a whole part
+    * to drop 0.1% of it). [[decodeShared]] applies the vectors at scan time;
+    * [[materializeDeletes]] folds them into a real rewrite when read
+    * amplification warrants it. Data-file ids are unique and
+    * immutable, so vectors survive generation bookkeeping: a vector whose
+    * target file gets superseded (compaction, COW rewrite) goes inert.
+    * Rows already deleted by earlier vectors are never re-counted; NULL
+    * predicates keep the row (SQL 3VL). NOTE: encoded-domain probes
+    * (blob_count_*, manifest pruning) describe the stored blocks and do not
+    * subtract vectors — materialize before relying on them for exact
+    * counts. Returns the number of newly deleted rows. */
+  def deleteWhereLazy(spark: SparkSession, outDir: String,
+                      sourceSchema: StructType, pred: Column): Long = {
+    val dicts = (try loadDicts(spark, outDir)
+                 catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
+    val existing = loadDeletes(spark, outDir)
+    val dec = decodeEx(readDataKeepFile(spark, outDir), sourceSchema,
+      if (dicts.isEmpty) None else Some(dicts),
+      keepPart = false, lineage = true, existing)
+    val hits = dec.filter(coalesce(pred, lit(false)))
+      .select(col("__file"), col("__block"), col("__pos"))
+    val perBlock = hits
+      .groupBy(col("__file").as("file"), col("__block").as("block"))
+      .agg(collect_list(col("__pos")).as("positions"))
+    val spark2 = spark
+    import spark2.implicits._
+    val dv = perBlock.as[(String, Int, Seq[Int])].map { case (f, b, ps) =>
+      val bm = new Array[Byte]((ps.max >> 3) + 1)
+      ps.foreach(i => bm(i >> 3) = (bm(i >> 3) | (1 << (i & 7))).toByte)
+      (f, b, bm, ps.size.toLong)
+    }.toDF("file", "block", "bitmap", "n")
+      .persist()
+    val nDel = dv.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    if (nDel > 0) dv.drop("n").write.mode("append").parquet(s"$outDir/deletes")
+    dv.unpersist()
+    nDel
+  }
+
+  /** OR-merged position-delete bitmaps currently on disk, keyed by
+    * (data-file "__part=p/name" id, block). Empty map when the table has none. The
+    * map is ∝ deleted-row count (bitmaps exist only for touched blocks,
+    * ≤ blockSize/8 bytes each), safe to hold on the driver and broadcast —
+    * the same shape Iceberg brings delete files into task memory. */
+  def loadDeletes(spark: SparkSession, outDir: String): Map[(String, Int), Array[Byte]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    spark.read.parquet(s"$outDir/deletes")
+      .select("file", "block", "bitmap").collect()
+      .groupBy(r => (r.getString(0), r.getInt(1)))
+      .map { case (k, rows) =>
+        k -> rows.map(_.getAs[Array[Byte]](2)).reduce(orBitmaps)
+      }
+  }
+
+  private def orBitmaps(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val (long, short) = if (a.length >= b.length) (a, b) else (b, a)
+    val out = java.util.Arrays.copyOf(long, long.length)
+    var i = 0
+    while (i < short.length) { out(i) = (out(i) | short(i)).toByte; i += 1 }
+    out
+  }
+
+  /** the subset of delete vectors whose target file is referenced by the
+    * CURRENT manifest — vectors left behind by compaction/COW rewrites are
+    * inert and excluded */
+  private def liveDeletes(spark: SparkSession, outDir: String): Map[(String, Int), Array[Byte]] = {
+    val dv = loadDeletes(spark, outDir)
+    if (dv.isEmpty) return dv
+    val meta = readMeta(spark, outDir)
+    if (!meta.columns.contains("data_files")) return Map.empty
+    val current = meta.filter(col("data_files").isNotNull)
+      .select(explode(col("data_files")).as("f")).distinct()
+      .collect().map(r => fileSuffix(r.getString(0))).toSet
+    dv.filter { case ((f, _), _) => current.contains(f) }
+  }
+
+  /** guard for block-level maintenance ([[compact]], [[deleteWhere]], ...):
+    * those paths read stored blocks verbatim and would resurrect
+    * vector-deleted rows */
+  private def requireNoLiveDeletes(spark: SparkSession, outDir: String, op: String): Unit =
+    require(liveDeletes(spark, outDir).isEmpty,
+      s"$op on a table with live merge-on-read delete vectors would resurrect " +
+      "deleted rows; run materializeDeletes() first")
+
+  /** fold live delete vectors into the data: copy-on-write rewrite of
+    * exactly the parts holding vector-targeted files (fully-emptied parts
+    * tombstone, like [[deleteWhere]]), then drop the `deletes/` side
+    * structure — every live vector is folded by construction and the rest
+    * are inert. Returns the number of rows physically removed. */
+  def materializeDeletes(spark: SparkSession, outDir: String,
+                         sourceSchema: StructType, key: String,
+                         blockSize: Int = 4096): Long = {
+    val t0 = System.currentTimeMillis()
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dv = liveDeletes(spark, outDir)
+    if (dv.isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/deletes"), true)
+      return 0L
+    }
+    val nFolded = dv.valuesIterator
+      .map(_.foldLeft(0L)((s, b) => s + java.lang.Integer.bitCount(b & 0xff))).sum
+    val meta = readMeta(spark, outDir)
+    val hasGen = meta.columns.contains("gen")
+    val targets = dv.keysIterator.map(_._1).toSet
+    val cands = meta.filter(col("data_files").isNotNull)
+      .select(col("__part"), explode(col("data_files")).as("f"))
+      .collect().filter(r => targets.contains(fileSuffix(r.getString(1))))
+      .map(_.getInt(0)).distinct.toSeq.sorted
+    require(cands.nonEmpty, "live delete vectors but no owning parts — corrupt manifest?")
+    val dicts = (try loadDicts(spark, outDir)
+                 catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
+    val survivors = decodeEx(readDataKeepFile(spark, outDir), sourceSchema,
+        if (dicts.isEmpty) None else Some(dicts),
+        keepPart = true, lineage = false, dv)
+      .filter(col("__part").isin(cands: _*))
+      .persist()
+    val liveParts = survivors.select("__part").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val fullParts = cands.filterNot(liveParts.toSet)
+    val nextGen = 1 + (if (hasGen)
+      meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+    val newRows = if (liveParts.isEmpty) None else {
+      val encOut = encode(survivors, key, math.max(1, liveParts.length),
+        blockSize, partExpr = Some(col("__part")))
+      Some(landAndDescribe(spark, outDir, sourceSchema, encOut, liveParts, t0)
+        .withColumn("gen", lit(nextGen)))
+    }
+    val tombstones = tombstoneRows(meta, fullParts, nextGen, t0)
+    survivors.unpersist()
+    val manifest = (newRows, tombstones) match {
+      case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case _                  => return 0L
+    }
+    manifest.write.mode("append").parquet(s"$outDir/meta")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/deletes"), true)
+    nFolded
   }
 
   /** delete data files no current manifest row references — superseded
@@ -1171,13 +1399,19 @@ object EncodePipeline {
 
   /** decode a table written with shared dictionaries: loads the dictionary
     * side-structure (registering it in this JVM for stand-alone kernels) and
-    * threads it through distributed decode via broadcast. Works equally on
-    * tables WITHOUT a dicts side-structure (plain inline blobs). */
+    * threads it through distributed decode via broadcast, and applies any
+    * merge-on-read delete vectors ([[deleteWhereLazy]]) at scan time. Works
+    * equally on tables WITHOUT a dicts/deletes side-structure. */
   def decodeShared(spark: SparkSession, outDir: String, sourceSchema: StructType): DataFrame = {
     val dicts =
       try loadDicts(spark, outDir)
       catch { case _: Exception => Map.empty[Long, Codecs.DictTable] } // no dicts/ dir
-    decode(readData(spark, outDir), sourceSchema, if (dicts.isEmpty) None else Some(dicts))
+    val deletes = loadDeletes(spark, outDir)
+    val rd = if (deletes.isEmpty) readData(spark, outDir)
+             else readDataKeepFile(spark, outDir)
+    decodeEx(rd, sourceSchema,
+      if (dicts.isEmpty) None else Some(dicts),
+      keepPart = false, lineage = false, deletes)
   }
 
   /** metadata read with schema merge across metadata-version eras: a resumed
