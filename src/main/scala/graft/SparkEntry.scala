@@ -352,6 +352,32 @@ object SparkEntry {
         lit(nDel).cast("long").as("n_deleted"),
         lit(ttRows == nAll && removed > 0).as("tt_ok"))
     }),
+    "q_merge" -> ((s, dir) => {
+      // MERGE INTO by key (upsert) end-to-end: doc_id%10==4 rows are
+      // REPLACED (lang→'xx', n_chars+500), doc_id%25==7 rows re-key to
+      // doc_id+1000000 and INSERT as a tracked batch append. The oracle
+      // recomputes the merged table in DuckDB; n_replaced/n_inserted pin
+      // the returned counts.
+      val d = tbl(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_merge_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath
+      EncodePipeline.run(d, "doc_id", path, partitions = 8, blockSize = 1024)
+      val repl = d.filter(col("doc_id") % 10 === 4)
+        .withColumn("lang", lit("xx"))
+        .withColumn("n_chars", col("n_chars") + 500L)
+      val ins = d.filter(col("doc_id") % 25 === 7)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val (nRep, nIns) = EncodePipeline.mergeByKey(s, path, d.schema, "doc_id",
+        repl.unionByName(ins), partitions = 8, blockSize = 1024)
+      EncodePipeline.decodeShared(s, path, d.schema)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .withColumn("n_replaced", lit(nRep).cast("long"))
+        .withColumn("n_inserted", lit(nIns).cast("long"))
+        .orderBy(col("lang"))
+    }),
     "q_delete_lazy" -> ((s, dir) => {
       // merge-on-read row-level DELETE end-to-end: position-delete bitmaps
       // land in the deletes/ side structure with ZERO data bytes rewritten
@@ -897,6 +923,18 @@ object SparkEntry {
         "WHERE doc_id % 11 <> 0 AND doc_id % 7 = 2) AS n_deleted, " +
         "TRUE AS tt_ok FROM documents " +
         "WHERE NOT (doc_id % 11 <> 0 AND doc_id % 7 = 2)"),
+    "q_merge" ->
+      ("WITH merged AS (" +
+        "SELECT * FROM documents WHERE doc_id % 10 <> 4 " +
+        "UNION ALL SELECT doc_id, text, 'xx' AS lang, source, n_chars + 500 " +
+        "FROM documents WHERE doc_id % 10 = 4 " +
+        "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars " +
+        "FROM documents WHERE doc_id % 25 = 7) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 10 = 4) AS n_replaced, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 25 = 7) AS n_inserted " +
+        "FROM merged GROUP BY lang ORDER BY lang"),
     "q_delete_lazy" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +

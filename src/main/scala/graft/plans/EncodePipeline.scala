@@ -956,14 +956,7 @@ object EncodePipeline {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     if (byPart.isEmpty) return 0L
     val cands = byPart.map(_._1).toSeq.sorted
-    // part-level (null data_files) parts are read as whole directories and
-    // cannot be selectively superseded — same guard as [[compact]]
-    val partLevel: Set[Int] =
-      if (!meta.columns.contains("data_files")) cands.toSet
-      else meta.filter(col("data_files").isNull).select("__part").distinct()
-        .collect().map(_.getInt(0)).toSet
-    require(!cands.exists(partLevel),
-      "deleteWhere requires file-tracked parts; compact() the table first")
+    requireFileTracked(meta, cands, "deleteWhere")
     val nextGen = 1 + (if (hasGen)
       meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
     val nDeleted = byPart.map(_._2).sum
@@ -1047,12 +1040,7 @@ object EncodePipeline {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     if (byPart.isEmpty) return 0L
     val cands = byPart.map(_._1).toSeq.sorted
-    val partLevel: Set[Int] =
-      if (!meta.columns.contains("data_files")) cands.toSet
-      else meta.filter(col("data_files").isNull).select("__part").distinct()
-        .collect().map(_.getInt(0)).toSet
-    require(!cands.exists(partLevel),
-      "updateWhere requires file-tracked parts; compact() the table first")
+    requireFileTracked(meta, cands, "updateWhere")
     val nextGen = 1 + (if (hasGen)
       meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
     val rewritten = decoded()
@@ -1069,6 +1057,93 @@ object EncodePipeline {
       .withColumn("gen", lit(nextGen))
       .write.mode("append").parquet(s"$outDir/meta")
     byPart.map(_._2).sum
+  }
+
+  /** part-level (null data_files) parts are read as whole directories and
+    * cannot be selectively superseded — shared guard of every copy-on-write
+    * rewrite */
+  private def requireFileTracked(meta: DataFrame, cands: Seq[Int], op: String): Unit = {
+    val partLevel: Set[Int] =
+      if (!meta.columns.contains("data_files")) cands.toSet
+      else meta.filter(col("data_files").isNull).select("__part").distinct()
+        .collect().map(_.getInt(0)).toSet
+    require(!cands.exists(partLevel),
+      s"$op requires file-tracked parts; compact() the table first")
+  }
+
+  /** MERGE INTO by key (upsert): `updates` rows whose `key` matches an
+    * existing row REPLACE it — a copy-on-write rewrite of exactly the parts
+    * containing matches (fully-replaced parts tombstone) — and the rest
+    * INSERT as a tracked batch append. `updates` must carry the table's
+    * schema and be unique by `key`. Returns (rows replaced, rows inserted).
+    *
+    * Idempotent by `batchId` (default: next after the manifest's highest):
+    * a replayed call whose batch already committed is a no-op, and a crash
+    * between the delete phase and the append resumes cleanly on retry with
+    * the SAME batchId — the matched keys are already gone (delete no-op)
+    * and the append replays its detection. Single maintenance writer
+    * assumed. */
+  def mergeByKey(spark: SparkSession, outDir: String,
+                 sourceSchema: StructType, key: String, updates: DataFrame,
+                 partitions: Int, blockSize: Int = 4096,
+                 batchId: Long = -1L): (Long, Long) = {
+    require(updates.columns.toSet == sourceSchema.fieldNames.toSet,
+      s"mergeByKey updates schema ${updates.columns.sorted.mkString(",")} != " +
+      s"table schema ${sourceSchema.fieldNames.sorted.mkString(",")}")
+    require(updates.groupBy(col(key)).count().filter(col("count") > 1).isEmpty,
+      s"mergeByKey updates must be unique by '$key'")
+    requireNoLiveDeletes(spark, outDir, "mergeByKey")
+    val t0 = System.currentTimeMillis()
+    val meta = readMeta(spark, outDir)
+    val hasGen = meta.columns.contains("gen")
+    val bid = if (batchId >= 0) batchId
+      else if (!meta.columns.contains("batch_id")) 0L
+      else meta.agg(max(coalesce(col("batch_id"), lit(-1L)))).head().getLong(0) + 1
+    if (meta.columns.contains("batch_id") &&
+        !meta.filter(col("batch_id") === bid).isEmpty) return (0L, 0L)
+    val dicts = (try loadDicts(spark, outDir)
+                 catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
+    def decoded() = decode(readData(spark, outDir), sourceSchema,
+      if (dicts.isEmpty) None else Some(dicts), keepPart = true)
+    val upKeys = updates.select(col(key)).distinct()
+    val byPart = decoded().join(upKeys, Seq(key), "left_semi")
+      .groupBy(col("__part")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val nReplaced = byPart.map(_._2).sum
+    val matchedKeys =
+      if (byPart.isEmpty) 0L
+      else upKeys.join(decoded().select(col(key)), Seq(key), "left_semi").count()
+    if (byPart.nonEmpty) {
+      val cands = byPart.map(_._1).toSeq.sorted
+      requireFileTracked(meta, cands, "mergeByKey")
+      val nextGen = 1 + (if (hasGen)
+        meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+      val survivors = decoded()
+        .filter(col("__part").isin(cands: _*))
+        .join(upKeys, Seq(key), "left_anti")
+        // anti-join reorders the lead column; restore canonical order
+        .select(col("__part") +: sourceSchema.fieldNames.toSeq.map(col): _*)
+        .persist()
+      val liveParts = survivors.select("__part").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val fullParts = cands.filterNot(liveParts.toSet)
+      val newRows = if (liveParts.isEmpty) None else {
+        val encOut = encode(survivors, key, math.max(1, liveParts.length),
+          blockSize, partExpr = Some(col("__part")))
+        Some(landAndDescribe(spark, outDir, sourceSchema, encOut, liveParts, t0)
+          .withColumn("gen", lit(nextGen)))
+      }
+      val tombstones = tombstoneRows(meta, fullParts, nextGen, t0)
+      val manifest = (newRows, tombstones) match {
+        case (Some(a), Some(b)) => Some(a.unionByName(b, allowMissingColumns = true))
+        case (a, b)             => a.orElse(b)
+      }
+      manifest.foreach(_.write.mode("append").parquet(s"$outDir/meta"))
+      survivors.unpersist()
+    }
+    appendCommit(updates.select(sourceSchema.fieldNames.map(col).toSeq: _*),
+      key, outDir, partitions, blockSize, bid)
+    (nReplaced, updates.count() - matchedKeys)
   }
 
   // ------------- merge-on-read positional deletes (Iceberg v3 DVs) -------------
