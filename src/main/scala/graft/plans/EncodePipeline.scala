@@ -947,8 +947,13 @@ object EncodePipeline {
     val hasGen = meta.columns.contains("gen")
     val dicts = (try loadDicts(spark, outDir)
                  catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
-    def decoded() = decode(readData(spark, outDir), sourceSchema,
-      if (dicts.isEmpty) None else Some(dicts), keepPart = true)
+    // `parts` scopes the ENCODED read so parquet partition pruning keeps
+    // the rewrite pass from decoding untouched parts (a filter after decode
+    // sits above the RDD boundary and prunes nothing)
+    def decoded(parts: Seq[Int] = Nil) = decode(
+      (if (parts.isEmpty) readData(spark, outDir)
+       else readData(spark, outDir).filter(col("__part").isin(parts: _*))),
+      sourceSchema, if (dicts.isEmpty) None else Some(dicts), keepPart = true)
     val hit = coalesce(pred, lit(false))
     val byPart = decoded().groupBy(col("__part"))
       .agg(sum(hit.cast("long")).as("n_del"), count(lit(1)).as("n_all"))
@@ -963,7 +968,7 @@ object EncodePipeline {
     val fullParts = byPart.filter(t => t._2 == t._3).map(_._1).toSeq.sorted
     val liveParts = cands.filterNot(fullParts.toSet)
     val newRows = if (liveParts.isEmpty) None else {
-      val survivors = decoded().filter(col("__part").isin(liveParts: _*) && !hit)
+      val survivors = decoded(liveParts).filter(!hit)
       val encOut = encode(survivors, key, math.max(1, liveParts.length),
         blockSize, partExpr = Some(col("__part")))
       Some(landAndDescribe(spark, outDir, sourceSchema, encOut, liveParts, t0)
@@ -1031,8 +1036,13 @@ object EncodePipeline {
     val hasGen = meta.columns.contains("gen")
     val dicts = (try loadDicts(spark, outDir)
                  catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
-    def decoded() = decode(readData(spark, outDir), sourceSchema,
-      if (dicts.isEmpty) None else Some(dicts), keepPart = true)
+    // `parts` scopes the ENCODED read so parquet partition pruning keeps
+    // the rewrite pass from decoding untouched parts (a filter after decode
+    // sits above the RDD boundary and prunes nothing)
+    def decoded(parts: Seq[Int] = Nil) = decode(
+      (if (parts.isEmpty) readData(spark, outDir)
+       else readData(spark, outDir).filter(col("__part").isin(parts: _*))),
+      sourceSchema, if (dicts.isEmpty) None else Some(dicts), keepPart = true)
     val hit = coalesce(pred, lit(false))
     val byPart = decoded().groupBy(col("__part"))
       .agg(sum(hit.cast("long")).as("n_upd"))
@@ -1043,8 +1053,7 @@ object EncodePipeline {
     requireFileTracked(meta, cands, "updateWhere")
     val nextGen = 1 + (if (hasGen)
       meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
-    val rewritten = decoded()
-      .filter(col("__part").isin(cands: _*))
+    val rewritten = decoded(cands)
       .select(col("__part") +: sourceSchema.fields.toSeq.map { f =>
         set.get(f.name) match {
           case Some(v) => when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
@@ -1103,23 +1112,31 @@ object EncodePipeline {
         !meta.filter(col("batch_id") === bid).isEmpty) return (0L, 0L)
     val dicts = (try loadDicts(spark, outDir)
                  catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
-    def decoded() = decode(readData(spark, outDir), sourceSchema,
-      if (dicts.isEmpty) None else Some(dicts), keepPart = true)
-    val upKeys = updates.select(col(key)).distinct()
+    // `parts` scopes the ENCODED read so parquet partition pruning keeps
+    // the rewrite pass from decoding untouched parts (a filter after decode
+    // sits above the RDD boundary and prunes nothing)
+    def decoded(parts: Seq[Int] = Nil) = decode(
+      (if (parts.isEmpty) readData(spark, outDir)
+       else readData(spark, outDir).filter(col("__part").isin(parts: _*))),
+      sourceSchema, if (dicts.isEmpty) None else Some(dicts), keepPart = true)
+    val nUp = updates.count()
+    // the common merge is updates ≪ table: broadcast the key set so the
+    // probe and rewrite joins never shuffle the decoded table on key
+    val upKeys0 = updates.select(col(key)).distinct()
+    val upKeys = if (nUp <= 500000) broadcast(upKeys0) else upKeys0
     val byPart = decoded().join(upKeys, Seq(key), "left_semi")
       .groupBy(col("__part")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val nReplaced = byPart.map(_._2).sum
+    val cands = byPart.map(_._1).toSeq.sorted
     val matchedKeys =
       if (byPart.isEmpty) 0L
-      else upKeys.join(decoded().select(col(key)), Seq(key), "left_semi").count()
+      else upKeys.join(decoded(cands).select(col(key)), Seq(key), "left_semi").count()
     if (byPart.nonEmpty) {
-      val cands = byPart.map(_._1).toSeq.sorted
       requireFileTracked(meta, cands, "mergeByKey")
       val nextGen = 1 + (if (hasGen)
         meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
-      val survivors = decoded()
-        .filter(col("__part").isin(cands: _*))
+      val survivors = decoded(cands)
         .join(upKeys, Seq(key), "left_anti")
         // anti-join reorders the lead column; restore canonical order
         .select(col("__part") +: sourceSchema.fieldNames.toSeq.map(col): _*)
@@ -1143,7 +1160,7 @@ object EncodePipeline {
     }
     appendCommit(updates.select(sourceSchema.fieldNames.map(col).toSeq: _*),
       key, outDir, partitions, blockSize, bid)
-    (nReplaced, updates.count() - matchedKeys)
+    (nReplaced, nUp - matchedKeys)
   }
 
   // ------------- merge-on-read positional deletes (Iceberg v3 DVs) -------------
@@ -1264,10 +1281,12 @@ object EncodePipeline {
     require(cands.nonEmpty, "live delete vectors but no owning parts — corrupt manifest?")
     val dicts = (try loadDicts(spark, outDir)
                  catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
-    val survivors = decodeEx(readDataKeepFile(spark, outDir), sourceSchema,
-        if (dicts.isEmpty) None else Some(dicts),
+    // scope the ENCODED read to the owning parts: partition pruning keeps
+    // the fold from decoding untouched parts
+    val survivors = decodeEx(
+        readDataKeepFile(spark, outDir).filter(col("__part").isin(cands: _*)),
+        sourceSchema, if (dicts.isEmpty) None else Some(dicts),
         keepPart = true, lineage = false, dv)
-      .filter(col("__part").isin(cands: _*))
       .persist()
     val liveParts = survivors.select("__part").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
