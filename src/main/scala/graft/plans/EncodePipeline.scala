@@ -1178,7 +1178,14 @@ object EncodePipeline {
     * predicates keep the row (SQL 3VL). NOTE: encoded-domain probes
     * (blob_count_*, manifest pruning) describe the stored blocks and do not
     * subtract vectors — materialize before relying on them for exact
-    * counts. Returns the number of newly deleted rows. */
+    * counts.
+    *
+    * Each delete COMMITS A SNAPSHOT: the vectors are tagged with the next
+    * generation and a zero-file marker row advances the manifest, so
+    * [[decodeSharedAt]] can time-travel through merge-on-read history the
+    * way [[readDataAt]] does through rewrites (Iceberg: every delete file
+    * belongs to a sequence-numbered snapshot). Returns the number of newly
+    * deleted rows. */
   def deleteWhereLazy(spark: SparkSession, outDir: String,
                       sourceSchema: StructType, pred: Column): Long = {
     val dicts = (try loadDicts(spark, outDir)
@@ -1201,9 +1208,33 @@ object EncodePipeline {
     }.toDF("file", "block", "bitmap", "n")
       .persist()
     val nDel = dv.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-    if (nDel > 0) dv.drop("n").write.mode("append").parquet(s"$outDir/deletes")
+    if (nDel > 0) {
+      val meta = readMeta(spark, outDir)
+      val nextGen = 1 + (if (meta.columns.contains("gen"))
+        meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+      dv.drop("n").withColumn("gen", lit(nextGen))
+        .write.mode("append").parquet(s"$outDir/deletes")
+      genMarker(spark, nextGen).write.mode("append").parquet(s"$outDir/meta")
+    }
     dv.unpersist()
     nDel
+  }
+
+  /** one zero-file manifest row that advances the table generation without
+    * touching data — the snapshot marker a merge-on-read delete commits so
+    * its vectors are time-travel-addressable. Part -1 never matches data;
+    * the empty file list keeps every reader, vacuum, and compaction
+    * indifferent to it. */
+  private def genMarker(spark: SparkSession, nextGen: Int): DataFrame = {
+    import spark.implicits._
+    Seq((-1, "__dv_marker", 0L, 0L, 0L, 0L))
+      .toDF("__part", "column", "rows", "blocks", "raw_bytes", "encoded_bytes")
+      .withColumn("codecs", array().cast("array<string>"))
+      .withColumn("data_files", array().cast("array<string>"))
+      .withColumn("wave", lit(-1))
+      .withColumn("wall_millis", lit(0L))
+      .withColumn("attempt", lit(1))
+      .withColumn("gen", lit(nextGen))
   }
 
   /** OR-merged position-delete bitmaps currently on disk, keyed by
@@ -1211,12 +1242,21 @@ object EncodePipeline {
     * map is ∝ deleted-row count (bitmaps exist only for touched blocks,
     * ≤ blockSize/8 bytes each), safe to hold on the driver and broadcast —
     * the same shape Iceberg brings delete files into task memory. */
-  def loadDeletes(spark: SparkSession, outDir: String): Map[(String, Int), Array[Byte]] = {
+  def loadDeletes(spark: SparkSession, outDir: String): Map[(String, Int), Array[Byte]] =
+    loadDeletes(spark, outDir, Int.MaxValue)
+
+  /** `maxGen` scopes time travel: only vectors committed at generations
+    * ≤ maxGen apply (vectors written before gen tagging read as gen 0) */
+  def loadDeletes(spark: SparkSession, outDir: String,
+                  maxGen: Int): Map[(String, Int), Array[Byte]] = {
     val p = new org.apache.hadoop.fs.Path(s"$outDir/deletes")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Map.empty
-    spark.read.parquet(s"$outDir/deletes")
-      .select("file", "block", "bitmap").collect()
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/deletes")
+    val scoped =
+      if (!raw.columns.contains("gen")) raw
+      else raw.filter(coalesce(col("gen"), lit(0)) <= maxGen)
+    scoped.select("file", "block", "bitmap").collect()
       .groupBy(r => (r.getString(0), r.getInt(1)))
       .map { case (k, rows) =>
         k -> rows.map(_.getAs[Array[Byte]](2)).reduce(orBitmaps)
@@ -1503,6 +1543,24 @@ object EncodePipeline {
     val deletes = loadDeletes(spark, outDir)
     val rd = if (deletes.isEmpty) readData(spark, outDir)
              else readDataKeepFile(spark, outDir)
+    decodeEx(rd, sourceSchema,
+      if (dicts.isEmpty) None else Some(dicts),
+      keepPart = false, lineage = false, deletes)
+  }
+
+  /** snapshot read honoring merge-on-read history: the table as of
+    * generation `gen` — per-part files of the highest generation ≤ gen
+    * ([[readDataAt]]) MINUS the delete vectors committed at generations
+    * ≤ gen. [[materializeDeletes]] expires vector history like vacuum
+    * expires file history. */
+  def decodeSharedAt(spark: SparkSession, outDir: String,
+                     sourceSchema: StructType, gen: Int): DataFrame = {
+    val dicts =
+      try loadDicts(spark, outDir)
+      catch { case _: Exception => Map.empty[Long, Codecs.DictTable] }
+    val deletes = loadDeletes(spark, outDir, gen)
+    val rd = readDataWithMeta(spark, outDir, readMetaAt(spark, outDir, Some(gen)),
+      keepFile = deletes.nonEmpty)
     decodeEx(rd, sourceSchema,
       if (dicts.isEmpty) None else Some(dicts),
       keepPart = false, lineage = false, deletes)

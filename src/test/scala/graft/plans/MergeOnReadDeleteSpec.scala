@@ -114,6 +114,30 @@ class MergeOnReadDeleteSpec extends SparkTestBase {
     assert(sortedRows(EncodePipeline.decodeShared(spark, out, docs.schema)) === expect)
   }
 
+  test("merge-on-read deletes are snapshots: decodeSharedAt travels through them") {
+    val docs = WebDocGen.dataset(spark, 300, 4).toDF()
+    val out = tmpDir()
+    EncodePipeline.run(docs, "url", out, partitions = 4, blockSize = 64)
+    val p1 = length(col("text")) % 4 === 1
+    val p2 = col("lang") === "de"
+    assert(EncodePipeline.deleteWhereLazy(spark, out, docs.schema, p1) > 0) // → gen 1
+    assert(EncodePipeline.deleteWhereLazy(spark, out, docs.schema, p2) > 0) // → gen 2
+    val after1 = docs.filter(length(col("text")) % 4 =!= 1)
+    val after2 = after1.filter(col("lang") =!= "de")
+    assert(sortedRows(EncodePipeline.decodeSharedAt(spark, out, docs.schema, 0)) ===
+      sortedRows(docs))
+    assert(sortedRows(EncodePipeline.decodeSharedAt(spark, out, docs.schema, 1)) ===
+      sortedRows(after1))
+    assert(sortedRows(EncodePipeline.decodeSharedAt(spark, out, docs.schema, 2)) ===
+      sortedRows(after2))
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, docs.schema)) ===
+      sortedRows(after2))
+    // materialization expires vector history but keeps the current state
+    assert(EncodePipeline.materializeDeletes(spark, out, docs.schema, "url") > 0)
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, docs.schema)) ===
+      sortedRows(after2))
+  }
+
   test("vectors go inert when their file is superseded; appends are untouched") {
     val docs = WebDocGen.dataset(spark, 400, 4).toDF()
     val out = tmpDir()

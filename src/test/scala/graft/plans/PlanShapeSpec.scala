@@ -34,6 +34,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert("PartitionFilters: \\[[^\\]]*\\(__part#\\d+ = 3\\)".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("DML rewrite reads prune to the affected parts (encoded-read scoping)") {
+    // the rewrite pass of deleteWhere/updateWhere/mergeByKey/
+    // materializeDeletes filters __part on the ENCODED read; the IN must
+    // reach the scan as a partition filter or every rewrite decodes the
+    // whole table
+    val df = EncodePipeline.readData(spark, encDir).filter(col("__part").isin(1, 3))
+    val plan = planOf(df)
+    assert(plan.contains("PartitionFilters") &&
+      "__part#\\d+ IN \\(1,\\s*3\\)".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("manifest planner hook: encoded-domain filters open only surviving part directories") {
     import graft.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_mpr").toFile.getAbsolutePath
