@@ -387,7 +387,17 @@ object EncodePipeline {
           case 's' => StringType
           case _   => BinaryType
         }, nullable = true)))
-    val encSchema = enc.schema
+    // project the encoded frame to exactly what this decode touches —
+    // parquet then skips the OTHER columns' blob bytes entirely, so a
+    // narrow decode (sourceSchema a subset of the table) reads ∝ the
+    // requested columns, and even a full decode drops the r_ stat columns
+    val needed =
+      Seq("__cnt") ++
+      (if (keepPart) Seq("__part") else Nil) ++
+      (if (needFile) Seq("__fname", "__block") else Nil) ++
+      plans.map("e_" + _.name).filter(enc.columns.contains)
+    val encP = enc.select(needed.distinct.map(col): _*)
+    val encSchema = encP.schema
     val partIdx = if (keepPart) encSchema.fieldIndex("__part") else -1
     val fnameIdx = if (needFile) encSchema.fieldIndex("__fname") else -1
     val blockIdx = if (needFile) encSchema.fieldIndex("__block") else -1
@@ -407,7 +417,7 @@ object EncodePipeline {
     val delBc = if (deletes.isEmpty) None
                 else Some(enc.sparkSession.sparkContext.broadcast(deletes))
     val emitLineage = lineage
-    val rdd = Bridge.toRdd(enc).mapPartitions { rows =>
+    val rdd = Bridge.toRdd(encP).mapPartitions { rows =>
       dictsBc.foreach(b => Codecs.registerDicts(b.value))
       val delMap = delBc.map(_.value).orNull
       val nCols = ps.length

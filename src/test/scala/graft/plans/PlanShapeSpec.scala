@@ -45,6 +45,25 @@ class PlanShapeSpec extends SparkTestBase {
       "__part#\\d+ IN \\(1,\\s*3\\)".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("narrow decode reads only the requested columns' blobs") {
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    // scan level: a projection over readData pushes through the manifest
+    // semi-join to the parquet scan — ReadSchema carries e_lang, not e_text
+    val plan = planOf(EncodePipeline.readData(spark, encDir).select("__cnt", "e_lang"))
+    assert(plan.contains("e_lang") && !plan.contains("e_text"), plan)
+    // decode level: decodeEx projects to the needed blobs BEFORE the RDD
+    // boundary — poison another column's blob and a narrow decode must
+    // never evaluate it, while a decode that needs it must fail
+    val narrow = StructType(Seq(StructField("lang", StringType)))
+    val textOnly = StructType(Seq(StructField("text", StringType)))
+    val poisoned = EncodePipeline.readData(spark, encDir)
+      .withColumn("e_text", lit(Array[Byte](1, 2, 3)))
+    assert(EncodePipeline.decode(poisoned, narrow).count() > 0)
+    intercept[org.apache.spark.SparkException] {
+      EncodePipeline.decode(poisoned, textOnly).count()
+    }
+  }
+
   test("manifest planner hook: encoded-domain filters open only surviving part directories") {
     import graft.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_mpr").toFile.getAbsolutePath
