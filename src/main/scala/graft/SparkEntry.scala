@@ -352,6 +352,40 @@ object SparkEntry {
         lit(nDel).cast("long").as("n_deleted"),
         lit(ttRows == nAll && removed > 0).as("tt_ok"))
     }),
+    "q_update_lazy" -> ((s, dir) => {
+      // merge-on-read row-level UPDATE end-to-end: updated versions of the
+      // matching rows (doc_id%17==0 gets a NULL pred and stays unchanged —
+      // 3VL) land as a tracked append, originals become position-delete
+      // vectors; zero_rewrite pins every PRE-EXISTING data file
+      // byte-identical. Oracle recomputes the updated table in DuckDB.
+      val d = tbl(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_morupd_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath
+      EncodePipeline.run(d, "doc_id", path, partitions = 8, blockSize = 1024)
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$path/data"))
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .map(f => f.getAbsolutePath -> f.length()).toMap
+      }
+      val before = files()
+      val pred = when(col("doc_id") % 17 === 0, lit(null).cast("boolean"))
+        .otherwise(col("doc_id") % 4 === 2)
+      val nUpd = EncodePipeline.updateWhereLazy(s, path, d.schema, "doc_id", pred,
+        Map("lang" -> lit("yy"), "n_chars" -> (col("n_chars") + 250L)),
+        partitions = 8, blockSize = 1024)
+      val after = files()
+      val zeroRewrite = before.forall { case (f, len) => after.get(f).contains(len) }
+      EncodePipeline.decodeShared(s, path, d.schema)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .withColumn("n_updated", lit(nUpd).cast("long"))
+        .withColumn("zero_rewrite", lit(zeroRewrite))
+        .orderBy(col("lang"))
+    }),
     "q_merge" -> ((s, dir) => {
       // MERGE INTO by key (upsert) end-to-end: doc_id%10==4 rows are
       // REPLACED (lang→'xx', n_chars+500), doc_id%25==7 rows re-key to
@@ -923,6 +957,16 @@ object SparkEntry {
         "WHERE doc_id % 11 <> 0 AND doc_id % 7 = 2) AS n_deleted, " +
         "TRUE AS tt_ok FROM documents " +
         "WHERE NOT (doc_id % 11 <> 0 AND doc_id % 7 = 2)"),
+    "q_update_lazy" ->
+      ("WITH u AS (SELECT doc_id, " +
+        "CASE WHEN doc_id % 17 <> 0 AND doc_id % 4 = 2 THEN 'yy' ELSE lang END AS lang, " +
+        "CASE WHEN doc_id % 17 <> 0 AND doc_id % 4 = 2 THEN n_chars + 250 ELSE n_chars END AS n_chars " +
+        "FROM documents) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM documents " +
+        "WHERE doc_id % 17 <> 0 AND doc_id % 4 = 2) AS n_updated, " +
+        "TRUE AS zero_rewrite FROM u GROUP BY lang ORDER BY lang"),
     "q_merge" ->
       ("WITH merged AS (" +
         "SELECT * FROM documents WHERE doc_id % 10 <> 4 " +

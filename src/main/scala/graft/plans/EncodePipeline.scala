@@ -1197,14 +1197,24 @@ object EncodePipeline {
     * belongs to a sequence-numbered snapshot). Returns the number of newly
     * deleted rows. */
   def deleteWhereLazy(spark: SparkSession, outDir: String,
-                      sourceSchema: StructType, pred: Column): Long = {
+                      sourceSchema: StructType, pred: Column): Long =
+    deleteWhereLazy(spark, outDir, sourceSchema, pred, Set.empty)
+
+  /** `excludeFiles` ("__part=p/name" ids) are exempt from this delete —
+    * [[updateWhereLazy]] uses it to keep the predicate off the data files
+    * its own append just committed. */
+  def deleteWhereLazy(spark: SparkSession, outDir: String,
+                      sourceSchema: StructType, pred: Column,
+                      excludeFiles: Set[String]): Long = {
     val dicts = (try loadDicts(spark, outDir)
                  catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
     val existing = loadDeletes(spark, outDir)
     val dec = decodeEx(readDataKeepFile(spark, outDir), sourceSchema,
       if (dicts.isEmpty) None else Some(dicts),
       keepPart = false, lineage = true, existing)
-    val hits = dec.filter(coalesce(pred, lit(false)))
+    val hits = dec.filter(coalesce(pred, lit(false)) &&
+        (if (excludeFiles.isEmpty) lit(true)
+         else !col("__file").isin(excludeFiles.toSeq: _*)))
       .select(col("__file"), col("__block"), col("__pos"))
     val perBlock = hits
       .groupBy(col("__file").as("file"), col("__block").as("block"))
@@ -1228,6 +1238,53 @@ object EncodePipeline {
     }
     dv.unpersist()
     nDel
+  }
+
+  /** merge-on-read row-level UPDATE: the updated versions of the matching
+    * rows APPEND as a tracked batch (assignments follow [[updateWhere]]'s
+    * contract — cast to declared types, free to reference the old row, the
+    * partitioning key not assignable), then the originals are vector-
+    * deleted ([[deleteWhereLazy]]) with the fresh batch's files exempted —
+    * ZERO existing data bytes rewritten. Idempotent by `batchId` (default:
+    * next after the manifest's highest): the append replays its detection
+    * and a re-run's delete finds the originals already gone. NOT an atomic
+    * snapshot: between the two commits a reader sees both versions (the
+    * append lands first so a crash never loses rows); Iceberg closes this
+    * window with a single snapshot commit, here it is documented. Returns
+    * the number of rows updated. */
+  def updateWhereLazy(spark: SparkSession, outDir: String,
+                      sourceSchema: StructType, key: String, pred: Column,
+                      set: Map[String, Column], partitions: Int,
+                      blockSize: Int = 4096, batchId: Long = -1L): Long = {
+    require(set.nonEmpty, "updateWhereLazy needs at least one assignment")
+    require(!set.contains(key),
+      s"updateWhereLazy cannot assign the partitioning key '$key'")
+    val badCols = set.keySet.diff(sourceSchema.fieldNames.toSet)
+    require(badCols.isEmpty,
+      s"updateWhereLazy assigns unknown columns: ${badCols.mkString(", ")}")
+    val meta0 = readMeta(spark, outDir)
+    val bid = if (batchId >= 0) batchId
+      else if (!meta0.columns.contains("batch_id")) 0L
+      else meta0.agg(max(coalesce(col("batch_id"), lit(-1L)))).head().getLong(0) + 1
+    val hit = coalesce(pred, lit(false))
+    val updated = decodeShared(spark, outDir, sourceSchema)
+      .filter(hit)
+      .select(sourceSchema.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(v) => v.cast(f.dataType).as(f.name)
+          case None    => col(f.name)
+        }
+      }: _*)
+    appendCommit(updated, key, outDir, partitions, blockSize, bid)
+    // the batch's own files (manifest rows with this batch_id) are exempt:
+    // un-reassigned columns can still satisfy the predicate on fresh rows
+    val meta1 = readMeta(spark, outDir)
+    val fresh: Set[String] =
+      if (!meta1.columns.contains("batch_id")) Set.empty
+      else meta1.filter(col("batch_id") === bid && col("data_files").isNotNull)
+        .select(explode(col("data_files")).as("f")).distinct()
+        .collect().map(r => fileSuffix(r.getString(0))).toSet
+    deleteWhereLazy(spark, outDir, sourceSchema, pred, fresh)
   }
 
   /** one zero-file manifest row that advances the table generation without

@@ -138,6 +138,37 @@ class MergeOnReadDeleteSpec extends SparkTestBase {
       sortedRows(after2))
   }
 
+  test("merge-on-read update: updated rows append, originals vector-delete, zero rewrite") {
+    val docs = WebDocGen.dataset(spark, 400, 4).toDF()
+      .withColumn("lang", when(length(col("text")) % 5 === 0, lit(null)).otherwise(col("lang")))
+    val out = tmpDir()
+    EncodePipeline.run(docs, "url", out, partitions = 4, blockSize = 64)
+    val before = dataFiles(out)
+    // pred NULL on null-lang rows (3VL: unchanged); assignment sees old row
+    val pred = col("lang") =!= "en"
+    val n = EncodePipeline.updateWhereLazy(spark, out, docs.schema, "url", pred,
+      Map("lang" -> lit("uu"), "text" -> concat(col("text"), lit(" upd"))),
+      partitions = 4, blockSize = 64, batchId = 11L)
+    assert(n === docs.filter(col("lang").isNotNull && col("lang") =!= "en").count())
+    // every pre-existing data file is byte-identical; only new files appended
+    val after = dataFiles(out)
+    before.foreach { case (f, len) => assert(after.get(f).contains(len), f) }
+    assert(after.size > before.size)
+    val expect = sortedRows(docs.select(
+      col("url"), col("warc_ts"), col("html"),
+      when(pred, concat(col("text"), lit(" upd"))).otherwise(col("text")).as("text"),
+      when(pred, lit("uu")).otherwise(col("lang")).as("lang")))
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, docs.schema)) === expect)
+    // replay with the SAME batchId: append no-ops, originals already gone
+    assert(EncodePipeline.updateWhereLazy(spark, out, docs.schema, "url", pred,
+      Map("lang" -> lit("uu"), "text" -> concat(col("text"), lit(" upd"))),
+      partitions = 4, blockSize = 64, batchId = 11L) === 0L)
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, docs.schema)) === expect)
+    // materialization folds the vectors; state unchanged
+    assert(EncodePipeline.materializeDeletes(spark, out, docs.schema, "url") === n)
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, docs.schema)) === expect)
+  }
+
   test("vectors go inert when their file is superseded; appends are untouched") {
     val docs = WebDocGen.dataset(spark, 400, 4).toDF()
     val out = tmpDir()
