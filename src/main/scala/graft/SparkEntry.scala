@@ -331,7 +331,10 @@ object SparkEntry {
       // resolved readers. The oracle recomputes the survivors in DuckDB;
       // n_deleted pins the return count, tt_ok pins that pre-delete time
       // travel saw the full table and vacuum reclaimed files.
-      val d = tbl(s, dir, "documents")
+      // pmod-sampled ~1/8 subset: identical DML semantics without paying
+      // five full-table encodes per correctness sweep (q_null_roundtrip's
+      // pattern); the oracle applies the same doc_id % 8 = 3 filter
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 3)
       val out = java.nio.file.Files.createTempDirectory("graft_delete_q").toFile
       out.deleteOnExit()
       val path = out.getAbsolutePath
@@ -358,7 +361,10 @@ object SparkEntry {
       // 3VL) land as a tracked append, originals become position-delete
       // vectors; zero_rewrite pins every PRE-EXISTING data file
       // byte-identical. Oracle recomputes the updated table in DuckDB.
-      val d = tbl(s, dir, "documents")
+      // pmod-sampled ~1/8 subset: identical DML semantics without paying
+      // five full-table encodes per correctness sweep (q_null_roundtrip's
+      // pattern); the oracle applies the same doc_id % 8 = 3 filter
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 3)
       val out = java.nio.file.Files.createTempDirectory("graft_morupd_q").toFile
       out.deleteOnExit()
       val path = out.getAbsolutePath
@@ -392,7 +398,10 @@ object SparkEntry {
       // doc_id+1000000 and INSERT as a tracked batch append. The oracle
       // recomputes the merged table in DuckDB; n_replaced/n_inserted pin
       // the returned counts.
-      val d = tbl(s, dir, "documents")
+      // pmod-sampled ~1/8 subset: identical DML semantics without paying
+      // five full-table encodes per correctness sweep (q_null_roundtrip's
+      // pattern); the oracle applies the same doc_id % 8 = 3 filter
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 3)
       val out = java.nio.file.Files.createTempDirectory("graft_merge_q").toFile
       out.deleteOnExit()
       val path = out.getAbsolutePath
@@ -420,7 +429,10 @@ object SparkEntry {
       // rewrite that decodes to the same table (mat_ok pins fold count,
       // side-structure removal, and post-fold equality). NULL pred keeps
       // (doc_id%9==0 region). Oracle recomputes survivors in DuckDB.
-      val d = tbl(s, dir, "documents")
+      // pmod-sampled ~1/8 subset: identical DML semantics without paying
+      // five full-table encodes per correctness sweep (q_null_roundtrip's
+      // pattern); the oracle applies the same doc_id % 8 = 3 filter
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 3)
       val out = java.nio.file.Files.createTempDirectory("graft_mor_q").toFile
       out.deleteOnExit()
       val path = out.getAbsolutePath
@@ -458,7 +470,10 @@ object SparkEntry {
       // the old row (n_chars + 1000), vacuum, decode. The oracle recomputes
       // the updated table in DuckDB; n_updated pins the return count and
       // tt_ok pins pre-update time travel + file reclamation.
-      val d = tbl(s, dir, "documents")
+      // pmod-sampled ~1/8 subset: identical DML semantics without paying
+      // five full-table encodes per correctness sweep (q_null_roundtrip's
+      // pattern); the oracle applies the same doc_id % 8 = 3 filter
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 3)
       val out = java.nio.file.Files.createTempDirectory("graft_update_q").toFile
       out.deleteOnExit()
       val path = out.getAbsolutePath
@@ -950,51 +965,56 @@ object SparkEntry {
         "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id, " +
         "TRUE AS packed FROM documents"),
     "q_delete" ->
-      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM documents " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s " +
         "WHERE doc_id % 11 <> 0 AND doc_id % 7 = 2) AS n_deleted, " +
-        "TRUE AS tt_ok FROM documents " +
+        "TRUE AS tt_ok FROM s " +
         "WHERE NOT (doc_id % 11 <> 0 AND doc_id % 7 = 2)"),
     "q_update_lazy" ->
-      ("WITH u AS (SELECT doc_id, " +
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
+        "u AS (SELECT doc_id, " +
         "CASE WHEN doc_id % 17 <> 0 AND doc_id % 4 = 2 THEN 'yy' ELSE lang END AS lang, " +
         "CASE WHEN doc_id % 17 <> 0 AND doc_id % 4 = 2 THEN n_chars + 250 ELSE n_chars END AS n_chars " +
-        "FROM documents) " +
+        "FROM s) " +
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM documents " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s " +
         "WHERE doc_id % 17 <> 0 AND doc_id % 4 = 2) AS n_updated, " +
         "TRUE AS zero_rewrite FROM u GROUP BY lang ORDER BY lang"),
     "q_merge" ->
-      ("WITH merged AS (" +
-        "SELECT * FROM documents WHERE doc_id % 10 <> 4 " +
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
+        "merged AS (" +
+        "SELECT * FROM s WHERE doc_id % 10 <> 4 " +
         "UNION ALL SELECT doc_id, text, 'xx' AS lang, source, n_chars + 500 " +
-        "FROM documents WHERE doc_id % 10 = 4 " +
+        "FROM s WHERE doc_id % 10 = 4 " +
         "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars " +
-        "FROM documents WHERE doc_id % 25 = 7) " +
+        "FROM s WHERE doc_id % 25 = 7) " +
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 10 = 4) AS n_replaced, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 25 = 7) AS n_inserted " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 10 = 4) AS n_replaced, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 25 = 7) AS n_inserted " +
         "FROM merged GROUP BY lang ORDER BY lang"),
     "q_delete_lazy" ->
-      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM documents " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s " +
         "WHERE doc_id % 9 <> 0 AND doc_id % 6 = 3) AS n_deleted, " +
-        "TRUE AS zero_rewrite, TRUE AS mat_ok FROM documents " +
+        "TRUE AS zero_rewrite, TRUE AS mat_ok FROM s " +
         "WHERE NOT (doc_id % 9 <> 0 AND doc_id % 6 = 3)"),
     "q_update" ->
-      ("WITH u AS (SELECT doc_id, " +
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
+        "u AS (SELECT doc_id, " +
         "CASE WHEN doc_id % 13 <> 0 AND doc_id % 5 = 1 THEN 'xx' ELSE lang END AS lang, " +
         "CASE WHEN doc_id % 13 <> 0 AND doc_id % 5 = 1 THEN n_chars + 1000 ELSE n_chars END AS n_chars " +
-        "FROM documents) " +
+        "FROM s) " +
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM documents " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s " +
         "WHERE doc_id % 13 <> 0 AND doc_id % 5 = 1) AS n_updated, " +
         "TRUE AS tt_ok FROM u GROUP BY lang ORDER BY lang"),
     "q_null_roundtrip" ->
