@@ -378,7 +378,7 @@ object SparkEntry {
       }
       val before = files()
       val pred = when(col("doc_id") % 17 === 0, lit(null).cast("boolean"))
-        .otherwise(col("doc_id") % 4 === 2)
+        .otherwise(col("doc_id") % 5 === 2)
       val nUpd = EncodePipeline.updateWhereLazy(s, path, d.schema, "doc_id", pred,
         Map("lang" -> lit("yy"), "n_chars" -> (col("n_chars") + 250L)),
         partitions = 8, blockSize = 1024)
@@ -393,7 +393,7 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
     "q_merge" -> ((s, dir) => {
-      // MERGE INTO by key (upsert) end-to-end: doc_id%10==4 rows are
+      // MERGE INTO by key (upsert) end-to-end: doc_id%10==3 rows are
       // REPLACED (lang→'xx', n_chars+500), doc_id%25==7 rows re-key to
       // doc_id+1000000 and INSERT as a tracked batch append. The oracle
       // recomputes the merged table in DuckDB; n_replaced/n_inserted pin
@@ -406,7 +406,7 @@ object SparkEntry {
       out.deleteOnExit()
       val path = out.getAbsolutePath
       EncodePipeline.run(d, "doc_id", path, partitions = 8, blockSize = 1024)
-      val repl = d.filter(col("doc_id") % 10 === 4)
+      val repl = d.filter(col("doc_id") % 10 === 3)
         .withColumn("lang", lit("xx"))
         .withColumn("n_chars", col("n_chars") + 500L)
       val ins = d.filter(col("doc_id") % 25 === 7)
@@ -976,25 +976,25 @@ object SparkEntry {
     "q_update_lazy" ->
       ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
         "u AS (SELECT doc_id, " +
-        "CASE WHEN doc_id % 17 <> 0 AND doc_id % 4 = 2 THEN 'yy' ELSE lang END AS lang, " +
-        "CASE WHEN doc_id % 17 <> 0 AND doc_id % 4 = 2 THEN n_chars + 250 ELSE n_chars END AS n_chars " +
+        "CASE WHEN doc_id % 17 <> 0 AND doc_id % 5 = 2 THEN 'yy' ELSE lang END AS lang, " +
+        "CASE WHEN doc_id % 17 <> 0 AND doc_id % 5 = 2 THEN n_chars + 250 ELSE n_chars END AS n_chars " +
         "FROM s) " +
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM s " +
-        "WHERE doc_id % 17 <> 0 AND doc_id % 4 = 2) AS n_updated, " +
+        "WHERE doc_id % 17 <> 0 AND doc_id % 5 = 2) AS n_updated, " +
         "TRUE AS zero_rewrite FROM u GROUP BY lang ORDER BY lang"),
     "q_merge" ->
       ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
         "merged AS (" +
-        "SELECT * FROM s WHERE doc_id % 10 <> 4 " +
+        "SELECT * FROM s WHERE doc_id % 10 <> 3 " +
         "UNION ALL SELECT doc_id, text, 'xx' AS lang, source, n_chars + 500 " +
-        "FROM s WHERE doc_id % 10 = 4 " +
+        "FROM s WHERE doc_id % 10 = 3 " +
         "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars " +
         "FROM s WHERE doc_id % 25 = 7) " +
         "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
-        "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 10 = 4) AS n_replaced, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 10 = 3) AS n_replaced, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 25 = 7) AS n_inserted " +
         "FROM merged GROUP BY lang ORDER BY lang"),
     "q_delete_lazy" ->
