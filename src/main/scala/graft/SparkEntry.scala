@@ -262,6 +262,25 @@ object SparkEntry {
         .crossJoin(broadcast(sharedUsed))
         .orderBy(col("source"))
     }),
+    "q_stats_agg" -> ((s, dir) => {
+      // SCAN-FREE aggregates (Iceberg "aggregate over manifests" parity):
+      // encode documents with n_chars nulled on doc_id%7=0, then answer
+      // count(*)/count(col)/nulls/min/max/sum per column ENTIRELY from the
+      // manifest — tableStats opens zero data files (exact value_min/max/
+      // sum/count columns written at encode time). The oracle recomputes
+      // the same aggregates from the raw table; string columns report
+      // counts only (manifest string bounds are truncated — not attained).
+      val d = tbl(s, dir, "documents").withColumn("n_chars",
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars")))
+      val out = java.nio.file.Files.createTempDirectory("graft_stats_q").toFile
+      out.deleteOnExit()
+      EncodePipeline.run(d, "doc_id", out.getAbsolutePath, partitions = 8, blockSize = 1024)
+      EncodePipeline.tableStats(s, out.getAbsolutePath, d.schema)
+        .select(col("column").as("column_name"), col("n_rows"), col("n_values"),
+          col("n_nulls"), col("v_min"), col("v_max"), col("v_sum"))
+        .orderBy(col("column_name"))
+    }),
     "q_compact" -> ((s, dir) => {
       // table-format maintenance end-to-end: write fragmented (under-filled
       // 16-value blocks), COMPACT to full 2048-value blocks (generation-
@@ -953,6 +972,25 @@ object SparkEntry {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "min(lang) AS min_lang, max(lang) AS max_lang, TRUE AS shared_used " +
         "FROM documents GROUP BY source ORDER BY source"),
+    "q_stats_agg" ->
+      ("WITH d AS (SELECT doc_id, text, lang, source, " +
+        "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars FROM documents) " +
+        "SELECT * FROM (" +
+        "SELECT 'doc_id' AS column_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(doc_id) AS BIGINT) AS n_values, " +
+        "CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls, " +
+        "CAST(min(doc_id) AS BIGINT) AS v_min, CAST(max(doc_id) AS BIGINT) AS v_max, " +
+        "CAST(sum(doc_id) AS BIGINT) AS v_sum FROM d " +
+        "UNION ALL SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(lang) AS BIGINT), " +
+        "CAST(count(*) - count(lang) AS BIGINT), NULL, NULL, NULL FROM d " +
+        "UNION ALL SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(n_chars) AS BIGINT), " +
+        "CAST(count(*) - count(n_chars) AS BIGINT), CAST(min(n_chars) AS BIGINT), " +
+        "CAST(max(n_chars) AS BIGINT), CAST(sum(n_chars) AS BIGINT) FROM d " +
+        "UNION ALL SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(source) AS BIGINT), " +
+        "CAST(count(*) - count(source) AS BIGINT), NULL, NULL, NULL FROM d " +
+        "UNION ALL SELECT 'text', CAST(count(*) AS BIGINT), CAST(count(text) AS BIGINT), " +
+        "CAST(count(*) - count(text) AS BIGINT), NULL, NULL, NULL FROM d" +
+        ") ORDER BY column_name"),
     "q_compact" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +

@@ -1605,6 +1605,32 @@ object Codecs {
     }
   }
 
+  /** EXACT per-block statistics of a long blob: attained min, attained max,
+    * 64-bit-wrapping sum, and non-null count — null for an all-null/empty
+    * block. Unlike [[rangeOfLong]] (header-derived REPRESENTABLE bounds —
+    * cheap and sound for zone-map pruning, but `hi` need not be attained by
+    * any value), these decode the payload once and report attained values:
+    * the manifest columns that serve min/max/sum/count aggregates without
+    * opening data files (Iceberg-style scan-free aggregation). Paid once at
+    * encode time, where the block is hot anyway. */
+  final case class BlobStats(min: Long, max: Long, sum: Long, count: Long)
+
+  def statsOfLong(blob: Array[Byte]): BlobStats = {
+    val (vs, nulls) = decodeLongsN(blob)
+    var mn = Long.MaxValue; var mx = Long.MinValue; var s = 0L; var c = 0L
+    var i = 0
+    while (i < vs.length) {
+      if (nulls == null || !nulls(i)) {
+        val v = vs(i)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        s += v; c += 1L
+      }
+      i += 1
+    }
+    if (c == 0L) null else BlobStats(mn, mx, s, c)
+  }
+
   /** truncated lower bound: truncation only lowers, so a plain prefix stays
     * a valid lower bound (Iceberg manifest truncate(L, lower_bound)) */
   private def truncLo(v: Array[Byte], trunc: Int): Array[Byte] =

@@ -482,6 +482,35 @@ case class BlobRange(child: Expression)
     copy(child = newChild)
 }
 
+/** EXACT attained statistics of a long blob — struct(min, max, sum, cnt),
+  * null for an all-null block. The companion of [[BlobRange]]: blob_range is
+  * the header-derived REPRESENTABLE range (cheap, prune-sound, hi not
+  * necessarily attained); blob_stats decodes once and reports attained
+  * min/max plus the wrapping 64-bit sum and non-null count — what the
+  * manifest's scan-free aggregate columns (value_min/value_max/value_sum)
+  * are built from at encode time. */
+case class BlobStatsLong(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("min", LongType, nullable = false),
+    StructField("max", LongType, nullable = false),
+    StructField("sum", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "blob_stats"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == BinaryType,
+      s"blob_stats expects binary blob, got ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any = {
+    val s = Codecs.statsOfLong(input.asInstanceOf[Array[Byte]])
+    if (s == null) null
+    else org.apache.spark.sql.catalyst.InternalRow(s.min, s.max, s.sum, s.count)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BlobStatsLong =
+    copy(child = newChild)
+}
+
 /** truncated [lo, hi] byte-string bounds of a string blob — the string
   * counterpart of blob_range (Iceberg manifest string lower_bound /
   * upper_bound, 16-byte truncation: lo a plain prefix, hi incremented to

@@ -34,6 +34,7 @@ package object functions {
   def blob_contains_between(blob: Column, lo: Column, hi: Column): Column =
     toCol(BlobContainsBetween(toExpr(blob), toExpr(lo), toExpr(hi)))
   def blob_range(blob: Column): Column = toCol(BlobRange(toExpr(blob)))
+  def blob_stats(blob: Column): Column = toCol(BlobStatsLong(toExpr(blob)))
   def blob_range_str(blob: Column): Column = toCol(BlobRangeStr(toExpr(blob)))
   def blob_null_count(blob: Column): Column = toCol(BlobNullCount(toExpr(blob)))
   /** Count of encoded string values in [lo, hi]. A NULL bound is UNBOUNDED

@@ -505,10 +505,15 @@ object EncodePipeline {
     val plans = plan(sourceSchema)
     val nullRange = lit(null).cast("struct<lo:bigint,hi:bigint>")
     val nullRangeS = lit(null).cast("struct<lo:binary,hi:binary>")
+    val nullStats = lit(null).cast("struct<min:bigint,max:bigint,sum:bigint,cnt:bigint>")
     val perCol = plans.map { p =>
       struct(lit(p.name).as("column"), col("e_" + p.name).as("blob"), col("r_" + p.name).as("raw"),
         (if (p.kind == 'l') blob_range(col("e_" + p.name)) else nullRange).as("rng"),
         (if (p.kind != 'l') blob_range_str(col("e_" + p.name)) else nullRangeS).as("rng_s"),
+        // EXACT attained stats (long-kind only): the scan-free aggregate
+        // columns. blob_range stays the pruning zone map (representable
+        // bounds, era-stable semantics); these serve min/max/sum/count.
+        (if (p.kind == 'l') blob_stats(col("e_" + p.name)) else nullStats).as("st"),
         blob_null_count(col("e_" + p.name)).as("nulls"))
     }
     // string upper bounds: a null block hi (upper-truncation impossible)
@@ -525,6 +530,10 @@ object EncodePipeline {
         sort_array(collect_set(blob_codec(col("c.blob")))).as("codecs"),
         min(col("c.rng.lo")).as("value_lo"),
         max(col("c.rng.hi")).as("value_hi"),
+        min(col("c.st.min")).as("value_min"),
+        max(col("c.st.max")).as("value_max"),
+        sum(col("c.st.sum")).as("value_sum"),
+        sum(col("c.st.cnt")).as("value_count"),
         min(col("c.rng_s.lo")).as("str_lo"),
         when(hiUnbounded, lit(null).cast(BinaryType)).otherwise(max(col("c.rng_s.hi"))).as("str_hi"),
         // Iceberg null_value_counts parity: exact per-(part, column) null
@@ -597,6 +606,7 @@ object EncodePipeline {
         .write.mode("append").parquet(s"$outDir/meta")
       w += 1
     }
+    writeSchemaFile(spark, outDir, df.schema)
   }
 
   /** read back the committed blocks — exactly the data files the manifest
@@ -727,6 +737,7 @@ object EncodePipeline {
         .drop("__curgen")
     }
     rows.write.mode("append").parquet(s"$outDir/meta")
+    writeSchemaFile(spark, outDir, df.schema)
     true
   }
 
@@ -1454,10 +1465,75 @@ object EncodePipeline {
   /** "__part=3/part-xyz.parquet" suffix of a recorded file URI/path — the
     * normalization that survives file:/ vs file:/// scheme differences
     * between input_file_name() and Hadoop FileSystem listings */
-  private def fileSuffix(uri: String): String = {
+  private[graft] def fileSuffix(uri: String): String = {
     val i = uri.lastIndexOf("/data/")
     if (i >= 0) uri.substring(i + 6) else uri
   }
+
+  /** the table's CURRENT data files as (part, absolute path) — generation-
+    * resolved via [[readMetaAt]]: tracked commits contribute exactly their
+    * recorded file lists (orphans invisible), pre-file-tracking parts
+    * contribute their whole directory, mirroring the scanParts read path.
+    * The `format("graft")` connector plans one input partition per entry. */
+  def currentFiles(spark: SparkSession, outDir: String,
+                   gen: Option[Int] = None): Seq[(Int, String)] = {
+    val meta = readMetaAt(spark, outDir, gen)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def listPartDir(p: Int): Seq[(Int, String)] = {
+      val dir = new org.apache.hadoop.fs.Path(s"$outDir/data/__part=$p")
+      val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) Nil
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(s => p -> s.getPath.toString)
+    }
+    val out: Seq[(Int, String)] =
+      if (!meta.columns.contains("data_files")) {
+        meta.select("__part").distinct().collect().toSeq
+          .flatMap(r => listPartDir(r.getInt(0)))
+      } else {
+        val tracked = meta.filter(col("data_files").isNotNull)
+          .select(col("__part"), explode(col("data_files")).as("f")).distinct()
+          .collect().toSeq.map(r => (r.getInt(0), r.getString(1)))
+        val untracked = meta.filter(col("data_files").isNull)
+          .select("__part").distinct().collect().toSeq
+          .flatMap(r => listPartDir(r.getInt(0)))
+        tracked ++ untracked
+      }
+    // defensive dedupe by suffix (a dir-listed file that is also tracked
+    // must plan once). NB: .values first — mapping the Map to (part, path)
+    // tuples would re-key by part id and collapse to one file per part.
+    out.groupBy { case (_, f) => fileSuffix(f) }.values.map(_.head).toSeq.sortBy(_._2)
+  }
+
+  /** persist the decoded (source) schema at the table root so
+    * `format("graft")` reads are self-describing. Idempotent; the LAST
+    * writer's schema wins (by-name decode handles both directions of
+    * schema evolution). Advisory: readers can always pass a schema. */
+  private[graft] def writeSchemaFile(spark: SparkSession, outDir: String,
+                                     schema: StructType): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/schema.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val o = fs.create(p, true)
+      o.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      o.close()
+    } catch { case _: Exception => }
+
+  /** the persisted decoded schema, if this table recorded one */
+  def readSchemaFile(spark: SparkSession, outDir: String): Option[StructType] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/schema.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+        in.close()
+        Some(DataType.fromJson(new String(bytes,
+          java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType])
+      }
+    } catch { case _: Exception => None }
 
   /** block-stream re-blocker: consumes (__part, __block)-sorted encoded
     * block rows, concatenates each part's decoded values in block order
@@ -1637,10 +1713,10 @@ object EncodePipeline {
     * pre-upgrade directory holds meta files missing the newer columns
     * (data_files/str_lo/...); without mergeSchema the read schema would be
     * file-order dependent and newer columns could vanish entirely. */
-  private def readMeta(spark: SparkSession, outDir: String): DataFrame =
+  private[graft] def readMeta(spark: SparkSession, outDir: String): DataFrame =
     readMetaAt(spark, outDir, None)
 
-  private def readMetaAt(spark: SparkSession, outDir: String,
+  private[graft] def readMetaAt(spark: SparkSession, outDir: String,
                          upTo: Option[Int]): DataFrame = {
     val m = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
     if (!m.columns.contains("gen")) return m // never compacted: zero overhead
@@ -1817,6 +1893,80 @@ object EncodePipeline {
   def survivingPartsIsNull(spark: SparkSession, outDir: String, column: String): Array[Int] = {
     val meta = readMeta(spark, outDir)
     isNullSurvivors(meta, column).collect().map(_.getInt(0)).sorted
+  }
+
+  /** Scan-free table statistics served ENTIRELY from the manifest — no data
+    * file is opened (the Iceberg "aggregate over manifests" pattern). One
+    * row per column of `sourceSchema`: table row count, the column's
+    * non-null value count and null count, and — for long-kind columns —
+    * exact attained min/max and the 64-bit-wrapping sum, in the CANONICAL
+    * long domain (micros for timestamps, days for dates, IEEE bits for
+    * doubles; callers restore types). String/binary columns report counts
+    * only (their manifest bounds are truncated, so min/max would not be
+    * attained values — the same reason Iceberg declines them).
+    *
+    * Correctness gates (throws IllegalStateException rather than answer
+    * wrong): live merge-on-read delete vectors make every stat stale —
+    * materializeDeletes() first; manifest rows predating the exact-stats /
+    * null-count columns can hide values — compact() (which re-encodes under
+    * the current metadata version) upgrades such tables. Schema-evolution
+    * parts that predate a column count as all-null for it, matching decode.
+    */
+  def tableStats(spark: SparkSession, outDir: String, sourceSchema: StructType): DataFrame = {
+    if (loadDeletes(spark, outDir).nonEmpty)
+      throw new IllegalStateException(
+        "tableStats: live merge-on-read delete vectors make manifest stats stale; run materializeDeletes() first")
+    val meta = readMeta(spark, outDir)
+    if (!meta.columns.contains("null_value_count"))
+      throw new IllegalStateException(
+        "tableStats: manifest predates null_value_counts; compact() to upgrade")
+    val hasStats = meta.columns.contains("value_sum")
+    val perPC = meta.groupBy(col("__part"), col("column")).agg(
+      sum(col("rows")).as("r"),
+      sum(when(col("null_value_count").isNull, 1L).otherwise(0L)).as("unk"),
+      sum(coalesce(col("null_value_count"), lit(0L))).as("nulls"),
+      (if (hasStats) min(col("value_min")) else lit(null).cast(LongType)).as("v_min"),
+      (if (hasStats) max(col("value_max")) else lit(null).cast(LongType)).as("v_max"),
+      (if (hasStats) sum(col("value_sum")) else lit(null).cast(LongType)).as("v_sum"),
+      (if (hasStats) sum(coalesce(col("value_count"), lit(0L)))
+       else lit(null).cast(LongType)).as("v_cnt")
+    ).collect()
+    // totals per part: the widest column's row count (schema evolution can
+    // leave a later-added column covering only a suffix of a part's commits)
+    val partTotal = perPC.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).max).toMap
+    val totalRows = partTotal.values.sum
+    val plans = plan(sourceSchema)
+    val out = plans.map { p =>
+      val rows = perPC.filter(_.getString(1) == p.name)
+      val covered = rows.map(_.getLong(2)).sum
+      if (rows.exists(_.getLong(3) > 0))
+        throw new IllegalStateException(
+          s"tableStats: column ${p.name} has manifest rows without null counts (pre-upgrade era); compact() first")
+      val nulls = rows.map(_.getLong(4)).sum
+      val nullsTotal = (totalRows - covered) + nulls // absent-era rows decode as null
+      val nValues = covered - nulls
+      val (vMin, vMax, vSum): (Any, Any, Any) =
+        if (p.kind != 'l' || nValues == 0L) (null, null, null)
+        else {
+          val vCnt = rows.map(r => if (r.isNullAt(8)) 0L else r.getLong(8)).sum
+          if (vCnt != nValues)
+            throw new IllegalStateException(
+              s"tableStats: column ${p.name} has manifest rows without exact value stats (pre-upgrade era); compact() first")
+          (rows.flatMap(r => if (r.isNullAt(5)) None else Some(r.getLong(5))).min,
+           rows.flatMap(r => if (r.isNullAt(6)) None else Some(r.getLong(6))).max,
+           rows.map(r => if (r.isNullAt(7)) 0L else r.getLong(7)).sum)
+        }
+      org.apache.spark.sql.Row(p.name, totalRows, nValues, nullsTotal, vMin, vMax, vSum)
+    }
+    val schema = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_values", LongType, nullable = false),
+      StructField("n_nulls", LongType, nullable = false),
+      StructField("v_min", LongType, nullable = true),
+      StructField("v_max", LongType, nullable = true),
+      StructField("v_sum", LongType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 
   /** join-based bit-identical verification (SURVEY.md §3.4 step 4): returns

@@ -1,0 +1,518 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate._
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.graftshim.Bridge
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Codecs
+import graft.plans.EncodePipeline
+
+/** `spark.read.format("graft")` — the encoded table directory as a first-
+  * class Spark DataSource V2, so plain SQL over a graft table gets the
+  * engine's whole skip stack without any API calls:
+  *
+  *   - self-describing schema (`schema.json`, written by run()/appendCommit;
+  *     an explicit `.schema(...)` overrides),
+  *   - generation-resolved file planning ([[EncodePipeline.currentFiles]]:
+  *     compaction supersede, orphan invisibility, `option("gen", n)` time
+  *     travel),
+  *   - merge-on-read delete vectors applied at scan time,
+  *   - shared-dictionary resolution via one broadcast,
+  *   - COLUMN PRUNING: only the requested columns' blobs are read from
+  *     parquet and decoded (SupportsPushDownRequiredColumns),
+  *   - FILTER pushdown → manifest zone-map part pruning: equality, ranges,
+  *     IN, IsNull, prefix LIKE prune whole part directories at plan time;
+  *     filters stay residual (zone maps are supersets), Spark re-applies
+  *     them above the scan (SupportsPushDownFilters),
+  *   - AGGREGATE pushdown: global MIN/MAX/COUNT/COUNT(*)/SUM over long-kind
+  *     columns answer ENTIRELY from the manifest's exact stats — the scan
+  *     plans ZERO input partitions and opens ZERO data files
+  *     (SupportsPushDownAggregates + LocalScan), declining whenever live
+  *     delete vectors or pre-stats-era manifest rows would make that wrong,
+  *   - LIMIT pushdown: readers stop decoding after `limit` rows per
+  *     partition (partial push — Spark keeps the global limit),
+  *   - reported statistics: exact row count and raw (decoded) byte size
+  *     from the manifest, so joins over graft tables broadcast correctly
+  *     (SupportsReportStatistics).
+  *
+  * Executor-side reading uses parquet-hadoop's Group API directly (the
+  * files are ordinary parquet of block rows); each input partition is one
+  * data file — the natural split grain, since blocks are self-contained.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "format(\"graft\") requires .load(<table dir>)")
+    p.stripSuffix("/")
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EncodePipeline.readSchemaFile(SparkSession.active, pathOf(options)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft table ${pathOf(options)} has no schema.json (written before schema " +
+        "persistence existed?) — pass an explicit .schema(...)"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftTable(pathOf(opts), schema)
+  }
+}
+
+class GraftTable(outDir: String, tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft.`$outDir`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(SparkSession.active, outDir, tableSchema,
+      Option(options.get("gen")).map(_.toInt))
+}
+
+class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructType,
+                       gen: Option[Int])
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
+
+  private val kinds: Map[String, EncodePipeline.ColPlan] =
+    EncodePipeline.plan(tableSchema).map(p => p.name -> p).toMap
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var survivors: Option[Set[Int]] = None // None = all parts
+  private var aggRow: Option[(StructType, InternalRow)] = None
+  private var limit: Int = -1
+
+  // ---- filter pushdown: manifest zone maps prune whole parts; every
+  // filter stays residual (bounds are supersets / truncated) ----
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (gen.isEmpty) { // survivingParts* resolve the CURRENT generation only
+      val usable = filters.flatMap(f => survivorsOf(f).map(f -> _))
+      if (usable.nonEmpty) {
+        pushed = usable.map(_._1)
+        survivors = Some(usable.map(_._2).reduce(_ intersect _))
+      }
+    }
+    filters // all residual: Spark re-evaluates above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** canonical-long of a filter literal for a long-kind column, or None */
+  private def canonLong(dt: DataType, v: Any): Option[Long] = (dt, v) match {
+    case (_, null) => None
+    case (LongType | IntegerType | ShortType | ByteType, n: Number) => Some(n.longValue())
+    case (TimestampType | TimestampNTZType, t: java.sql.Timestamp) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case (TimestampType | TimestampNTZType, t: java.time.Instant) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t))
+    case (TimestampNTZType, t: java.time.LocalDateTime) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t))
+    case (DateType, d: java.sql.Date) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case (DateType, d: java.time.LocalDate) =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d).toLong)
+    case _ => None // doubles/floats: bit-domain zone maps don't order by value
+  }
+
+  private def strBytes(v: Any): Option[Array[Byte]] = v match {
+    case s: String => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case b: Array[Byte] => Some(b)
+    case _ => None
+  }
+
+  /** smallest byte-string strictly above every string with prefix `p`
+    * (increment last non-0xff byte); None = unbounded */
+  private def prefixSucc(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  private def survivorsOf(f: Filter): Option[Set[Int]] = {
+    def longRange(c: String, lo: Long, hi: Long) =
+      Some(EncodePipeline.survivingPartsLong(spark, outDir, c, lo, hi).toSet)
+    def strRange(c: String, lo: Array[Byte], hi: Array[Byte]) =
+      Some(EncodePipeline.survivingPartsStr(spark, outDir, c, lo, hi).toSet)
+    def point(c: String, v: Any): Option[Set[Int]] = kinds.get(c).flatMap { p =>
+      if (p.kind == 'l') canonLong(p.sourceType, v).flatMap(x => longRange(c, x, x))
+      else strBytes(v).flatMap(b => strRange(c, b, b))
+    }
+    try f match {
+      case sources.EqualTo(c, v) => point(c, v)
+      case sources.EqualNullSafe(c, v) if v != null => point(c, v)
+      case sources.In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        val sets = vs.toSeq.map(point(c, _))
+        if (sets.forall(_.isDefined)) Some(sets.flatMap(_.get).toSet) else None
+      case sources.GreaterThan(c, v) => oneSided(c, v, loSide = true)
+      case sources.GreaterThanOrEqual(c, v) => oneSided(c, v, loSide = true)
+      case sources.LessThan(c, v) => oneSided(c, v, loSide = false)
+      case sources.LessThanOrEqual(c, v) => oneSided(c, v, loSide = false)
+      case sources.IsNull(c) if kinds.contains(c) =>
+        Some(EncodePipeline.survivingPartsIsNull(spark, outDir, c).toSet)
+      case sources.StringStartsWith(c, p) if kinds.get(c).exists(_.kind != 'l') =>
+        val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        strRange(c, pb, prefixSucc(pb).orNull)
+      case sources.And(l, r) =>
+        (survivorsOf(l), survivorsOf(r)) match {
+          case (Some(a), Some(b)) => Some(a intersect b)
+          case (a, b) => a.orElse(b)
+        }
+      case sources.Or(l, r) =>
+        for (a <- survivorsOf(l); b <- survivorsOf(r)) yield a union b
+      case _ => None
+    } catch { case _: Exception => None } // malformed manifest: pruning is optional
+  }
+
+  private def oneSided(c: String, v: Any, loSide: Boolean): Option[Set[Int]] =
+    kinds.get(c).flatMap { p =>
+      if (p.kind == 'l') canonLong(p.sourceType, v).flatMap { x =>
+        if (loSide) Some(EncodePipeline.survivingPartsLong(spark, outDir, c, x, Long.MaxValue).toSet)
+        else Some(EncodePipeline.survivingPartsLong(spark, outDir, c, Long.MinValue, x).toSet)
+      } else strBytes(v).map { b =>
+        if (loSide) EncodePipeline.survivingPartsStr(spark, outDir, c, b, null).toSet
+        else EncodePipeline.survivingPartsStr(spark, outDir, c, null, b).toSet
+      }
+    }
+
+  // ---- column pruning ----
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // ---- aggregate pushdown: complete-only, served from manifest stats.
+  // (buildAggRow runs a driver-side manifest read; memoized because Spark
+  // probes supportCompletePushDown before pushAggregation.) ----
+  private var aggMemo: Option[(Aggregation, Option[(StructType, InternalRow)])] = None
+  private def aggRowOf(aggregation: Aggregation): Option[(StructType, InternalRow)] = {
+    if (!aggMemo.exists(_._1 eq aggregation))
+      aggMemo = Some(aggregation -> buildAggRow(aggregation))
+    aggMemo.get._2
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggRowOf(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val r = aggRowOf(aggregation)
+    r.foreach(v => aggRow = Some(v))
+    r.isDefined
+  }
+
+  /** integer-like long-kind source types: bit-domain stats order by value */
+  private def orderedLongKind(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  private def colNameOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  private def buildAggRow(aggregation: Aggregation): Option[(StructType, InternalRow)] = {
+    if (aggregation.groupByExpressions.nonEmpty || gen.nonEmpty) return None
+    val stats: Map[String, org.apache.spark.sql.Row] =
+      try EncodePipeline.tableStats(spark, outDir, tableSchema)
+        .collect().map(r => r.getString(0) -> r).toMap
+      catch { case _: Exception => return None } // live DVs / pre-stats era
+    val nRows: Long = stats.headOption.map(_._2.getLong(1)).getOrElse(0L)
+    // manifest stats are canonical longs; restore the source's InternalRow repr
+    def restore(dt: DataType, v: Long): Any = dt match {
+      case IntegerType | DateType => v.toInt
+      case ShortType => v.toShort
+      case ByteType => v.toByte
+      case _ => v // Long / Timestamp(NTZ) are longs in InternalRow
+    }
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    aggregation.aggregateExpressions.foreach {
+      case _: CountStar =>
+        fields += StructField("count(*)", LongType, nullable = false)
+        values += nRows
+      case c: Count if !c.isDistinct =>
+        val n = colNameOf(c.column).flatMap(stats.get).map(_.getLong(2))
+        if (n.isEmpty) return None
+        fields += StructField("count", LongType, nullable = false)
+        values += n.get
+      case m: Min =>
+        val v = for {
+          name <- colNameOf(m.column)
+          p <- kinds.get(name) if p.kind == 'l' && orderedLongKind(p.sourceType)
+          r <- stats.get(name)
+        } yield (p.sourceType, if (r.isNullAt(4)) null else restore(p.sourceType, r.getLong(4)))
+        if (v.isEmpty) return None
+        fields += StructField("min", v.get._1, nullable = true)
+        values += v.get._2
+      case m: Max =>
+        val v = for {
+          name <- colNameOf(m.column)
+          p <- kinds.get(name) if p.kind == 'l' && orderedLongKind(p.sourceType)
+          r <- stats.get(name)
+        } yield (p.sourceType, if (r.isNullAt(5)) null else restore(p.sourceType, r.getLong(5)))
+        if (v.isEmpty) return None
+        fields += StructField("max", v.get._1, nullable = true)
+        values += v.get._2
+      case s: Sum if !s.isDistinct =>
+        // sums only where SQL defines them on the canonical domain
+        val v = for {
+          name <- colNameOf(s.column)
+          p <- kinds.get(name)
+          if p.sourceType == LongType || p.sourceType == IntegerType ||
+             p.sourceType == ShortType || p.sourceType == ByteType
+          r <- stats.get(name)
+        } yield if (r.isNullAt(6)) null else java.lang.Long.valueOf(r.getLong(6))
+        if (v.isEmpty) return None
+        fields += StructField("sum", LongType, nullable = true)
+        values += v.get
+      case _ => return None
+    }
+    Some((StructType(fields.toSeq), new GenericInternalRow(values.toArray)))
+  }
+
+  // ---- limit pushdown (partial: per-partition truncation) ----
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
+
+  override def build(): Scan = aggRow match {
+    case Some((schema, row)) => new GraftAggScan(outDir, schema, row)
+    case None =>
+      new GraftScan(spark, outDir, tableSchema, required, gen, survivors, pushed, limit)
+  }
+}
+
+/** manifest-served aggregate result: zero input partitions, zero data files */
+class GraftAggScan(outDir: String, aggSchema: StructType, row: InternalRow)
+    extends LocalScan {
+  override def rows(): Array[InternalRow] = Array(row)
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"GraftAggScan $outDir PushedAggregation: [${aggSchema.fieldNames.mkString(", ")}] (manifest-only)"
+}
+
+/** one input partition per data file; blocks are self-contained */
+case class GraftInputPartition(path: String, part: Int,
+                               deletes: Map[Int, Array[Byte]]) extends InputPartition
+
+class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
+                required: StructType, gen: Option[Int], survivors: Option[Set[Int]],
+                pushed: Array[Filter], limit: Int)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val f = if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]"
+    val l = if (limit < 0) "" else s" PushedLimit: $limit"
+    s"GraftScan $outDir${gen.map(g => s" gen=$g").getOrElse("")}$f$l"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = EncodePipeline.currentFiles(spark, outDir, gen)
+      .filter { case (p, _) => survivors.forall(_.contains(p)) }
+    val dv: Map[(String, Int), Array[Byte]] = gen match {
+      case Some(g) => EncodePipeline.loadDeletes(spark, outDir, g)
+      case None => EncodePipeline.loadDeletes(spark, outDir)
+    }
+    files.map { case (p, f) =>
+      val suffix = EncodePipeline.fileSuffix(f)
+      val slice = dv.collect { case ((s, b), bm) if s == suffix => b -> bm }
+      GraftInputPartition(f, p, slice): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dicts =
+      try EncodePipeline.loadDicts(spark, outDir)
+      catch { case _: Exception => Map.empty[Long, Codecs.DictTable] }
+    val dictsBc = if (dicts.isEmpty) None
+                  else Some(spark.sparkContext.broadcast(dicts))
+    GraftReaderFactory(Bridge.hadoopConfBroadcast(spark),
+      EncodePipeline.plan(required).toArray, dictsBc, limit)
+  }
+
+  /** exact stats from the manifest: decoded size for join sizing, row count
+    * minus live delete-vector positions */
+  override def estimateStatistics(): Statistics = {
+    try {
+      val meta = EncodePipeline.readMetaAt(spark, outDir, gen)
+      import org.apache.spark.sql.functions.{col, sum, max}
+      val perPart = meta.groupBy(col("__part"), col("column"))
+        .agg(sum(col("rows")).as("r"), sum(col("raw_bytes")).as("b"))
+        .groupBy(col("__part")).agg(max(col("r")).as("r"), sum(col("b")).as("b"))
+        .collect()
+      val live = perPart.filter(r => survivors.forall(_.contains(r.getInt(0))))
+      val deleted = (gen match {
+        case Some(g) => EncodePipeline.loadDeletes(spark, outDir, g)
+        case None => EncodePipeline.loadDeletes(spark, outDir)
+      }).valuesIterator.map(_.foldLeft(0L)((s, x) => s + java.lang.Integer.bitCount(x & 0xff))).sum
+      val rows = live.map(_.getLong(1)).sum - deleted
+      val bytes = live.map(_.getLong(2)).sum
+      new Statistics {
+        override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1L))
+        override def numRows(): OptionalLong = OptionalLong.of(math.max(rows, 0L))
+      }
+    } catch {
+      case _: Exception => new Statistics {
+        override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+        override def numRows(): OptionalLong = OptionalLong.empty()
+      }
+    }
+  }
+}
+
+case class GraftReaderFactory(conf: Bridge.HadoopConfBroadcast,
+                              cols: Array[EncodePipeline.ColPlan],
+                              dicts: Option[org.apache.spark.broadcast.Broadcast[Map[Long, Codecs.DictTable]]],
+                              limit: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], this)
+}
+
+/** streams one data file: parquet Group rows (one per block) → blob decode →
+  * delete-vector-filtered InternalRows. Only the projected columns' blobs
+  * are requested from parquet (column pruning reaches the file bytes). */
+class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
+    extends PartitionReader[InternalRow] {
+
+  f.dicts.foreach(b => Codecs.registerDicts(b.value))
+
+  private val conf = new org.apache.hadoop.conf.Configuration(f.conf.value)
+  private val path = new Path(p.path)
+  // projection from the FILE's own schema (mergeSchema eras differ per file;
+  // a column this file predates simply decodes as all-null)
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  private val present: Array[Boolean] =
+    f.cols.map(c => fileSchema.containsField("e_" + c.name))
+  private val projection: MessageType = {
+    val wanted = Seq("__block", "__cnt") ++
+      f.cols.filter(c => fileSchema.containsField("e_" + c.name)).map("e_" + _.name)
+    new MessageType("graft_projection",
+      wanted.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))).asJava)
+  }
+  conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), path).withConf(conf).build()
+
+  private var emitted = 0
+  private var rowIter: Iterator[InternalRow] = Iterator.empty
+
+  override def next(): Boolean = {
+    if (f.limit >= 0 && emitted >= f.limit) return false
+    while (!rowIter.hasNext) {
+      val g = reader.read()
+      if (g == null) return false
+      rowIter = decodeBlock(g)
+    }
+    emitted += 1
+    true
+  }
+
+  private var current: InternalRow = _
+  override def get(): InternalRow = { current = rowIter.next(); current }
+  override def close(): Unit = reader.close()
+
+  private def decodeBlock(g: Group): Iterator[InternalRow] = {
+    val n = g.getInteger("__cnt", 0)
+    val block = g.getInteger("__block", 0)
+    val nCols = f.cols.length
+    val longVals = new Array[Array[Long]](nCols)
+    val longNulls = new Array[Array[Boolean]](nCols)
+    val strViews = new Array[Codecs.StrView](nCols)
+    val binVals = new Array[Array[Array[Byte]]](nCols)
+    val allNull = new Array[Boolean](nCols)
+    var c = 0
+    while (c < nCols) {
+      val name = "e_" + f.cols(c).name
+      if (!present(c) || g.getFieldRepetitionCount(name) == 0) {
+        allNull(c) = true // column absent from this file's era
+      } else {
+        val blob = g.getBinary(name, 0).getBytes
+        f.cols(c).kind match {
+          case 'l' =>
+            val (v, nu) = Codecs.decodeLongsN(blob)
+            require(v.length == n, s"block count mismatch: ${v.length} != $n")
+            longVals(c) = v; longNulls(c) = nu
+          case 's' =>
+            strViews(c) = Codecs.decodeStrsView(blob)
+            require(strViews(c).n == n, s"block count mismatch: ${strViews(c).n} != $n")
+          case _ =>
+            binVals(c) = Codecs.decodeStrsN(blob)
+            require(binVals(c).length == n, s"block count mismatch: ${binVals(c).length} != $n")
+        }
+      }
+      c += 1
+    }
+    val bm = p.deletes.getOrElse(block, null)
+    (0 until n).iterator
+      .filter(i => bm == null || (i >> 3) >= bm.length || (bm(i >> 3) & (1 << (i & 7))) == 0)
+      .map { i =>
+        val vals = new Array[Any](nCols)
+        var c2 = 0
+        while (c2 < nCols) {
+          vals(c2) =
+            if (allNull(c2)) null
+            else f.cols(c2).kind match {
+              case 'l' =>
+                if (longNulls(c2) != null && longNulls(c2)(i)) null
+                else restoreLong(f.cols(c2).sourceType, longVals(c2)(i))
+              case 's' =>
+                val v = strViews(c2)
+                val len = v.lens(i)
+                if (len < 0) null else UTF8String.fromBytes(v.buf, v.offs(i), len)
+              case _ => binVals(c2)(i)
+            }
+          c2 += 1
+        }
+        new GenericInternalRow(vals): InternalRow
+      }
+  }
+
+  /** canonical long → the source type's InternalRow representation */
+  private def restoreLong(dt: DataType, v: Long): Any = dt match {
+    case LongType | TimestampType | TimestampNTZType => v
+    case IntegerType | DateType => v.toInt
+    case ShortType => v.toShort
+    case ByteType => v.toByte
+    case DoubleType => java.lang.Double.longBitsToDouble(v)
+    case FloatType => java.lang.Double.longBitsToDouble(v).toFloat
+    case other => throw new IllegalArgumentException(s"unsupported restore type $other")
+  }
+}

@@ -37,6 +37,21 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Hadoop Configuration shipped to executors broadcast-style (Spark's
+    * own SerializableConfiguration is private[spark]; this wrapper keeps
+    * the private type out of public signatures). The `format("graft")`
+    * connector's partition readers open parquet data files with it. */
+  final class HadoopConfBroadcast private[graftshim] (
+      bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = bc.value.value
+  }
+
+  def hadoopConfBroadcast(spark: SparkSession): HadoopConfBroadcast =
+    new HadoopConfBroadcast(spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)))
+
   /** root path of a file-source scan node (LogicalRelation over
     * HadoopFsRelation — both private[sql] in Spark 4), or None. Lets
     * optimizer rules recognize a graft table scan by its directory layout

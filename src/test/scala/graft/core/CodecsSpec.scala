@@ -387,6 +387,31 @@ class CodecsSpec extends AnyFunSuite {
     assert(wlo <= 50L && whi >= 60L)
   }
 
+  test("statsOfLong: EXACT attained min/max/sum/count for every codec, nulls skipped") {
+    val vs = Array(1000L, 1010L, 1040L, 1005L)
+    for (id <- Seq(Codecs.ConstLong, Codecs.BitPackId, Codecs.ForId, Codecs.RleLong, Codecs.DeltaId)) {
+      val in = if (id == Codecs.ConstLong) Array(7L, 7L, 7L) else vs
+      val s = Codecs.statsOfLong(Codecs.encodeLongsAs(in, id))
+      assert(s.min === in.min && s.max === in.max, s"codec $id")
+      assert(s.sum === in.sum && s.count === in.length.toLong, s"codec $id")
+    }
+    // exactness where rangeOfLong is only representable: bitpack hi is a
+    // width bound (e.g. 1040 packs at 11 bits → representable hi 2047),
+    // statsOfLong must report the ATTAINED 1040
+    val bp = Codecs.encodeLongsAs(vs, Codecs.BitPackId)
+    assert(Codecs.rangeOfLong(bp)._2 >= Codecs.statsOfLong(bp).max)
+    assert(Codecs.statsOfLong(bp).max === 1040L)
+    // null-wrapped: null slots excluded from every stat
+    val wrapped = Codecs.encodeLongsN(Array(50L, 0L, 60L), Array(false, true, false))
+    val w = Codecs.statsOfLong(wrapped)
+    assert(w.min === 50L && w.max === 60L && w.sum === 110L && w.count === 2L)
+    // all-null → null (no attained values)
+    assert(Codecs.statsOfLong(Codecs.encodeLongsN(Array(0L, 0L), Array(true, true))) === null)
+    // negative values (sign-sensitive min/max, wrapping sum domain)
+    val neg = Codecs.statsOfLong(Codecs.encodeLongs(Array(-5L, 3L, -9L)))
+    assert(neg.min === -9L && neg.max === 3L && neg.sum === -11L)
+  }
+
   test("rangeOfStr: truncated byte-string bounds contain the data for every codec") {
     def cmp(a: Array[Byte], b: Array[Byte]): Int = java.util.Arrays.compareUnsigned(a, b)
     val vs = Array("delta", "alpha", "zebra", "alpha", "mike").map(_.getBytes(UTF_8))

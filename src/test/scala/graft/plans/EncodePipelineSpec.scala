@@ -277,6 +277,49 @@ class EncodePipelineSpec extends SparkTestBase {
     assert(d.getLong(1) === 1500L)
   }
 
+  test("tableStats answers count/min/max/sum from the manifest alone, exactly") {
+    val docs = WebDocGen.dataset(spark, 1200, 4).toDF()
+      .withColumn("score", when(pmod(xxhash64(col("url")), lit(3)) === 0, lit(null))
+        .otherwise(pmod(xxhash64(col("url")), lit(1000)).cast("long") - 200L))
+      .withColumn("all_null", lit(null).cast("long"))
+    val out = tmpDir()
+    EncodePipeline.run(docs, "url", out, partitions = 4, blockSize = 256)
+    val st = EncodePipeline.tableStats(spark, out, docs.schema)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exp = docs.agg(
+      count(lit(1)), count(col("score")), min(col("score")), max(col("score")),
+      sum(col("score")), min(unix_micros(col("warc_ts"))), max(unix_micros(col("warc_ts")))).head()
+    val n = exp.getLong(0)
+    // long column with nulls: exact attained stats, null rows excluded
+    val sc = st("score")
+    assert(sc.getLong(1) === n && sc.getLong(2) === exp.getLong(1))
+    assert(sc.getLong(3) === n - exp.getLong(1))
+    assert(sc.getLong(4) === exp.getLong(2) && sc.getLong(5) === exp.getLong(3))
+    assert(sc.getLong(6) === exp.getLong(4))
+    // timestamp column: canonical micros domain
+    val ts = st("warc_ts")
+    assert(ts.getLong(4) === exp.getLong(5) && ts.getLong(5) === exp.getLong(6))
+    assert(ts.getLong(3) === 0L)
+    // all-null long column: counts only, no attained values
+    val an = st("all_null")
+    assert(an.getLong(2) === 0L && an.getLong(3) === n && an.isNullAt(4) && an.isNullAt(6))
+    // string column: counts, no min/max (manifest bounds are truncated)
+    val tx = st("text")
+    assert(tx.getLong(2) === n && tx.isNullAt(4))
+    // live merge-on-read delete vectors must refuse rather than serve stale stats
+    EncodePipeline.deleteWhereLazy(spark, out, docs.schema, col("score") === 0L)
+    val ex = intercept[IllegalStateException] {
+      EncodePipeline.tableStats(spark, out, docs.schema)
+    }
+    assert(ex.getMessage.contains("delete vectors"))
+    // materializing the deletes restores scan-free stats, now reflecting them
+    EncodePipeline.materializeDeletes(spark, out, docs.schema, "url")
+    val st2 = EncodePipeline.tableStats(spark, out, docs.schema)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val zeroes = docs.filter(col("score") === 0L).count()
+    assert(st2("score").getLong(2) === exp.getLong(1) - zeroes)
+  }
+
   test("generic encode handles the TPC-H events table (ts, doubles, strings)") {
     val events = sf("events")
     val enc = EncodePipeline.encode(events, "event_id", partitions = 4, blockSize = 512)

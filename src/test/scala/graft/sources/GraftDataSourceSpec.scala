@@ -1,0 +1,172 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.LocalTableScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.plans.EncodePipeline
+import graft.sources.WebDocGen
+
+/** `format("graft")` connector: self-describing reads, column pruning,
+  * zone-map filter pruning, manifest-served aggregate pushdown, delete
+  * vectors, time travel, limit pushdown, reported statistics. */
+class GraftDataSourceSpec extends SparkTestBase {
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_dsv2").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def docs(n: Int) = WebDocGen.dataset(spark, n, 4).toDF()
+
+  // logical-level lookup: AQE wraps physical plans with exchanges, hiding
+  // BatchScanExec from executedPlan.collect until execution
+  private def scanOf(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }
+
+  test("reads the table back bit-identically with the persisted schema") {
+    val d = docs(900)
+    val out = tmpDir()
+    EncodePipeline.run(d, "url", out, partitions = 4, blockSize = 128)
+    val back = spark.read.format("graft").load(out)
+    assert(back.schema === d.schema)
+    val s = EncodePipeline.verifyRoundTrip(d, back, "url").head()
+    assert(s.getLong(0) === 900L && s.getLong(1) === 0L)
+  }
+
+  test("column pruning reaches the scan: only requested blobs are read") {
+    val d = docs(400)
+    val out = tmpDir()
+    EncodePipeline.run(d, "url", out, partitions = 2, blockSize = 128)
+    val q = spark.read.format("graft").load(out).select("lang")
+    assert(scanOf(q).get.readSchema().fieldNames.toSeq === Seq("lang"))
+    assert(q.distinct().count() > 0)
+  }
+
+  test("aggregate pushdown answers from the manifest: zero data files opened") {
+    val d = docs(700).withColumn("score",
+      when(pmod(xxhash64(col("url")), lit(4)) === 0, lit(null))
+        .otherwise(pmod(xxhash64(col("url")), lit(100)).cast("long")))
+    val out = tmpDir()
+    EncodePipeline.run(d, "url", out, partitions = 4, blockSize = 128)
+    val expected = d.agg(count(lit(1)), count(col("score")), min(col("score")),
+      max(col("score")), sum(col("score")), min(col("warc_ts")), max(col("warc_ts"))).head()
+    // DESTROY the data files: aggregates must still answer (LocalScan)
+    val dataDir = new java.io.File(s"$out/data")
+    def nuke(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(nuke)
+      f.delete()
+    }
+    nuke(dataDir)
+    val q = spark.read.format("graft").load(out)
+      .agg(count(lit(1)).as("n"), count(col("score")).as("nv"),
+        min(col("score")).as("mn"), max(col("score")).as("mx"),
+        sum(col("score")).as("sm"), min(col("warc_ts")).as("ts_mn"),
+        max(col("warc_ts")).as("ts_mx"))
+    assert(q.queryExecution.executedPlan.collectFirst {
+      case l: LocalTableScanExec => l }.nonEmpty, "expected a manifest-served LocalScan")
+    val r = q.head()
+    assert(r.getLong(0) === expected.getLong(0))
+    assert(r.getLong(1) === expected.getLong(1))
+    assert(r.getLong(2) === expected.getLong(2) && r.getLong(3) === expected.getLong(3))
+    assert(r.getLong(4) === expected.getLong(4))
+    assert(r.getTimestamp(5) === expected.getTimestamp(5))
+    assert(r.getTimestamp(6) === expected.getTimestamp(6))
+  }
+
+  test("aggregate pushdown declines for grouped/unsupported aggregates") {
+    val d = docs(300)
+    val out = tmpDir()
+    EncodePipeline.run(d, "url", out, partitions = 2, blockSize = 128)
+    val grouped = spark.read.format("graft").load(out)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(scanOf(grouped).nonEmpty, "grouped agg must fall back to a real scan")
+    assert(grouped.count() > 0)
+    // avg is not manifest-servable → real scan, still correct
+    val avg0 = spark.read.format("graft").load(out)
+      .agg(avg(length(col("text")))).head().getDouble(0)
+    assert(avg0 > 0)
+  }
+
+  test("zone-map filter pushdown prunes input partitions, result unchanged") {
+    val d = docs(1200).withColumn("id", xxhash64(col("url")))
+    // range partitioner: parts hold disjoint doc_id ranges → zone maps prune
+    val n = 1200
+    val dd = d.withColumn("rid", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("url")))).drop("id")
+    val out = tmpDir()
+    EncodePipeline.run(dd, "url", out, partitions = 6, blockSize = 64,
+      customPart = Some(least(floor(col("rid") / lit(n / 6 + 1)), lit(5)).cast("int")))
+    val all = spark.read.format("graft").load(out)
+    val probe = n / 2
+    val filtered = all.filter(col("rid") === probe)
+    // pruning happened: fewer planned partitions than the full table
+    val full = scanOf(all).get.toBatch.planInputPartitions().length
+    val pruned = scanOf(filtered).get.toBatch.planInputPartitions().length
+    assert(pruned < full, s"expected pruning: $pruned < $full")
+    // and the result is exactly the one row
+    assert(filtered.count() === 1L)
+    // range + IN prune too
+    assert(all.filter(col("rid") < 50).count() === 49L)
+    assert(all.filter(col("rid").isin(1, 2, n)).count() === 3L)
+    // string prefix pruning stays correct (compare vs a non-pushable spelling)
+    val viaPrefix = all.filter(col("url").startsWith("https://www.host1")).count()
+    val viaSubstr = all.filter(substring(col("url"), 1, 17) === "https://www.host1").count()
+    assert(viaPrefix === viaSubstr && viaPrefix > 0)
+  }
+
+  test("merge-on-read delete vectors apply at scan time; gen option time-travels") {
+    val d = docs(600)
+    val out = tmpDir()
+    EncodePipeline.run(d, "url", out, partitions = 3, blockSize = 64)
+    val killed = EncodePipeline.deleteWhereLazy(spark, out, d.schema,
+      pmod(xxhash64(col("url")), lit(5)) === 0)
+    assert(killed > 0)
+    val now = spark.read.format("graft").load(out)
+    assert(now.count() === 600L - killed)
+    assert(now.filter(pmod(xxhash64(col("url")), lit(5)) === 0).count() === 0L)
+    // snapshot BEFORE the delete-vector commit
+    val before = spark.read.format("graft").option("gen", "0").load(out)
+    assert(before.count() === 600L)
+    // live DVs must not be served stale aggregates: agg falls back to a scan
+    val agg = spark.read.format("graft").load(out).agg(count(lit(1)).as("n"))
+    assert(agg.queryExecution.executedPlan.collectFirst {
+      case l: LocalTableScanExec => l }.isEmpty, "stale manifest agg under live DVs")
+    assert(agg.head().getLong(0) === 600L - killed)
+  }
+
+  test("limit pushdown truncates reads; statistics come from the manifest") {
+    val d = docs(800)
+    val out = tmpDir()
+    EncodePipeline.run(d, "url", out, partitions = 4, blockSize = 64)
+    val lim = spark.read.format("graft").load(out).limit(7)
+    assert(lim.collect().length === 7)
+    val stats = spark.read.format("graft").load(out)
+      .queryExecution.optimizedPlan.stats
+    // sizeInBytes is the manifest's raw (decoded) byte total — a real
+    // number, not the conf default
+    assert(stats.sizeInBytes.toLong > 0L &&
+      stats.sizeInBytes.toLong < 10L * 1024 * 1024 * 1024)
+  }
+
+  test("schema evolution: files predating a column decode as null through the connector") {
+    val d = docs(300)
+    val out = tmpDir()
+    EncodePipeline.run(d, "url", out, partitions = 2, blockSize = 64)
+    val wider = docs(300).withColumn("rank",
+      pmod(xxhash64(col("url")), lit(9)))
+      .withColumn("url", concat(col("url"), lit("#v2")))
+    assert(EncodePipeline.appendCommit(wider, "url", out, partitions = 2,
+      blockSize = 64, batchId = 77L))
+    val back = spark.read.format("graft").load(out) // schema.json now carries rank
+    assert(back.schema.fieldNames.contains("rank"))
+    assert(back.count() === 600L)
+    assert(back.filter(col("rank").isNull).count() === 300L)
+    assert(back.filter(col("rank").isNotNull).count() === 300L)
+  }
+}
