@@ -281,6 +281,56 @@ object SparkEntry {
           col("n_nulls"), col("v_min"), col("v_max"), col("v_sum"))
         .orderBy(col("column_name"))
     }),
+    "q_v2_scan" -> ((s, dir) => {
+      // the DataSource V2 connector end-to-end, as SQL users consume the
+      // engine: write via df.write.format("graft") (pipeline commit under
+      // the hood), read via spark.read.format("graft") with a pushed
+      // range filter (zone-map part pruning; residual-checked above the
+      // scan), column pruning to the touched blobs, and a grouped
+      // aggregate. The oracle recomputes from the raw table.
+      val d = tbl(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_v2_q").toFile
+      out.deleteOnExit()
+      val t = out.getAbsolutePath + "/t"
+      d.write.format("graft").option("key", "doc_id")
+        .option("partitions", "8").option("blockSize", "1024").save(t)
+      s.read.format("graft").load(t)
+        .filter(col("doc_id") >= 100L && col("lang") >= "a")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).cast("long").as("min_id"),
+          max(col("doc_id")).cast("long").as("max_id"))
+        .orderBy(col("lang"))
+    }),
+    "q_v2_agg" -> ((s, dir) => {
+      // manifest-served AGGREGATE PUSHDOWN pinned hard: after the table
+      // commits, its data files are DELETED — the global aggregates below
+      // still answer, because the connector's SupportsPushDownAggregates
+      // serves them from the manifest through a LocalScan that plans zero
+      // input partitions. Any silent regression to a real scan would error
+      // on the missing files rather than pass with wrong provenance.
+      val d = tbl(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_v2agg_q").toFile
+      out.deleteOnExit()
+      val t = out.getAbsolutePath + "/t"
+      d.write.format("graft").option("key", "doc_id")
+        .option("partitions", "8").option("blockSize", "1024").save(t)
+      def nuke(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(nuke)
+        f.delete()
+      }
+      nuke(new java.io.File(t + "/data"))
+      s.read.format("graft").load(t).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        count(col("n_chars")).cast("long").as("n_chars_vals"),
+        min(col("doc_id")).cast("long").as("min_id"),
+        max(col("doc_id")).cast("long").as("max_id"),
+        sum(col("doc_id")).cast("long").as("sum_id"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
     "q_compact" -> ((s, dir) => {
       // table-format maintenance end-to-end: write fragmented (under-filled
       // 16-value blocks), COMPACT to full 2048-value blocks (generation-
@@ -991,6 +1041,19 @@ object SparkEntry {
         "UNION ALL SELECT 'text', CAST(count(*) AS BIGINT), CAST(count(text) AS BIGINT), " +
         "CAST(count(*) - count(text) AS BIGINT), NULL, NULL, NULL FROM d" +
         ") ORDER BY column_name"),
+    "q_v2_scan" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id " +
+        "FROM documents WHERE doc_id >= 100 AND lang >= 'a' " +
+        "GROUP BY lang ORDER BY lang"),
+    "q_v2_agg" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(n_chars) AS BIGINT) AS n_chars_vals, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id, " +
+        "CAST(sum(doc_id) AS BIGINT) AS sum_id, " +
+        "CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents"),
     "q_compact" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +

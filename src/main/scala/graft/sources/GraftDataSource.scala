@@ -60,7 +60,8 @@ import graft.plans.EncodePipeline
   * files are ordinary parquet of block rows); each input partition is one
   * data file — the natural split grain, since blocks are self-contained.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with sources.CreatableRelationProvider {
   override def shortName(): String = "graft"
   override def supportsExternalMetadata(): Boolean = true
 
@@ -68,6 +69,64 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "format(\"graft\") requires .load(<table dir>)")
     p.stripSuffix("/")
+  }
+
+  /** `df.write.format("graft")` — the V1 write hook (the provider is not
+    * SupportsWrite, so Spark routes writes here) delegating to the encode
+    * pipeline's commit protocol. Options: `key` (partitioning key column;
+    * default first column), `partitions` (default session
+    * spark.sql.shuffle.partitions), `blockSize` (default 4096),
+    * `sharedDictCols` (comma-separated). SaveMode semantics are the file-
+    * source ones: Append lands an exactly-once tracked commit (batchId =
+    * max committed + 1, or the `batchId` option for replay-keyed callers);
+    * Overwrite replaces the table directory; ErrorIfExists/Ignore check the
+    * manifest. */
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): sources.BaseRelation = {
+    val outDir = parameters.getOrElse("path",
+      throw new IllegalArgumentException("format(\"graft\") write requires .save(<table dir>)"))
+      .stripSuffix("/")
+    val spark = data.sparkSession
+    val key = parameters.getOrElse("key", data.schema.fieldNames.head)
+    val partitions = parameters.get("partitions").map(_.toInt)
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val blockSize = parameters.get("blockSize").map(_.toInt).getOrElse(4096)
+    val sharedDictCols = parameters.get("sharedDictCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$outDir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(metaPath)
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case Ignore if exists => ()
+      case ErrorIfExists if exists =>
+        throw new IllegalStateException(s"graft table $outDir already exists (SaveMode.ErrorIfExists)")
+      case Append if exists =>
+        val batchId = parameters.get("batchId").map(_.toLong).getOrElse {
+          val m = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+          if (m.columns.contains("batch_id"))
+            m.agg(org.apache.spark.sql.functions.max(
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.col("batch_id"),
+                org.apache.spark.sql.functions.lit(-1L)))).head().getLong(0) + 1L
+          else 0L
+        }
+        EncodePipeline.appendCommit(data, key, outDir, partitions, blockSize, batchId)
+      case Overwrite =>
+        fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+        EncodePipeline.run(data, key, outDir, partitions, blockSize,
+          sharedDictCols = sharedDictCols)
+      case _ => // fresh table (any mode when absent)
+        EncodePipeline.run(data, key, outDir, partitions, blockSize,
+          sharedDictCols = sharedDictCols)
+    }
+    val ctx = sqlContext // capture: the anon class's own member would shadow it
+    new sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -87,14 +146,15 @@ class GraftTable(outDir: String, tableSchema: StructType) extends Table with Sup
   override def name(): String = s"graft.`$outDir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, outDir, tableSchema,
-      Option(options.get("gen")).map(_.toInt))
+      Option(options.get("gen")).map(_.toInt),
+      ignoreChanges = Option(options.get("ignoreChanges")).exists(_.toBoolean))
 }
 
 class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructType,
-                       gen: Option[Int])
+                       gen: Option[Int], ignoreChanges: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -309,7 +369,8 @@ class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructT
   override def build(): Scan = aggRow match {
     case Some((schema, row)) => new GraftAggScan(outDir, schema, row)
     case None =>
-      new GraftScan(spark, outDir, tableSchema, required, gen, survivors, pushed, limit)
+      new GraftScan(spark, outDir, tableSchema, required, gen, survivors, pushed, limit,
+        ignoreChanges)
   }
 }
 
@@ -328,11 +389,27 @@ case class GraftInputPartition(path: String, part: Int,
 
 class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
                 required: StructType, gen: Option[Int], survivors: Option[Set[Int]],
-                pushed: Array[Filter], limit: Int)
+                pushed: Array[Filter], limit: Int, ignoreChanges: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** the table as a STREAMING SOURCE: micro-batches are the set difference
+    * of generation-current data files between offsets — each committed
+    * append (batch write, appendCommit, StreamingEncode micro-batch)
+    * streams exactly once, the Delta/Iceberg "table as a change feed for
+    * appends" pattern. Column pruning applies; zone-map part pruning and
+    * LIMIT are deliberately NOT applied (they were computed against the
+    * plan-time manifest and would wrongly prune future commits; Spark
+    * still evaluates the residual filters above the source). Compaction
+    * or copy-on-write DML mid-stream REWRITES files — streamed rows would
+    * reappear in new files — and live delete vectors mutate visibility,
+    * so both fail the stream unless option("ignoreChanges") accepts the
+    * reprocessing, mirroring Delta's semantics. */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(spark, outDir, required, ignoreChanges)
   override def description(): String = {
     val f = if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]"
     val l = if (limit < 0) "" else s" PushedLimit: $limit"
@@ -390,6 +467,86 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
         override def numRows(): OptionalLong = OptionalLong.empty()
       }
     }
+  }
+}
+
+/** offset = the sorted set of generation-current data-file suffixes seen so
+  * far. Set difference between offsets is order-independent, so commits
+  * landing out of order across parts still stream exactly once. The offset
+  * JSON carries the full list — the same trade Delta's file-based sources
+  * make; fine into the tens of thousands of files, and compaction keeps
+  * file counts low by design. */
+case class GraftSourceOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+object GraftSourceOffset {
+  def fromJson(j: String): GraftSourceOffset = {
+    // minimal JSON string-array parse (offsets are our own serialization)
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inStr = false; var esc = false
+    j.foreach { ch =>
+      if (esc) { sb.append(ch); esc = false }
+      else if (inStr && ch == '\\') esc = true
+      else if (inStr && ch == '"') { inStr = false; items += sb.toString; sb.clear() }
+      else if (!inStr && ch == '"') inStr = true
+      else if (inStr) sb.append(ch)
+    }
+    GraftSourceOffset(items.toSeq)
+  }
+}
+
+class GraftMicroBatchStream(spark: SparkSession, outDir: String,
+                            required: StructType, ignoreChanges: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  /** current (suffix → (part, absolute path)); resolved fresh per call */
+  private def current(): Map[String, (Int, String)] =
+    EncodePipeline.currentFiles(spark, outDir).map { case (p, f) =>
+      EncodePipeline.fileSuffix(f) -> (p, f)
+    }.toMap
+
+  override def initialOffset(): Offset = GraftSourceOffset(Nil) // whole table
+  override def latestOffset(): Offset = GraftSourceOffset(current().keys.toSeq)
+  override def deserializeOffset(json: String): Offset = GraftSourceOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[GraftSourceOffset].files.toSet
+    val until = end.asInstanceOf[GraftSourceOffset].files.toSet
+    val cur = current()
+    if (!ignoreChanges) {
+      val rewritten = seen -- cur.keySet
+      if (rewritten.nonEmpty)
+        throw new IllegalStateException(
+          s"graft streaming source: ${rewritten.size} already-streamed data files were " +
+          "rewritten (compaction or copy-on-write DML ran mid-stream) — rows would " +
+          "reprocess; restart the stream or accept with option(\"ignoreChanges\", \"true\")")
+      if (EncodePipeline.loadDeletes(spark, outDir).nonEmpty)
+        throw new IllegalStateException(
+          "graft streaming source: live merge-on-read delete vectors mutate visibility " +
+          "mid-stream; materializeDeletes() first or accept with option(\"ignoreChanges\", \"true\")")
+    }
+    (until -- seen).toSeq.sorted.flatMap(cur.get).map { case (p, f) =>
+      GraftInputPartition(f, p, Map.empty): InputPartition
+    }.toArray
+  }
+
+  /** called once per micro-batch (MicroBatchScanExec), so shared
+    * dictionaries committed by later appends are re-broadcast each batch */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dicts =
+      try EncodePipeline.loadDicts(spark, outDir)
+      catch { case _: Exception => Map.empty[Long, Codecs.DictTable] }
+    val dictsBc = if (dicts.isEmpty) None else Some(spark.sparkContext.broadcast(dicts))
+    GraftReaderFactory(Bridge.hadoopConfBroadcast(spark),
+      EncodePipeline.plan(required).toArray, dictsBc, -1)
   }
 }
 

@@ -154,6 +154,86 @@ class GraftDataSourceSpec extends SparkTestBase {
       stats.sizeInBytes.toLong < 10L * 1024 * 1024 * 1024)
   }
 
+  test("write path: save/append/overwrite modes land pipeline commits") {
+    val d = docs(500)
+    val out = tmpDir() + "/t1"
+    d.write.format("graft").option("key", "url").option("partitions", "3")
+      .option("blockSize", "64").save(out)
+    val back = spark.read.format("graft").load(out)
+    assert(EncodePipeline.verifyRoundTrip(d, back, "url").head().getLong(1) === 0L)
+    // ErrorIfExists refuses a second write
+    intercept[IllegalStateException] {
+      d.write.format("graft").option("key", "url").mode("error").save(out)
+    }
+    // Append lands a tracked exactly-once commit
+    val more = docs(500).withColumn("url", concat(col("url"), lit("#b")))
+    more.write.format("graft").option("key", "url").option("partitions", "3")
+      .option("blockSize", "64").option("batchId", "7").mode("append").save(out)
+    assert(spark.read.format("graft").load(out).count() === 1000L)
+    // same explicit batchId replays as a no-op (streaming contract)
+    more.write.format("graft").option("key", "url").option("partitions", "3")
+      .option("blockSize", "64").option("batchId", "7").mode("append").save(out)
+    assert(spark.read.format("graft").load(out).count() === 1000L)
+    // and an un-keyed append picks the next id (8) — new rows land
+    val third = docs(200).withColumn("url", concat(col("url"), lit("#c")))
+    third.write.format("graft").option("key", "url").option("partitions", "3")
+      .option("blockSize", "64").mode("append").save(out)
+    assert(spark.read.format("graft").load(out).count() === 1200L)
+    // Overwrite replaces the table
+    d.limit(100).write.format("graft").option("key", "url").option("partitions", "2")
+      .option("blockSize", "64").mode("overwrite").save(out)
+    assert(spark.read.format("graft").load(out).count() === 100L)
+  }
+
+  test("streaming source: every committed append streams exactly once") {
+    val d = docs(400)
+    val out = tmpDir() + "/st"
+    EncodePipeline.run(d, "url", out, partitions = 2, blockSize = 64)
+    val q = spark.readStream.format("graft").load(out)
+      .select("url", "lang")
+      .writeStream.format("memory").queryName("graft_src_t1").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_src_t1").count() === 400L)
+      val more = docs(150).withColumn("url", concat(col("url"), lit("#s")))
+      assert(EncodePipeline.appendCommit(more, "url", out, partitions = 2,
+        blockSize = 64, batchId = 5L))
+      q.processAllAvailable()
+      assert(spark.table("graft_src_t1").count() === 550L)
+      assert(spark.table("graft_src_t1").select("url").distinct().count() === 550L)
+    } finally q.stop()
+  }
+
+  test("streaming source refuses mid-stream rewrites unless ignoreChanges") {
+    val d = docs(300)
+    val out = tmpDir() + "/st2"
+    EncodePipeline.run(d, "url", out, partitions = 2, blockSize = 16)
+    val q = spark.readStream.format("graft").load(out).select("url")
+      .writeStream.format("memory").queryName("graft_src_t2").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_src_t2").count() === 300L)
+      // compaction rewrites the streamed files → the stream must fail loudly
+      assert(EncodePipeline.compact(spark, out, d.schema, blockSize = 2048).nonEmpty)
+      EncodePipeline.appendCommit(
+        docs(50).withColumn("url", concat(col("url"), lit("#t"))),
+        "url", out, partitions = 2, blockSize = 16, batchId = 9L)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("rewritten") || ex.getCause != null)
+    } finally q.stop()
+    // ignoreChanges accepts the reprocessing: a fresh stream over the
+    // compacted table sees all current rows (including the new append)
+    val q2 = spark.readStream.format("graft").option("ignoreChanges", "true").load(out)
+      .select("url")
+      .writeStream.format("memory").queryName("graft_src_t3").outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("graft_src_t3").count() === 350L)
+    } finally q2.stop()
+  }
+
   test("schema evolution: files predating a column decode as null through the connector") {
     val d = docs(300)
     val out = tmpDir()
