@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.plans.EncodePipeline
+import graft.sources.WebDocGen
+
+/** GraftCatalog: graft tables as plain SQL identifiers (Iceberg-catalog
+  * usage shape) with the connector's pushdown stack underneath. */
+class GraftCatalogSpec extends SparkTestBase {
+
+  private lazy val warehouse: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_wh").toFile
+    d.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.root", d.getAbsolutePath)
+    d.getAbsolutePath
+  }
+
+  test("SELECT / SHOW TABLES / DROP over catalog identifiers") {
+    val d = WebDocGen.dataset(spark, 300, 4).toDF()
+    EncodePipeline.run(d, "url", s"$warehouse/db1/t1", partitions = 2, blockSize = 64)
+    assert(spark.sql("SELECT count(*) FROM gcat.db1.t1").head().getLong(0) === 300L)
+    // grouped agg + filter run through the connector (residual-checked)
+    val perLang = spark.sql(
+      "SELECT lang, count(*) AS n FROM gcat.db1.t1 WHERE length(text) > 0 GROUP BY lang")
+    assert(perLang.collect().map(_.getLong(1)).sum === 300L)
+    // global agg is manifest-served even through SQL (LocalScan underneath)
+    val mm = spark.sql("SELECT min(warc_ts), max(warc_ts) FROM gcat.db1.t1").head()
+    val exp = d.agg(min(col("warc_ts")), max(col("warc_ts"))).head()
+    assert(mm.getTimestamp(0) === exp.getTimestamp(0))
+    assert(mm.getTimestamp(1) === exp.getTimestamp(1))
+    // listing sees exactly the table directories (schema.json present)
+    val listed = spark.sql("SHOW TABLES IN gcat.db1").collect().map(_.getString(1))
+    assert(listed.toSeq === Seq("t1"))
+    // a second table in another namespace
+    EncodePipeline.run(d.limit(50), "url", s"$warehouse/db2/t2", partitions = 2, blockSize = 64)
+    assert(spark.sql("SELECT count(*) FROM gcat.db2.t2").head().getLong(0) === 50L)
+    assert(spark.sql("SHOW NAMESPACES IN gcat").collect().map(_.getString(0)).toSet
+      === Set("db1", "db2"))
+    // DROP TABLE removes the directory; the identifier stops resolving
+    spark.sql("DROP TABLE gcat.db2.t2")
+    intercept[AnalysisException] { spark.sql("SELECT * FROM gcat.db2.t2").collect() }
+    assert(!new java.io.File(s"$warehouse/db2/t2").exists())
+  }
+
+  test("CREATE TABLE is refused with guidance; missing tables raise cleanly") {
+    warehouse // force catalog registration
+    val ex = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db1.tnew (x BIGINT) USING graft").collect()
+    }
+    assert(ex.getMessage.contains("created by writing") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("created by writing"))
+    intercept[AnalysisException] { spark.sql("SELECT * FROM gcat.db1.nope").collect() }
+  }
+}
