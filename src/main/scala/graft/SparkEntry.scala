@@ -22,6 +22,10 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** unique SQL-catalog names per call: Spark caches catalog instances by
+    * name, so a reused name would pin the first run's warehouse root */
+  private val catalogSeq = new java.util.concurrent.atomic.AtomicInteger()
+
   /** group rows, collect a long column into sorted block arrays, encode with
     * `codec` (or auto), decode, and count value mismatches — returns
     * (n_rows, n_mismatch) plus optional extra aggregates computed later.
@@ -330,6 +334,45 @@ object SparkEntry {
         min(col("n_chars")).cast("long").as("min_chars"),
         max(col("n_chars")).cast("long").as("max_chars"),
         sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+    "q_sql_dml" -> ((s, dir) => {
+      // the SQL DML lifecycle over CATALOG identifiers, as a warehouse user
+      // drives it: df.write.format("graft") creates the table, INSERT INTO
+      // lands a tracked append commit (V2→V1 write hook into the pipeline's
+      // single-shuffle plan), DELETE FROM lands merge-on-read positional
+      // vectors (sql_mor pins every data file byte-identical + the deletes/
+      // side structure present — zero rewrite), and the final SELECT groups
+      // through the connector's pushdown stack. Oracle replays the
+      // insert+delete algebraically in DuckDB.
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 3)
+      val wh = java.nio.file.Files.createTempDirectory("graft_sqldml_q").toFile
+      wh.deleteOnExit()
+      val cat = s"gsql_${catalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.getAbsolutePath)
+      val tdir = s"${wh.getAbsolutePath}/dbq/docs"
+      d.write.format("graft").option("key", "doc_id")
+        .option("partitions", "8").option("blockSize", "1024").save(tdir)
+      d.createOrReplaceTempView("sql_dml_src")
+      s.sql(s"INSERT INTO $cat.dbq.docs " +
+        "SELECT doc_id + 1000000, text, lang, source, n_chars " +
+        "FROM sql_dml_src WHERE doc_id % 25 = 7")
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$tdir/data"))
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .map(f => f.getAbsolutePath -> f.length()).toMap
+      }
+      val before = files()
+      s.sql(s"DELETE FROM $cat.dbq.docs WHERE doc_id >= 100 AND doc_id < 300")
+      val sqlMor = files() == before && new java.io.File(s"$tdir/deletes").exists()
+      s.sql(s"SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+          "CAST(min(doc_id) AS BIGINT) AS min_id, " +
+          "CAST(max(doc_id) AS BIGINT) AS max_id " +
+          s"FROM $cat.dbq.docs GROUP BY lang ORDER BY lang")
+        .withColumn("sql_mor", lit(sqlMor))
     }),
     "q_compact" -> ((s, dir) => {
       // table-format maintenance end-to-end: write fragmented (under-filled
@@ -1054,6 +1097,17 @@ object SparkEntry {
         "CAST(sum(doc_id) AS BIGINT) AS sum_id, " +
         "CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents"),
+    "q_sql_dml" ->
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
+        "t AS (SELECT * FROM s UNION ALL " +
+        "SELECT doc_id + 1000000, text, lang, source, n_chars " +
+        "FROM s WHERE doc_id % 25 = 7) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, " +
+        "CAST(max(doc_id) AS BIGINT) AS max_id, TRUE AS sql_mor " +
+        "FROM t WHERE NOT (doc_id >= 100 AND doc_id < 300) " +
+        "GROUP BY lang ORDER BY lang"),
     "q_compact" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +

@@ -1506,6 +1506,16 @@ object EncodePipeline {
     out.groupBy { case (_, f) => fileSuffix(f) }.values.map(_.head).toSeq.sortBy(_._2)
   }
 
+  /** next free append batch id: max committed + 1, or 0 on a table that
+    * has never tracked one. Ad-hoc appenders (the connector's SaveMode
+    * .Append, SQL INSERT INTO) use it; replay-keyed callers (streaming)
+    * pass their own ids instead. */
+  def nextBatchId(spark: SparkSession, outDir: String): Long = {
+    val m = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    if (!m.columns.contains("batch_id")) 0L
+    else m.agg(max(coalesce(col("batch_id"), lit(-1L)))).head().getLong(0) + 1L
+  }
+
   /** persist the decoded (source) schema at the table root so
     * `format("graft")` reads are self-describing. Idempotent; the LAST
     * writer's schema wins (by-name decode handles both directions of

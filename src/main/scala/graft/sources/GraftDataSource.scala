@@ -104,15 +104,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       case ErrorIfExists if exists =>
         throw new IllegalStateException(s"graft table $outDir already exists (SaveMode.ErrorIfExists)")
       case Append if exists =>
-        val batchId = parameters.get("batchId").map(_.toLong).getOrElse {
-          val m = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
-          if (m.columns.contains("batch_id"))
-            m.agg(org.apache.spark.sql.functions.max(
-              org.apache.spark.sql.functions.coalesce(
-                org.apache.spark.sql.functions.col("batch_id"),
-                org.apache.spark.sql.functions.lit(-1L)))).head().getLong(0) + 1L
-          else 0L
-        }
+        val batchId = parameters.get("batchId").map(_.toLong)
+          .getOrElse(EncodePipeline.nextBatchId(spark, outDir))
         EncodePipeline.appendCommit(data, key, outDir, partitions, blockSize, batchId)
       case Overwrite =>
         fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
@@ -142,15 +135,111 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   }
 }
 
-class GraftTable(outDir: String, tableSchema: StructType) extends Table with SupportsRead {
+class GraftTable(outDir: String, tableSchema: StructType) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft.`$outDir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, outDir, tableSchema,
       Option(options.get("gen")).map(_.toInt),
       ignoreChanges = Option(options.get("ignoreChanges")).exists(_.toBoolean))
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` over catalog identifiers,
+    * bridged to the pipeline's commit protocol via the V2→V1 write hook
+    * (V1Write → InsertableRelation — the driver receives the whole input
+    * DataFrame and the encode pipeline keeps its own pinned single-shuffle
+    * plan). Append = exactly-once tracked commit at batchId = max
+    * committed + 1; Overwrite = fresh table under the same directory.
+    * The partitioning key is the first column (the same default as
+    * df.write.format("graft")). */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        overwrite = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: sources.InsertableRelation =
+            new sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  legacyOverwrite: Boolean): Unit = {
+                val spark = data.sparkSession
+                val key = tableSchema.fieldNames.head
+                val partitions = spark.sessionState.conf.numShufflePartitions
+                if (overwrite || legacyOverwrite) {
+                  val p = new Path(outDir)
+                  p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+                  EncodePipeline.run(data, key, outDir, partitions)
+                } else {
+                  EncodePipeline.appendCommit(data, key, outDir, partitions,
+                    batchId = EncodePipeline.nextBatchId(spark, outDir))
+                }
+              }
+            }
+        }
+    }
+
+  /** SQL `DELETE FROM <catalog table> WHERE ...` — merge-on-read: matching
+    * rows land in positional delete vectors ([[EncodePipeline
+    * .deleteWhereLazy]]), ZERO data bytes rewritten, snapshot-tagged for
+    * time travel, reclaimed on materializeDeletes()+vacuum(). SQL 3VL holds
+    * (NULL predicate keeps the row). Spark only routes predicates it can
+    * translate to source filters here; anything else (expressions over
+    * columns, subqueries) raises its standard "cannot translate" analysis
+    * error — the DataFrame-side deleteWhere APIs accept arbitrary Columns.
+    * `TRUNCATE TABLE` arrives as deleteWhere(AlwaysTrue). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters.toSeq.flatMap(GraftTable.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    EncodePipeline.deleteWhereLazy(SparkSession.active, outDir, tableSchema, pred)
+  }
+}
+
+object GraftTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** V1 source Filter → the equivalent Column predicate, for routing SQL
+    * DELETE into the DataFrame-side DML. Total over every filter Spark's
+    * translator emits for this table's flat schema; None only for shapes
+    * that cannot reach it (nested fields, future filter kinds). */
+  private[sources] def filterToColumn(f: Filter): Option[Column] = {
+    def c(name: String): Option[Column] =
+      if (name.contains(".")) None else Some(col(name))
+    f match {
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case sources.EqualTo(a, v) => c(a).map(_ === lit(v))
+      case sources.EqualNullSafe(a, v) => c(a).map(_ <=> lit(v))
+      case sources.GreaterThan(a, v) => c(a).map(_ > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => c(a).map(_ >= lit(v))
+      case sources.LessThan(a, v) => c(a).map(_ < lit(v))
+      case sources.LessThanOrEqual(a, v) => c(a).map(_ <= lit(v))
+      case sources.In(a, vs) => c(a).map(_.isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => c(a).map(_.isNull)
+      case sources.IsNotNull(a) => c(a).map(_.isNotNull)
+      case sources.StringStartsWith(a, p) => c(a).map(_.startsWith(p))
+      case sources.StringEndsWith(a, p) => c(a).map(_.endsWith(p))
+      case sources.StringContains(a, p) => c(a).map(_.contains(p))
+      case sources.And(l, r) =>
+        for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+      case sources.Or(l, r) =>
+        for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+      case sources.Not(x) => filterToColumn(x).map(!_)
+      case _ => None
+    }
+  }
 }
 
 class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructType,

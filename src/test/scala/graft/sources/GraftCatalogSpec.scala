@@ -46,6 +46,57 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(!new java.io.File(s"$warehouse/db2/t2").exists())
   }
 
+  test("INSERT INTO / INSERT OVERWRITE land pipeline commits through SQL") {
+    val d = WebDocGen.dataset(spark, 200, 4).toDF()
+    EncodePipeline.run(d, "url", s"$warehouse/db3/t3", partitions = 2, blockSize = 64)
+    d.limit(40).withColumn("url", concat(col("url"), lit("#ins")))
+      .createOrReplaceTempView("ins_src")
+    spark.sql("INSERT INTO gcat.db3.t3 SELECT * FROM ins_src")
+    assert(spark.sql("SELECT count(*) FROM gcat.db3.t3").head().getLong(0) === 240L)
+    // appended rows are real, decodable rows
+    assert(spark.sql("SELECT count(*) FROM gcat.db3.t3 WHERE url LIKE '%#ins'")
+      .head().getLong(0) === 40L)
+    // a second identical INSERT is a NEW batch (SQL INSERT is not replay-keyed)
+    spark.sql("INSERT INTO gcat.db3.t3 SELECT * FROM ins_src")
+    assert(spark.sql("SELECT count(*) FROM gcat.db3.t3").head().getLong(0) === 280L)
+    // INSERT OVERWRITE replaces the table contents
+    spark.sql("INSERT OVERWRITE gcat.db3.t3 SELECT * FROM ins_src")
+    assert(spark.sql("SELECT count(*) FROM gcat.db3.t3").head().getLong(0) === 40L)
+  }
+
+  test("DELETE FROM routes to merge-on-read vectors; zero data rewrite") {
+    val d = WebDocGen.dataset(spark, 200, 4).toDF()
+    val dir = s"$warehouse/db4/t4"
+    EncodePipeline.run(d, "url", dir, partitions = 2, blockSize = 64)
+    def dataFiles: Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/data")).map(_.getAbsolutePath).toSet
+    }
+    val before = dataFiles
+    val expected = d.filter(col("lang") === "de" || col("lang") === "fr").count()
+    assert(expected > 0)
+    spark.sql("DELETE FROM gcat.db4.t4 WHERE lang IN ('de', 'fr')")
+    assert(spark.sql("SELECT count(*) FROM gcat.db4.t4").head().getLong(0)
+      === 200L - expected)
+    assert(spark.sql("SELECT count(*) FROM gcat.db4.t4 WHERE lang IN ('de','fr')")
+      .head().getLong(0) === 0L)
+    // merge-on-read: the data files are byte-identical, only vectors landed
+    assert(dataFiles === before)
+    assert(new java.io.File(s"$dir/deletes").exists())
+    // second delete composes; 3VL — NULL-predicate rows are kept
+    spark.sql("DELETE FROM gcat.db4.t4 WHERE url LIKE 'https://www.host1.%'")
+    val left = spark.sql("SELECT count(*) FROM gcat.db4.t4").head().getLong(0)
+    val exp2 = d.filter(!col("lang").isin("de", "fr") &&
+      !col("url").startsWith("https://www.host1.")).count()
+    assert(left === exp2)
+    // untranslatable predicates fail loudly, not silently partially
+    intercept[Exception] {
+      spark.sql("DELETE FROM gcat.db4.t4 WHERE length(text) % 2 = 0")
+    }
+    assert(spark.sql("SELECT count(*) FROM gcat.db4.t4").head().getLong(0) === exp2)
+  }
+
   test("CREATE TABLE is refused with guidance; missing tables raise cleanly") {
     warehouse // force catalog registration
     val ex = intercept[Exception] {
