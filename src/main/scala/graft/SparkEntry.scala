@@ -374,6 +374,47 @@ object SparkEntry {
           s"FROM $cat.dbq.docs GROUP BY lang ORDER BY lang")
         .withColumn("sql_mor", lit(sqlMor))
     }),
+    "q_spj" -> ((s, dir) => {
+      // STORAGE-PARTITIONED JOIN end-to-end: two tables written under the
+      // same placement spec (hash(doc_id) into 8 parts) join through the
+      // SQL catalog with ZERO shuffles — the scan reports
+      // KeyGroupedPartitioning over the name-encoded placement transform,
+      // GraftCatalog's FunctionCatalog resolves it, and Spark lines the
+      // co-part files up directly (the Iceberg bucket-join pattern; at
+      // 100 TB this is the difference between a fleet-wide exchange and
+      // none). `spj` pins the executed join plan shuffle-free; the oracle
+      // recomputes the join algebra in DuckDB.
+      val d = tbl(s, dir, "documents")
+      val wh = java.nio.file.Files.createTempDirectory("graft_spj_q").toFile
+      wh.deleteOnExit()
+      val cat = s"gspj_${catalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.getAbsolutePath)
+      EncodePipeline.run(d, "doc_id", s"${wh.getAbsolutePath}/db/a",
+        partitions = 8, blockSize = 1024)
+      EncodePipeline.run(
+        d.filter(col("doc_id") % 3 === 0).withColumn("n_chars", col("n_chars") + 11L),
+        "doc_id", s"${wh.getAbsolutePath}/db/b", partitions = 8, blockSize = 1024)
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set(keys(0), "true"); s.conf.set(keys(1), "-1"); s.conf.set(keys(2), "false")
+      try {
+        val j = s.sql(s"SELECT a.lang, a.n_chars AS ca, b.n_chars AS cb " +
+          s"FROM $cat.db.a a JOIN $cat.db.b b ON a.doc_id = b.doc_id")
+        val spj = j.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }.isEmpty
+        j.groupBy(col("lang")).agg(
+            count(lit(1)).cast("long").as("n_join"),
+            sum(col("cb") - col("ca")).cast("long").as("sum_delta"))
+          .withColumn("spj", lit(spj))
+          .orderBy(col("lang"))
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
     "q_compact" -> ((s, dir) => {
       // table-format maintenance end-to-end: write fragmented (under-filled
       // 16-value blocks), COMPACT to full 2048-value blocks (generation-
@@ -1097,6 +1138,14 @@ object SparkEntry {
         "CAST(sum(doc_id) AS BIGINT) AS sum_id, " +
         "CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents"),
+    "q_spj" ->
+      ("WITH b AS (SELECT doc_id, n_chars + 11 AS n_chars FROM documents " +
+        "WHERE doc_id % 3 = 0) " +
+        "SELECT a.lang, CAST(count(*) AS BIGINT) AS n_join, " +
+        "CAST(sum(b.n_chars - a.n_chars) AS BIGINT) AS sum_delta, " +
+        "TRUE AS spj " +
+        "FROM documents a JOIN b ON a.doc_id = b.doc_id " +
+        "GROUP BY a.lang ORDER BY a.lang"),
     "q_sql_dml" ->
       ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
         "t AS (SELECT * FROM s UNION ALL " +

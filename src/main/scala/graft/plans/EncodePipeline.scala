@@ -85,6 +85,61 @@ object EncodePipeline {
   def hashPart(key: String, partitions: Int): Column =
     pmod(xxhash64(col(key)), lit(partitions)).cast(IntegerType)
 
+  // ================== partition spec (the table's placement law) ==================
+  // `__part` is a pure function of the key row, so co-written tables are
+  // CO-PARTITIONED — the property storage-partitioned joins exploit. The
+  // spec persists which function placed this table's rows (kind + key +
+  // partitions + salts) so (a) every later append lands rows of a key in
+  // the same part the original run chose, and (b) the connector can report
+  // KeyGroupedPartitioning and join two co-specced tables shuffle-free.
+  // Tables written with customPart carry no spec (placement is caller-owned).
+
+  /** the named placement function: `hash` = pmod(xxhash64(key), P);
+    * `host` = saltedHostPart(key, P, S) */
+  final case class PartSpec(kind: String, key: String, partitions: Int, salts: Int) {
+    require(kind == "hash" || kind == "host", s"unknown part kind $kind")
+    /** the Column form — MUST stay in lockstep with the scalar form in
+      * graft.sources.GraftPartFunction.produceResult */
+    def expr: Column =
+      if (kind == "host") saltedHostPart(key, partitions, salts)
+      else hashPart(key, partitions)
+  }
+
+  private[graft] def writePartSpec(spark: SparkSession, outDir: String,
+                                   spec: PartSpec): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/partspec.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val esc = spec.key.replace("\\", "\\\\").replace("\"", "\\\"")
+      val o = fs.create(p, true)
+      o.write((s"""{"kind":"${spec.kind}","key":"$esc",""" +
+        s""""partitions":${spec.partitions},"salts":${spec.salts}}""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      o.close()
+    } catch { case _: Exception => }
+
+  /** the persisted placement spec, if this table recorded one */
+  def readPartSpec(spark: SparkSession, outDir: String): Option[PartSpec] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/partspec.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        in.close()
+        val re = ("\\{\"kind\":\"(hash|host)\",\"key\":\"(.*)\"," +
+          "\"partitions\":(\\d+),\"salts\":(\\d+)\\}").r
+        s match {
+          case re(kind, key, parts, salts) =>
+            Some(PartSpec(kind, key.replace("\\\"", "\"").replace("\\\\", "\\"),
+              parts.toInt, salts.toInt))
+          case _ => None
+        }
+      }
+    } catch { case _: Exception => None }
+
   // ================== shared (per-partition) dictionaries ==================
   // Low-cardinality string columns (lang, host, content_type, …) repeat
   // their dictionary in every ~4k-value block. With shared dictionaries on,
@@ -607,6 +662,9 @@ object EncodePipeline {
       w += 1
     }
     writeSchemaFile(spark, outDir, df.schema)
+    if (customPart.isEmpty)
+      writePartSpec(spark, outDir,
+        PartSpec(if (useHostPartitioner) "host" else "hash", key, partitions, salts))
   }
 
   /** read back the committed blocks — exactly the data files the manifest
@@ -708,7 +766,14 @@ object EncodePipeline {
         }.toMap
     }
     val before = snapshot()
-    val enc = encode(df, key, partitions, blockSize)
+    // honor the table's persisted placement law: appended rows of a key land
+    // in the part the original run chose (keeps the co-partitioning invariant
+    // storage-partitioned joins rely on). Specless / re-keyed: plain hash.
+    val spec = readPartSpec(spark, outDir).filter(_.key == key)
+    val enc = spec match {
+      case Some(ps) => encode(df, key, ps.partitions, blockSize, Some(ps.expr))
+      case None => encode(df, key, partitions, blockSize)
+    }
     enc.write.mode("append").partitionBy("__part").parquet(s"$outDir/data")
     val after = snapshot()
     val newPaths = after.toSeq.flatMap { case (dir, names) =>
@@ -738,6 +803,12 @@ object EncodePipeline {
     }
     rows.write.mode("append").parquet(s"$outDir/meta")
     writeSchemaFile(spark, outDir, df.schema)
+    // a table CREATED by appendCommit (streaming first batch) records its
+    // placement. Only when this commit created the table: a pre-spec-era
+    // table's placement is unknown (host/custom), so stamping "hash" on it
+    // would lie to the storage-partitioned-join machinery.
+    if (rawMeta.isEmpty && spec.isEmpty)
+      writePartSpec(spark, outDir, PartSpec("hash", key, partitions, salts = 4))
     true
   }
 

@@ -2,8 +2,9 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -25,7 +26,7 @@ import graft.plans.EncodePipeline
   * are created by writing (`df.write.format("graft").save(dir)` or the
   * pipeline API) — SQL CREATE TABLE has nothing to materialize for an
   * encode-on-write format, so it is unsupported by design. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -86,6 +87,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs(from).rename(from, to))
       throw new IllegalStateException(s"rename $from -> $to failed")
   }
+
+  // ---- functions: the name-encoded placement functions ----
+  // Catalyst resolves a scan's reported KeyGroupedPartitioning transform
+  // (`graft_part_<kind>_<P>[_<S>](key)`) through here — the hook that turns
+  // co-written graft tables into storage-partitioned (shuffle-free) joins.
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    GraftPartFunction.fromName(ident.name())
+      .filter(_ => ident.namespace().isEmpty)
+      .getOrElse(throw new NoSuchFunctionException(ident))
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && GraftPartFunction.fromName(ident.name()).isDefined
+
+  /** placement functions are name-parameterized (unenumerable); listing is
+    * for discovery UIs only, so list none rather than a fake sample */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array.empty
 
   // ---- namespaces are directories ----
   override def listNamespaces(): Array[Array[String]] = {

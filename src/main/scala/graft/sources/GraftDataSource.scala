@@ -140,6 +140,12 @@ class GraftTable(outDir: String, tableSchema: StructType) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft.`$outDir`"
   override def schema(): StructType = tableSchema
+  /** the persisted placement law as a named transform (DESCRIBE shows it;
+    * the scan re-reports it as KeyGroupedPartitioning for join planning) */
+  override def partitioning(): Array[Transform] =
+    (try EncodePipeline.readPartSpec(SparkSession.active, outDir)
+     catch { case _: Exception => None })
+      .map(s => Array(GraftPartFunction.transformOf(s))).getOrElse(Array.empty)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -472,17 +478,48 @@ class GraftAggScan(outDir: String, aggSchema: StructType, row: InternalRow)
     s"GraftAggScan $outDir PushedAggregation: [${aggSchema.fieldNames.mkString(", ")}] (manifest-only)"
 }
 
-/** one input partition per data file; blocks are self-contained */
+/** one input partition per data file; blocks are self-contained. The
+  * partition key is the file's `__part` id — the value of the table's
+  * placement transform — so Spark can group co-part files and line two
+  * graft scans up for a storage-partitioned join. */
 case class GraftInputPartition(path: String, part: Int,
-                               deletes: Map[Int, Array[Byte]]) extends InputPartition
+                               deletes: Map[Int, Array[Byte]])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](part))
+}
 
 class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
                 required: StructType, gen: Option[Int], survivors: Option[Set[Int]],
                 pushed: Array[Filter], limit: Int, ignoreChanges: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** report the table's placement law so two co-specced graft tables join
+    * WITHOUT a shuffle (storage-partitioned join): KeyGroupedPartitioning
+    * over `graft_part_<kind>_<P>[_<S>](key)`, resolved through
+    * [[GraftCatalog]]'s FunctionCatalog (catalog reads only — a pathed
+    * `format("graft")` read has no function catalog, and Spark then drops
+    * the report). Requires spark.sql.sources.v2.bucketing.enabled=true on
+    * the session. Only reported while the key column survives projection
+    * (the transform must resolve against the scan output) and rows exist. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val spec = try EncodePipeline.readPartSpec(spark, outDir)
+               catch { case _: Exception => None }
+    spec.filter(s => required.fieldNames.contains(s.key)) match {
+      case Some(s) if plannedParts.nonEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(GraftPartFunction.transformOf(s)),
+          plannedParts.map(_.part).distinct.length)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          plannedParts.length)
+    }
+  }
 
   /** the table as a STREAMING SOURCE: micro-batches are the set difference
     * of generation-current data files between offsets — each committed
@@ -505,7 +542,10 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
     s"GraftScan $outDir${gen.map(g => s" gen=$g").getOrElse("")}$f$l"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** memoized: outputPartitioning() (resolved at optimization time) and
+    * planInputPartitions() (physical planning) must agree on the partition
+    * count, so both read one plan of the same generation snapshot */
+  private lazy val plannedParts: Array[GraftInputPartition] = {
     val files = EncodePipeline.currentFiles(spark, outDir, gen)
       .filter { case (p, _) => survivors.forall(_.contains(p)) }
     val dv: Map[(String, Int), Array[Byte]] = gen match {
@@ -515,9 +555,12 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
     files.map { case (p, f) =>
       val suffix = EncodePipeline.fileSuffix(f)
       val slice = dv.collect { case ((s, b), bm) if s == suffix => b -> bm }
-      GraftInputPartition(f, p, slice): InputPartition
+      GraftInputPartition(f, p, slice)
     }.toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedParts.toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val dicts =
