@@ -415,6 +415,54 @@ object SparkEntry {
         case (k, None) => s.conf.unset(k)
       }
     }),
+    "q_runtime_filter" -> ((s, dir) => {
+      // RUNTIME FILTERING (dynamic part pruning): the fact table is written
+      // range-partitioned on doc_id, the dim side's selective filter only
+      // materializes at execution — Spark hands the dim's join-key values
+      // back to the scan (SupportsRuntimeFiltering), and the manifest's
+      // attained zone maps drop whole part directories that plan-time
+      // pushdown could not touch. At fleet scale this is the dim→fact join
+      // reading 4 parts instead of the table. `pruned` pins (via the scan's
+      // probe) that parts were actually dropped at runtime; the oracle
+      // replays the join in DuckDB.
+      val d = tbl(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_rf_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath + "/t"
+      EncodePipeline.run(d, "doc_id", path, partitions = 8, blockSize = 256,
+        customPart = Some(least(floor(col("doc_id") / lit(64)), lit(7)).cast("int")))
+      val fact = s.read.format("graft").load(path)
+      val dim = d.select(col("doc_id").as("k"))
+        .filter(pmod(col("k"), lit(25)) === 7 && col("k") < 100)
+      // at sf-test scale the dim side's byte estimate rivals the fact's, so
+      // the default cost heuristic (fallback ratio 0.5) sees no benefit;
+      // raise the assumed selectivity for this query's own execution window
+      // (restored below) — at fleet scale the default heuristic fires on its
+      // own because the fact dwarfs any dim
+      val ratioKey = "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio"
+      val statsKey = "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+      val saved = Seq(ratioKey, statsKey).map(k => k -> s.conf.getOption(k))
+      s.conf.set(ratioKey, "1000"); s.conf.set(statsKey, "false")
+      val row =
+        try fact.join(dim, fact("doc_id") === dim("k"))
+          .agg(count(lit(1)).cast("long").as("n_join"),
+               sum(col("n_chars")).cast("long").as("sum_chars"))
+          .head()
+        finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      val pruned = graft.sources.GraftScan.runtimeFilterProbe.getOrDefault(path, 0)
+      s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(row.getLong(0), row.getLong(1), pruned > 0)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_join",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("sum_chars",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("pruned",
+            org.apache.spark.sql.types.BooleanType, nullable = false))))
+    }),
     "q_compact" -> ((s, dir) => {
       // table-format maintenance end-to-end: write fragmented (under-filled
       // 16-value blocks), COMPACT to full 2048-value blocks (generation-
@@ -1138,6 +1186,12 @@ object SparkEntry {
         "CAST(sum(doc_id) AS BIGINT) AS sum_id, " +
         "CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents"),
+    "q_runtime_filter" ->
+      ("WITH dim AS (SELECT doc_id AS k FROM documents " +
+        "WHERE doc_id % 25 = 7 AND doc_id < 100) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_join, " +
+        "CAST(sum(f.n_chars) AS BIGINT) AS sum_chars, TRUE AS pruned " +
+        "FROM documents f JOIN dim ON f.doc_id = dim.k"),
     "q_spj" ->
       ("WITH b AS (SELECT doc_id, n_chars + 11 AS n_chars FROM documents " +
         "WHERE doc_id % 3 = 0) " +

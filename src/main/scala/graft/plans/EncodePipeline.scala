@@ -1951,8 +1951,16 @@ object EncodePipeline {
     val meta = readMeta(spark, outDir)
     val isOldRow =
       if (meta.columns.contains("data_files")) col("data_files").isNull else lit(true)
+    // prefer the EXACT attained stats (value_min/value_max, r5) over the
+    // representable codec-domain bounds (value_lo/value_hi): a raw/delta
+    // blob's representable span covers nearly everything, the attained span
+    // only what is actually there. Deletes only shrink a blob's value set,
+    // so attained bounds stay valid supersets. Pre-stats rows fall back.
+    val hasStats = meta.columns.contains("value_min")
+    val loB = if (hasStats) coalesce(col("value_min"), col("value_lo")) else col("value_lo")
+    val hiB = if (hasStats) coalesce(col("value_max"), col("value_hi")) else col("value_hi")
     meta.filter(col("column") === column &&
-        (isOldRow || (col("value_lo") <= hi && col("value_hi") >= lo)))
+        (isOldRow || (loB <= hi && hiB >= lo)))
       .select("__part").distinct().collect().map(_.getInt(0)).sorted
   }
 

@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.graftshim.Bridge
@@ -248,36 +248,12 @@ object GraftTable {
   }
 }
 
-class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructType,
-                       gen: Option[Int], ignoreChanges: Boolean = false)
-    extends ScanBuilder
-    with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
-
-  private val kinds: Map[String, EncodePipeline.ColPlan] =
-    EncodePipeline.plan(tableSchema).map(p => p.name -> p).toMap
-
-  private var required: StructType = tableSchema
-  private var pushed: Array[Filter] = Array.empty
-  private var survivors: Option[Set[Int]] = None // None = all parts
-  private var aggRow: Option[(StructType, InternalRow)] = None
-  private var limit: Int = -1
-
-  // ---- filter pushdown: manifest zone maps prune whole parts; every
-  // filter stays residual (bounds are supersets / truncated) ----
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    if (gen.isEmpty) { // survivingParts* resolve the CURRENT generation only
-      val usable = filters.flatMap(f => survivorsOf(f).map(f -> _))
-      if (usable.nonEmpty) {
-        pushed = usable.map(_._1)
-        survivors = Some(usable.map(_._2).reduce(_ intersect _))
-      }
-    }
-    filters // all residual: Spark re-evaluates above the scan
-  }
-  override def pushedFilters(): Array[Filter] = pushed
+/** V1-Filter → manifest-zone-map part pruning, shared by plan-time pushdown
+  * (GraftScanBuilder) and runtime filtering (GraftScan): which `__part` ids
+  * can possibly hold matching rows. Bounds are supersets (string zone bounds
+  * truncate), so callers always keep the filter residual. None = cannot
+  * reason about this filter (prune nothing). */
+private[sources] object GraftPruning {
 
   /** canonical-long of a filter literal for a long-kind column, or None */
   private def canonLong(dt: DataType, v: Any): Option[Long] = (dt, v) match {
@@ -315,7 +291,10 @@ class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructT
     }
   }
 
-  private def survivorsOf(f: Filter): Option[Set[Int]] = {
+  def survivorsOf(spark: SparkSession, outDir: String,
+                  kinds: Map[String, EncodePipeline.ColPlan],
+                  f: Filter): Option[Set[Int]] = {
+    def recur(g: Filter) = survivorsOf(spark, outDir, kinds, g)
     def longRange(c: String, lo: Long, hi: Long) =
       Some(EncodePipeline.survivingPartsLong(spark, outDir, c, lo, hi).toSet)
     def strRange(c: String, lo: Array[Byte], hi: Array[Byte]) =
@@ -324,6 +303,16 @@ class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructT
       if (p.kind == 'l') canonLong(p.sourceType, v).flatMap(x => longRange(c, x, x))
       else strBytes(v).flatMap(b => strRange(c, b, b))
     }
+    def oneSided(c: String, v: Any, loSide: Boolean): Option[Set[Int]] =
+      kinds.get(c).flatMap { p =>
+        if (p.kind == 'l') canonLong(p.sourceType, v).flatMap { x =>
+          if (loSide) Some(EncodePipeline.survivingPartsLong(spark, outDir, c, x, Long.MaxValue).toSet)
+          else Some(EncodePipeline.survivingPartsLong(spark, outDir, c, Long.MinValue, x).toSet)
+        } else strBytes(v).map { b =>
+          if (loSide) EncodePipeline.survivingPartsStr(spark, outDir, c, b, null).toSet
+          else EncodePipeline.survivingPartsStr(spark, outDir, c, null, b).toSet
+        }
+      }
     try f match {
       case sources.EqualTo(c, v) => point(c, v)
       case sources.EqualNullSafe(c, v) if v != null => point(c, v)
@@ -340,26 +329,50 @@ class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructT
         val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         strRange(c, pb, prefixSucc(pb).orNull)
       case sources.And(l, r) =>
-        (survivorsOf(l), survivorsOf(r)) match {
+        (recur(l), recur(r)) match {
           case (Some(a), Some(b)) => Some(a intersect b)
           case (a, b) => a.orElse(b)
         }
       case sources.Or(l, r) =>
-        for (a <- survivorsOf(l); b <- survivorsOf(r)) yield a union b
+        for (a <- recur(l); b <- recur(r)) yield a union b
       case _ => None
     } catch { case _: Exception => None } // malformed manifest: pruning is optional
   }
+}
 
-  private def oneSided(c: String, v: Any, loSide: Boolean): Option[Set[Int]] =
-    kinds.get(c).flatMap { p =>
-      if (p.kind == 'l') canonLong(p.sourceType, v).flatMap { x =>
-        if (loSide) Some(EncodePipeline.survivingPartsLong(spark, outDir, c, x, Long.MaxValue).toSet)
-        else Some(EncodePipeline.survivingPartsLong(spark, outDir, c, Long.MinValue, x).toSet)
-      } else strBytes(v).map { b =>
-        if (loSide) EncodePipeline.survivingPartsStr(spark, outDir, c, b, null).toSet
-        else EncodePipeline.survivingPartsStr(spark, outDir, c, null, b).toSet
+class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructType,
+                       gen: Option[Int], ignoreChanges: Boolean = false)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
+
+  private val kinds: Map[String, EncodePipeline.ColPlan] =
+    EncodePipeline.plan(tableSchema).map(p => p.name -> p).toMap
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var survivors: Option[Set[Int]] = None // None = all parts
+  private var aggRow: Option[(StructType, InternalRow)] = None
+  private var limit: Int = -1
+
+  // ---- filter pushdown: manifest zone maps prune whole parts; every
+  // filter stays residual (bounds are supersets / truncated) ----
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (gen.isEmpty) { // survivingParts* resolve the CURRENT generation only
+      val usable = filters.flatMap(f => survivorsOf(f).map(f -> _))
+      if (usable.nonEmpty) {
+        pushed = usable.map(_._1)
+        survivors = Some(usable.map(_._2).reduce(_ intersect _))
       }
     }
+    filters // all residual: Spark re-evaluates above the scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  private def survivorsOf(f: Filter): Option[Set[Int]] =
+    GraftPruning.survivorsOf(spark, outDir, kinds, f)
 
   // ---- column pruning ----
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -469,6 +482,13 @@ class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructT
   }
 }
 
+object GraftScan {
+  /** test/diagnostic probe: outDir → input partitions pruned by the last
+    * runtime filter (runtime filtering is semantically invisible, so specs
+    * pin its effect here) */
+  val runtimeFilterProbe = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+}
+
 /** manifest-served aggregate result: zero input partitions, zero data files */
 class GraftAggScan(outDir: String, aggSchema: StructType, row: InternalRow)
     extends LocalScan {
@@ -493,10 +513,49 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
                 required: StructType, gen: Option[Int], survivors: Option[Set[Int]],
                 pushed: Array[Filter], limit: Int, ignoreChanges: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // ---- runtime filtering (dynamic "partition" pruning): after a join's
+  // build side materializes, Spark hands its key values back as filters;
+  // the manifest zone maps then prune whole part directories that were
+  // un-prunable at plan time. At fleet scale this turns a selective
+  // dim→fact join from a full-table scan into a few parts. Filters are
+  // pruning-only (supersets) — Spark keeps evaluating them above the scan.
+  @volatile private var runtimeSurvivors: Option[Set[Int]] = None
+
+  /** every encodable column carries manifest zone maps, so all are
+    * runtime-filterable — but Spark resolves these against the PRUNED scan
+    * output, so only advertise columns that survived projection.
+    * Generation pins decline (survivingParts* resolve the CURRENT
+    * generation only). */
+  override def filterAttributes(): Array[NamedReference] =
+    if (gen.nonEmpty) Array.empty
+    else EncodePipeline.plan(tableSchema)
+      .filter(p => required.fieldNames.contains(p.name))
+      .map(p => Expressions.column(p.name)).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val kinds = EncodePipeline.plan(tableSchema).map(p => p.name -> p).toMap
+    val sets = filters.flatMap(f => GraftPruning.survivorsOf(spark, outDir, kinds, f))
+    if (sys.env.contains("GRAFT_RF_DEBUG"))
+      println(s"[graft-rf-debug] filters=${filters.mkString(" ; ")} " +
+        s"sets=${sets.map(_.toSeq.sorted).mkString("|")} planned=${plannedParts.map(_.part).toSeq.sorted}")
+    if (sets.nonEmpty) {
+      val s = sets.reduce(_ intersect _)
+      runtimeSurvivors = Some(s)
+      // probe records parts the whole skip stack dropped as of this filter:
+      // under AQE the broadcast's values often ALSO fold into a plan-time
+      // In() pushdown on the re-planned scan (plannedParts then already
+      // shrank), so count against the table's full current part set
+      val total = EncodePipeline.currentFiles(spark, outDir, gen)
+        .map(_._1).distinct.size
+      val left = plannedParts.map(_.part).distinct.count(s.contains)
+      GraftScan.runtimeFilterProbe.put(outDir, total - left)
+    }
+  }
 
   /** report the table's placement law so two co-specced graft tables join
     * WITHOUT a shuffle (storage-partitioned join): KeyGroupedPartitioning
@@ -559,8 +618,10 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
     }.toArray
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    plannedParts.toArray[InputPartition]
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rs = runtimeSurvivors
+    plannedParts.filter(p => rs.forall(_.contains(p.part))).toArray[InputPartition]
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val dicts =

@@ -120,6 +120,29 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(viaPrefix === viaSubstr && viaPrefix > 0)
   }
 
+  test("runtime filtering: a selective dim join prunes fact parts at execution") {
+    val n = 1200
+    val dd = docs(n).withColumn("rid", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("url"))).cast("long"))
+    val out = tmpDir()
+    // range partitioner: rid ranges are disjoint per part, so the dim side's
+    // collected keys can rule whole parts out at runtime
+    EncodePipeline.run(dd, "url", out, partitions = 6, blockSize = 64,
+      customPart = Some(least(floor(col("rid") / lit(n / 6 + 1)), lit(5)).cast("int")))
+    val fact = spark.read.format("graft").load(out)
+    // the dim filter must be data-dependent: a constant predicate folds away
+    // and DPP sees no selective filter to derive the runtime values from
+    val dim = spark.range(1, 100)
+      .select(col("id").as("rid"), (col("id") % 5).as("m"))
+    GraftScan.runtimeFilterProbe.clear()
+    val j = fact.join(dim.filter(col("m") === 0), "rid")
+    assert(j.count() === 19L)
+    val pruned = GraftScan.runtimeFilterProbe.getOrDefault(out, -1)
+    assert(pruned > 0,
+      s"expected the runtime filter to prune parts (probe=$pruned):\n" +
+        j.queryExecution.executedPlan)
+  }
+
   test("merge-on-read delete vectors apply at scan time; gen option time-travels") {
     val d = docs(600)
     val out = tmpDir()
