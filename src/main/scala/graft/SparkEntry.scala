@@ -415,6 +415,67 @@ object SparkEntry {
         case (k, None) => s.conf.unset(k)
       }
     }),
+    "q_sql_update" -> ((s, dir) => {
+      // SQL UPDATE via the delta row-level path: the predicate is NOT
+      // source-filter-translatable, so Spark rewrites through
+      // GraftRowLevelOperation — originals land in positional delete
+      // vectors, updated versions re-encode as law-placed block files,
+      // ZERO existing data bytes rewritten (`mor` pins pre-existing files
+      // byte-identical + the deletes/ side structure present). The oracle
+      // replays the update algebraically in DuckDB.
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 3)
+      val wh = java.nio.file.Files.createTempDirectory("graft_sqlupd_q").toFile
+      wh.deleteOnExit()
+      val cat = s"gupd_${catalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.getAbsolutePath)
+      val tdir = s"${wh.getAbsolutePath}/dbu/docs"
+      EncodePipeline.run(d, "doc_id", tdir, partitions = 8, blockSize = 1024)
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$tdir/data"))
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .map(f => f.getAbsolutePath -> f.length()).toMap
+      }
+      val before = files()
+      s.sql(s"UPDATE $cat.dbu.docs SET lang = concat(lang, '!'), " +
+        "n_chars = n_chars + 1000 WHERE length(text) % 2 = 0")
+      val after = files()
+      val mor = before.forall { case (p, n) => after.get(p).contains(n) } &&
+        new java.io.File(s"$tdir/deletes").exists()
+      s.sql(s"SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+          s"FROM $cat.dbu.docs GROUP BY lang ORDER BY lang")
+        .withColumn("mor", lit(mor))
+    }),
+    "q_sql_merge" -> ((s, dir) => {
+      // SQL MERGE INTO via the delta row-level path (the SQL twin of
+      // q_merge's DataFrame API): matched rows update (vector-delete +
+      // law-placed re-insert), unmatched rows insert as fresh block files.
+      // The oracle recomputes the merged table in DuckDB.
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 3)
+      val wh = java.nio.file.Files.createTempDirectory("graft_sqlmrg_q").toFile
+      wh.deleteOnExit()
+      val cat = s"gmrg_${catalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.getAbsolutePath)
+      val tdir = s"${wh.getAbsolutePath}/dbm/docs"
+      EncodePipeline.run(d, "doc_id", tdir, partitions = 8, blockSize = 1024)
+      val repl = d.filter(col("doc_id") % 10 === 3)
+        .withColumn("lang", lit("xx"))
+        .withColumn("n_chars", col("n_chars") + 500L)
+      val ins = d.filter(col("doc_id") % 25 === 7)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      repl.unionByName(ins).createOrReplaceTempView("sql_merge_src")
+      s.sql(s"MERGE INTO $cat.dbm.docs t USING sql_merge_src s " +
+        "ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET lang = s.lang, n_chars = s.n_chars " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      s.sql(s"SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        s"FROM $cat.dbm.docs GROUP BY lang ORDER BY lang")
+    }),
     "q_runtime_filter" -> ((s, dir) => {
       // RUNTIME FILTERING (dynamic part pruning): the fact table is written
       // range-partitioned on doc_id, the dim side's selective filter only
@@ -1186,6 +1247,26 @@ object SparkEntry {
         "CAST(sum(doc_id) AS BIGINT) AS sum_id, " +
         "CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents"),
+    "q_sql_update" ->
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
+        "u AS (SELECT doc_id, " +
+        "CASE WHEN length(text) % 2 = 0 THEN lang || '!' ELSE lang END AS lang, " +
+        "CASE WHEN length(text) % 2 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars " +
+        "FROM s) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, TRUE AS mor " +
+        "FROM u GROUP BY lang ORDER BY lang"),
+    "q_sql_merge" ->
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
+        "merged AS (" +
+        "SELECT * FROM s WHERE doc_id % 10 <> 3 " +
+        "UNION ALL SELECT doc_id, text, 'xx' AS lang, source, n_chars + 500 " +
+        "FROM s WHERE doc_id % 10 = 3 " +
+        "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars " +
+        "FROM s WHERE doc_id % 25 = 7) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM merged GROUP BY lang ORDER BY lang"),
     "q_runtime_filter" ->
       ("WITH dim AS (SELECT doc_id AS k FROM documents " +
         "WHERE doc_id % 25 = 7 AND doc_id < 100) " +

@@ -812,6 +812,56 @@ object EncodePipeline {
     true
   }
 
+  /** driver-side commit for SQL row-level (delta) writes — the tail ends of
+    * [[appendCommit]] and [[deleteWhereLazy]] replayed over files/bitmaps
+    * the executors produced: `insertedFiles` (already under `data/__part=p/`)
+    * manifest-append as a tracked batch, `deletes` land as gen-tagged
+    * positional vectors plus a snapshot marker. Inserts commit FIRST so a
+    * crash between the two never loses rows (the updateWhereLazy window,
+    * documented there). */
+  def commitDelta(spark: SparkSession, outDir: String, sourceSchema: StructType,
+                  insertedFiles: Seq[String],
+                  deletes: Seq[(String, Int, Array[Byte])],
+                  batchId: Long): Unit = {
+    if (insertedFiles.nonEmpty) {
+      val t0 = System.currentTimeMillis()
+      val rawMeta = try {
+        Some(spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta"))
+      } catch { case _: Exception => None }
+      val written = spark.read.option("basePath", s"$outDir/data")
+        .parquet(insertedFiles: _*)
+      val partFiles = written
+        .select(col("__part"), input_file_name().as("__file"))
+        .groupBy(col("__part"))
+        .agg(sort_array(collect_set(col("__file"))).as("data_files"))
+      var rows = metadata(written, sourceSchema)
+        .join(partFiles, Seq("__part"))
+        .withColumn("wave", lit(batchId.toInt))
+        .withColumn("wall_millis", lit(System.currentTimeMillis() - t0))
+        .withColumn("attempt", lit(1))
+        .withColumn("batch_id", lit(batchId))
+      rawMeta.filter(_.columns.contains("gen")).foreach { m =>
+        val cur = m.groupBy(col("__part"))
+          .agg(max(coalesce(col("gen"), lit(0))).as("__curgen"))
+        rows = rows.join(broadcast(cur), Seq("__part"), "left")
+          .withColumn("gen", coalesce(col("__curgen"), lit(0)))
+          .drop("__curgen")
+      }
+      rows.write.mode("append").parquet(s"$outDir/meta")
+      writeSchemaFile(spark, outDir, sourceSchema)
+    }
+    if (deletes.nonEmpty) {
+      val meta = readMeta(spark, outDir)
+      val nextGen = 1 + (if (meta.columns.contains("gen"))
+        meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+      val spark2 = spark
+      import spark2.implicits._
+      deletes.toDF("file", "block", "bitmap").withColumn("gen", lit(nextGen))
+        .write.mode("append").parquet(s"$outDir/deletes")
+      genMarker(spark, nextGen).write.mode("append").parquet(s"$outDir/meta")
+    }
+  }
+
   // ---------------- compaction (manifest generations) ----------------
 
   /** re-block fragmented committed parts into full blocks and SUPERSEDE

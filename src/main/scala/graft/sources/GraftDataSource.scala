@@ -137,7 +137,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
 
 class GraftTable(outDir: String, tableSchema: StructType) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft.`$outDir`"
   override def schema(): StructType = tableSchema
   /** the persisted placement law as a named transform (DESCRIBE shows it;
@@ -191,6 +193,31 @@ class GraftTable(outDir: String, tableSchema: StructType) extends Table
             }
         }
     }
+
+  /** row coordinates as metadata columns — the positional-delete-vector key
+    * (`_file` part-qualified data-file id, `_block`, `_pos` original
+    * in-block ordinal, stable under delete-vector application). SELECTable
+    * for lineage debugging; the row-level operations use them as rowId. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    def m(n: String, dt: org.apache.spark.sql.types.DataType) =
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = false
+      }
+    Array(m("_file", StringType), m("_block", IntegerType), m("_pos", IntegerType))
+  }
+
+  /** SQL UPDATE / MERGE INTO / complex DELETE — delta-based row-level
+    * operations (see [[GraftRowLevelOperation]]): deletes become positional
+    * vectors, updates delete+insert, inserts encode as fresh block files
+    * placed by the table's persisted law. Simple DELETE predicates never
+    * reach this — Spark's metadata-only path routes them to
+    * [[deleteWhere]] below. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(outDir, tableSchema, info.command())
 
   /** SQL `DELETE FROM <catalog table> WHERE ...` — merge-on-read: matching
     * rows land in positional delete vectors ([[EncodePipeline
@@ -487,6 +514,20 @@ object GraftScan {
     * runtime filter (runtime filtering is semantically invisible, so specs
     * pin its effect here) */
   val runtimeFilterProbe = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+
+  /** column plans for a (possibly pruned) read schema that may request the
+    * metadata columns `_file`/`_block`/`_pos` — those get kind 'm'
+    * (synthesized per row by the reader, no blob behind them). A TABLE
+    * column of the same name shadows the metadata one (Spark's
+    * canRenameConflictingMetadataColumns=false semantics). */
+  def planWithMeta(tableSchema: StructType, required: StructType):
+      Array[EncodePipeline.ColPlan] = {
+    val metaNames = Set("_file", "_block", "_pos") -- tableSchema.fieldNames.toSet
+    required.fields.map { fl =>
+      if (metaNames.contains(fl.name)) EncodePipeline.ColPlan(fl.name, 'm', fl.dataType)
+      else EncodePipeline.plan(StructType(Seq(fl))).head
+    }
+  }
 }
 
 /** manifest-served aggregate result: zero input partitions, zero data files */
@@ -630,7 +671,7 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
     val dictsBc = if (dicts.isEmpty) None
                   else Some(spark.sparkContext.broadcast(dicts))
     GraftReaderFactory(Bridge.hadoopConfBroadcast(spark),
-      EncodePipeline.plan(required).toArray, dictsBc, limit)
+      GraftScan.planWithMeta(tableSchema, required), dictsBc, limit)
   }
 
   /** exact stats from the manifest: decoded size for join sizing, row count
@@ -769,7 +810,11 @@ class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
   private val present: Array[Boolean] =
-    f.cols.map(c => fileSchema.containsField("e_" + c.name))
+    f.cols.map(c => c.kind != 'm' && fileSchema.containsField("e_" + c.name))
+  // the part-qualified data-file id (what `_file` reports and delete
+  // vectors key on), computed once per file
+  private val fileSuffixU8: UTF8String =
+    UTF8String.fromString(EncodePipeline.fileSuffix(p.path))
   private val projection: MessageType = {
     val wanted = Seq("__block", "__cnt") ++
       f.cols.filter(c => fileSchema.containsField("e_" + c.name)).map("e_" + _.name)
@@ -811,7 +856,9 @@ class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
     var c = 0
     while (c < nCols) {
       val name = "e_" + f.cols(c).name
-      if (!present(c) || g.getFieldRepetitionCount(name) == 0) {
+      if (f.cols(c).kind == 'm') {
+        () // metadata column: synthesized per row below, no blob behind it
+      } else if (!present(c) || g.getFieldRepetitionCount(name) == 0) {
         allNull(c) = true // column absent from this file's era
       } else {
         val blob = g.getBinary(name, 0).getBytes
@@ -840,6 +887,11 @@ class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
           vals(c2) =
             if (allNull(c2)) null
             else f.cols(c2).kind match {
+              case 'm' => f.cols(c2).name match {
+                case "_file" => fileSuffixU8
+                case "_block" => block
+                case "_pos" => i
+              }
               case 'l' =>
                 if (longNulls(c2) != null && longNulls(c2)(i)) null
                 else restoreLong(f.cols(c2).sourceType, longVals(c2)(i))
