@@ -635,7 +635,7 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
     * reprocessing, mirroring Delta's semantics. */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(spark, outDir, required, ignoreChanges)
+    new GraftMicroBatchStream(spark, outDir, tableSchema, required, ignoreChanges)
   override def description(): String = {
     val f = if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]"
     val l = if (limit < 0) "" else s" PushedLimit: $limit"
@@ -735,6 +735,7 @@ object GraftSourceOffset {
 }
 
 class GraftMicroBatchStream(spark: SparkSession, outDir: String,
+                            tableSchema: StructType,
                             required: StructType, ignoreChanges: Boolean)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -780,7 +781,7 @@ class GraftMicroBatchStream(spark: SparkSession, outDir: String,
       catch { case _: Exception => Map.empty[Long, Codecs.DictTable] }
     val dictsBc = if (dicts.isEmpty) None else Some(spark.sparkContext.broadcast(dicts))
     GraftReaderFactory(Bridge.hadoopConfBroadcast(spark),
-      EncodePipeline.plan(required).toArray, dictsBc, -1)
+      GraftScan.planWithMeta(tableSchema, required), dictsBc, -1)
   }
 }
 
