@@ -151,6 +151,36 @@ object KernelBench {
       }
     }
 
+    // transparent DEFLATE page layer over the WINNING blob (Codecs.PageZlib):
+    // wrap/unwrap throughput and residual ratio at levels 1/6/9 on the
+    // FSST-compressed webtext page — the measurement behind PageLevel.
+    // Throughput is normalized to INNER (pre-page) bytes: that is the rate
+    // the page stage adds to the per-core encode/decode budget.
+    {
+      val inner = fsstBlob
+      for (lvl <- Seq(1, 3, 6)) {
+        val wrapped = Codecs.pageWrapAt(inner, lvl)
+        val extra = inner.length.toDouble / wrapped.length
+        bench(f"page wrap L$lvl (fsst text)", inner.length.toLong, 4) {
+          Codecs.pageWrapAt(inner, lvl)
+        }
+        println(f"page ratio L$lvl (over fsst)  ${extra}%10.2fx")
+      }
+      val wrappedDef = Codecs.pageWrapAt(inner, Codecs.PageLevel)
+      // cold inflate (what the first probe of a blob pays) vs the memo hit
+      // (what each FURTHER kernel over the same blob pays — a memcmp)
+      bench("page inflate COLD (fsst)", inner.length.toLong, 4) {
+        Codecs.pageInflate(wrappedDef)
+      }
+      bench("page unwrap MEMO (fsst)", inner.length.toLong, 4) {
+        Codecs.pageUnwrap(wrappedDef)
+      }
+      // end-to-end string decode through the page (what readers actually pay)
+      val pagedFsst = Codecs.pageWrap(fsstBlob)
+      bench("fsst decode PAGED (text)", textBytes, 4) { Codecs.decodeStrs(pagedFsst) }
+      bench("fsst view PAGED (text)", textBytes, 4) { Codecs.decodeStrsView(pagedFsst) }
+    }
+
     // raw FSST kernel on one big buffer (no per-row framing)
     val big = sb.toString.getBytes("UTF-8")
     val table = Fsst.train(java.util.Arrays.copyOf(big, 1 << 14))

@@ -240,6 +240,26 @@ object SparkEntry {
           (sum(col("encoded_bytes")) < sum(col("raw_bytes"))).as("encoded_lt_raw"))
         .orderBy(col("column_name"))
     }),
+    "q_page_compress" -> ((s, dir) => {
+      // the transparent DEFLATE page layer (the Parquet encoding-vs-page-
+      // compression separation, Codecs.PageZlib): pipeline blobs carry an
+      // outermost zlib page when it saves ≥1/16 of the bytes; decode, views
+      // and every zone kernel unwrap at entry. The oracle pins bit-identical
+      // decode THROUGH the page layer (count/byte-mass/char-sum aggregates
+      // of the decoded table against the raw parquet) plus that pages
+      // actually engaged on the text column while still beating raw bytes.
+      val d = tbl(s, dir, "documents")
+      val enc = EncodePipeline.encode(d, "doc_id", partitions = 8, blockSize = 4096)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = enc.agg(
+        (sum(when(blob_page(col("e_text")), 1L).otherwise(0L)) > 0L).as("page_used"),
+        (sum(octet_length(col("e_text"))) < sum(col("r_text"))).as("enc_lt_raw"))
+      val dec = EncodePipeline.decode(enc, d.schema)
+      dec.agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(octet_length(col("text"))).cast("long").as("text_bytes"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .crossJoin(stats)
+    }),
     "q_shared_dict" -> ((s, dir) => {
       // per-partition shared dictionaries end-to-end: documents'
       // low-cardinality source/lang columns encode against once-per-
@@ -1210,6 +1230,11 @@ object SparkEntry {
         "UNION ALL SELECT 'source', CAST(sum(strlen(source)) AS BIGINT), TRUE FROM documents " +
         "UNION ALL SELECT 'text', CAST(sum(strlen(text)) AS BIGINT), TRUE FROM documents" +
         ") ORDER BY column_name"),
+    "q_page_compress" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(strlen(text)) AS BIGINT) AS text_bytes, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "TRUE AS page_used, TRUE AS enc_lt_raw FROM documents"),
     "q_shared_dict" ->
       ("SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +

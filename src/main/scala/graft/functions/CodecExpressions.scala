@@ -101,6 +101,8 @@ object CodecRuntime {
 
   def blobCodec(blob: Array[Byte]): UTF8String = UTF8String.fromString(Codecs.codecOf(blob))
 
+  def blobPage(blob: Array[Byte]): Boolean = Codecs.isPageCompressed(blob)
+
   def countEq(blob: Array[Byte], v: Long): Long = Codecs.countEqLong(blob, v)
   def countEq(blob: Array[Byte], v: UTF8String): Long = Codecs.countEqStr(blob, v.getBytes)
   def countEq(blob: Array[Byte], v: Array[Byte]): Long = Codecs.countEqStr(blob, v)
@@ -548,6 +550,24 @@ case class BlobCodec(child: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.CodecRuntime.blobCodec($c)")
   override protected def withNewChildInternal(newChild: Expression): BlobCodec =
+    copy(child = newChild)
+}
+
+/** whether the stored blob carries the transparent DEFLATE page layer
+  * (Codecs.PageZlib) — a page property, reported separately from the inner
+  * codec name exactly as Parquet separates encoding from page compression. */
+case class BlobPageCompressed(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "blob_page"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == BinaryType,
+      s"blob_page expects binary blob, got ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any =
+    CodecRuntime.blobPage(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodecRuntime.blobPage($c)")
+  override protected def withNewChildInternal(newChild: Expression): BlobPageCompressed =
     copy(child = newChild)
 }
 

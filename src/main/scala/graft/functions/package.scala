@@ -27,6 +27,7 @@ package object functions {
   def decode_binary(c: Column): Column = toCol(DecodeBinary(toExpr(c)))
 
   def blob_codec(c: Column): Column = toCol(BlobCodec(toExpr(c)))
+  def blob_page(c: Column): Column = toCol(BlobPageCompressed(toExpr(c)))
   def blob_count_eq(blob: Column, v: Column): Column = toCol(BlobCountEq(toExpr(blob), toExpr(v)))
   def blob_contains(blob: Column, v: Column): Column = toCol(BlobContains(toExpr(blob), toExpr(v)))
   def blob_count_between(blob: Column, lo: Column, hi: Column): Column =

@@ -297,6 +297,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "encode_binary" -> { case Seq(c) => EncodeBinary(c) },
     "decode_binary" -> { case Seq(c) => DecodeBinary(c) },
     "blob_codec" -> { case Seq(c) => BlobCodec(c) },
+    "blob_page" -> { case Seq(c) => BlobPageCompressed(c) },
     "blob_count_eq" -> { case Seq(b, v) => BlobCountEq(b, v) },
     "blob_contains" -> { case Seq(b, v) => BlobContains(b, v) },
     "blob_count_between" -> { case Seq(b, lo, hi) => BlobCountBetween(b, lo, hi) },

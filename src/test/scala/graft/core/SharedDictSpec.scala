@@ -107,8 +107,10 @@ class SharedDictSpec extends AnyFunSuite {
     assert(Codecs.countEqStr(blob, b("www.host3.example.con")) === 0L)
     // zone-rejected (outside inline bounds — resolved with NO dictionary,
     // verified by probing a blob whose dict id is junk)
-    val junk = blob.clone()
-    // dict_id lives at offset 5..12; flip a byte → unresolvable
+    // dict_id lives at offset 5..12 of the PLAIN layout; unwrap the page
+    // layer first (kernels accept plain blobs unchanged), then flip a byte
+    // → unresolvable
+    val junk = Codecs.pageUnwrap(blob).clone()
     junk(6) = (junk(6) ^ 0x7f).toByte
     assert(Codecs.countEqStr(junk, b("zzz")) === 0L) // > hi, rejected pre-resolve
     assert(Codecs.countEqStr(junk, b("a")) === 0L)   // < lo, rejected pre-resolve
