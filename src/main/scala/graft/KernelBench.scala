@@ -151,28 +151,37 @@ object KernelBench {
       }
     }
 
-    // transparent DEFLATE page layer over the WINNING blob (Codecs.PageZlib):
-    // wrap/unwrap throughput and residual ratio at levels 1/6/9 on the
-    // FSST-compressed webtext page — the measurement behind PageLevel.
-    // Throughput is normalized to INNER (pre-page) bytes: that is the rate
-    // the page stage adds to the per-core encode/decode budget.
+    // transparent compressed-page layer over the WINNING blob (zstd default,
+    // legacy DEFLATE readable): wrap/unwrap throughput and residual ratio on
+    // the FSST-compressed webtext page — the measurement behind PageLevel
+    // and the zstd-over-DEFLATE decision. Throughput is normalized to INNER
+    // (pre-page) bytes: that is the rate the page stage adds to the
+    // per-core encode/decode budget.
     {
       val inner = fsstBlob
       for (lvl <- Seq(1, 3, 6)) {
-        val wrapped = Codecs.pageWrapAt(inner, lvl)
+        val wrapped = Codecs.pageWrapZstdAt(inner, lvl)
         val extra = inner.length.toDouble / wrapped.length
-        bench(f"page wrap L$lvl (fsst text)", inner.length.toLong, 4) {
-          Codecs.pageWrapAt(inner, lvl)
+        bench(f"page zstd wrap L$lvl (fsst)", inner.length.toLong, 4) {
+          Codecs.pageWrapZstdAt(inner, lvl)
         }
-        println(f"page ratio L$lvl (over fsst)  ${extra}%10.2fx")
+        println(f"page zstd ratio L$lvl          ${extra}%10.2fx")
       }
-      val wrappedDef = Codecs.pageWrapAt(inner, Codecs.PageLevel)
+      val zlibWrapped = Codecs.pageWrapAt(inner, 3)
+      bench("page ZLIB wrap L3 (fsst)", inner.length.toLong, 4) {
+        Codecs.pageWrapAt(inner, 3)
+      }
+      println(f"page ZLIB ratio L3          ${inner.length.toDouble / zlibWrapped.length}%10.2fx")
+      val wrappedDef = Codecs.pageWrapZstdAt(inner, Codecs.PageLevel)
       // cold inflate (what the first probe of a blob pays) vs the memo hit
       // (what each FURTHER kernel over the same blob pays — a memcmp)
-      bench("page inflate COLD (fsst)", inner.length.toLong, 4) {
+      bench("page inflate COLD (zstd)", inner.length.toLong, 4) {
         Codecs.pageInflate(wrappedDef)
       }
-      bench("page unwrap MEMO (fsst)", inner.length.toLong, 4) {
+      bench("page inflate COLD (zlib)", inner.length.toLong, 4) {
+        Codecs.pageInflate(zlibWrapped)
+      }
+      bench("page unwrap MEMO", inner.length.toLong, 4) {
         Codecs.pageUnwrap(wrappedDef)
       }
       // end-to-end string decode through the page (what readers actually pay)

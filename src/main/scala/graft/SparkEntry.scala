@@ -241,9 +241,10 @@ object SparkEntry {
         .orderBy(col("column_name"))
     }),
     "q_page_compress" -> ((s, dir) => {
-      // the transparent DEFLATE page layer (the Parquet encoding-vs-page-
-      // compression separation, Codecs.PageZlib): pipeline blobs carry an
-      // outermost zlib page when it saves ≥1/16 of the bytes; decode, views
+      // the transparent compressed-page layer (the Parquet encoding-vs-page-
+      // compression separation; zstd default, legacy DEFLATE readable):
+      // pipeline blobs carry an outermost page when it saves ≥1/16 of the
+      // bytes; decode, views
       // and every zone kernel unwrap at entry. The oracle pins bit-identical
       // decode THROUGH the page layer (count/byte-mass/char-sum aggregates
       // of the decoded table against the raw parquet) plus that pages

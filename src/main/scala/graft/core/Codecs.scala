@@ -83,7 +83,7 @@ object Codecs {
   // ==================== page compression (transparent) ====================
   // A Parquet-style second stage: the lightweight codecs above exploit
   // per-column structure (order, cardinality, runs, shared substrings); a
-  // general-purpose DEFLATE pass over the WINNING blob then captures the
+  // general-purpose compression pass over the WINNING blob then captures the
   // cross-value redundancy they intentionally leave behind (FSST code
   // sequences of Zipf-distributed words, dictionary bytes, packed-length
   // streams). Same separation as Parquet's encoding vs page compression:
@@ -92,55 +92,94 @@ object Codecs {
   // (decode/view/zone kernels/stats) unwraps at entry, so mixed-era tables
   // (blobs written before this layer existed) read unchanged.
   //
-  // Layout: [30][innerLen:int4 LE][raw DEFLATE stream of the inner blob].
+  // Layout: [id][innerLen:int4 LE][compressed stream of the inner blob],
+  // id 31 = zstd (the writer default), id 30 = raw DEFLATE (readable forever
+  // for blobs written before the zstd switch — mixed-era tables).
   // Applied OUTERMOST only: null wrappers and shared-dict payloads are never
   // wrapped separately, so kernels that offset into a wrapper's inner blob
   // keep seeing plain codec ids. Wrapping is skipped when the blob is small
-  // (< PageMinBytes) or DEFLATE saves less than 1/16 of the bytes — a page
-  // that barely compresses is not worth the inflate on every probe.
+  // (< PageMinBytes) or compression saves less than 1/16 of the bytes — a
+  // page that barely compresses is not worth the inflate on every probe.
+  //
+  // Why zstd (the jar ships with Spark itself — no new dependency): measured
+  // on the FSST-compressed webtext page (see BENCH/BASELINE.md), zstd L3
+  // wraps at 116 MB/s and unwraps at 544 MB/s inner-normalized vs DEFLATE
+  // L3's 25.6 / 122 — 4.5x both ways — for 1.47x vs 1.65x residual ratio.
+  // A read-mostly 100 TB store takes the 4.5x cheaper reads; DEFLATE's
+  // extra ~10% of page bytes does not buy back a 4x decode-CPU regression.
   final val PageZlib = 30
+  final val PageZstd = 31
   final val PageMinBytes = 64
-  /** level 3: measured in KernelBench on FSST-compressed webtext pages —
-    * see BENCH/BASELINE.md — as the ratio/throughput knee. On FSST output
-    * the byte stream is already substring-deduplicated, so DEFLATE's lazy
-    * matching at L6+ buys nothing: L3 compresses the text page BETTER than
-    * L6 (1.648x vs 1.620x measured) at 2.2x the speed (36.8 vs 16.6 MB/s
-    * inner-normalized). L6 only wins on the small sorted-dict/prefix pages
-    * (a minor byte share next to text/html). */
+  /** zstd level 3: the measured ratio/throughput knee on FSST-compressed
+    * webtext pages (L1 1.35x at 568 MB/s, L3 1.47x at 116 MB/s, L6 1.56x at
+    * 48 MB/s, L9+ flat — see BENCH/BASELINE.md; decompression speed is
+    * level-independent). */
   final val PageLevel = 3
 
-  private val deflaters = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
-    new java.util.zip.Deflater(PageLevel, true))
   private val inflaters = ThreadLocal.withInitial[java.util.zip.Inflater](() =>
     new java.util.zip.Inflater(true))
 
-  /** wrap `blob` in a DEFLATE page if it saves ≥1/16 of the bytes; returns
-    * `blob` itself otherwise (and when already wrapped — idempotent). */
-  def pageWrap(blob: Array[Byte]): Array[Byte] = pageWrapWith(blob, deflaters.get())
+  @inline private def isPageId(id: Int): Boolean = id == PageZlib || id == PageZstd
 
-  /** bench-only: wrap at an explicit DEFLATE level (KernelBench sizes the
-    * PageLevel knee with this; the hot path uses the thread-local at
-    * PageLevel). */
-  private[graft] def pageWrapAt(blob: Array[Byte], level: Int): Array[Byte] =
-    pageWrapWith(blob, new java.util.zip.Deflater(level, true))
+  /** operational knob (read once per JVM): -Dgraft.page.codec=zstd (default)
+    * | zlib (legacy writer) | none (disable the page stage — e.g. a cluster
+    * whose scans are CPU-bound rather than IO-bound). READERS are unaffected:
+    * every page kind already written stays decodable regardless of the
+    * writer setting. */
+  private val pageCodecDefault: String =
+    sys.env.getOrElse("GRAFT_PAGE_CODEC",
+      System.getProperty("graft.page.codec", "zstd")).toLowerCase
 
-  private def pageWrapWith(blob: Array[Byte], d: java.util.zip.Deflater): Array[Byte] = {
-    if (blob.length < PageMinBytes || (blob(0) & 0xff) == PageZlib) return blob
+  /** wrap `blob` in a compressed page if it saves ≥1/16 of the bytes;
+    * returns `blob` itself otherwise (and when already wrapped —
+    * idempotent). zstd by default; see [[pageCodecDefault]]. */
+  def pageWrap(blob: Array[Byte]): Array[Byte] = pageCodecDefault match {
+    case "none" => blob
+    case "zlib" => pageWrapAt(blob, 3)
+    case _      => pageWrapZstdAt(blob, PageLevel)
+  }
+
+  /** bench-only: wrap at an explicit zstd level (KernelBench sizes the
+    * PageLevel knee with this). */
+  private[graft] def pageWrapZstdAt(blob: Array[Byte], level: Int): Array[Byte] = {
+    if (blob.length < PageMinBytes || isPageId(blob(0) & 0xff)) return blob
     val budget = blob.length - (blob.length >> 4) // must save ≥ 1/16 incl. header
+    val out = new Array[Byte](budget)
+    out(0) = PageZstd.toByte
+    out(1) = blob.length.toByte
+    out(2) = (blob.length >> 8).toByte
+    out(3) = (blob.length >> 16).toByte
+    out(4) = (blob.length >> 24).toByte
+    val n =
+      try com.github.luben.zstd.Zstd.compressByteArray(
+        out, 5, budget - 5, blob, 0, blob.length, level)
+      catch { case _: com.github.luben.zstd.ZstdException => -1L } // dst too small
+    if (n <= 0 || com.github.luben.zstd.Zstd.isError(n)) return blob // keep it plain
+    java.util.Arrays.copyOf(out, 5 + n.toInt)
+  }
+
+  /** bench-only / mixed-era fixture: wrap as a raw-DEFLATE (PageZlib) page
+    * at an explicit level — the pre-zstd writer format, kept for the
+    * KernelBench comparison and the era-compat tests. */
+  private[graft] def pageWrapAt(blob: Array[Byte], level: Int): Array[Byte] = {
+    if (blob.length < PageMinBytes || isPageId(blob(0) & 0xff)) return blob
+    val d = new java.util.zip.Deflater(level, true)
+    val budget = blob.length - (blob.length >> 4)
     val out = new Array[Byte](budget)
     out(0) = PageZlib.toByte
     out(1) = blob.length.toByte
     out(2) = (blob.length >> 8).toByte
     out(3) = (blob.length >> 16).toByte
     out(4) = (blob.length >> 24).toByte
-    d.reset()
     d.setInput(blob)
     d.finish()
     var pos = 5
     while (!d.finished() && pos < budget) {
       pos += d.deflate(out, pos, budget - pos)
     }
-    if (!d.finished()) return blob // didn't fit the budget — keep it plain
+    val fit = d.finished()
+    d.end()
+    if (!fit) return blob // didn't fit the budget — keep it plain
     java.util.Arrays.copyOf(out, pos)
   }
 
@@ -157,7 +196,7 @@ object Codecs {
     * The inner length comes from an UNTRUSTED header: it is bounds-checked
     * and the stream must reproduce exactly that many bytes. */
   def pageUnwrap(blob: Array[Byte]): Array[Byte] = {
-    if (blob.isEmpty || (blob(0) & 0xff) != PageZlib) return blob
+    if (blob.isEmpty || !isPageId(blob(0) & 0xff)) return blob
     val memo = unwrapMemo.get()
     if (memo != null && java.util.Arrays.equals(memo(0), blob)) return memo(1)
     val inner = pageInflate(blob)
@@ -171,23 +210,35 @@ object Codecs {
       ((blob(3) & 0xff) << 16) | ((blob(4) & 0xff) << 24)
     require(innerLen > 0, s"corrupt page header: innerLen=$innerLen")
     val out = new Array[Byte](innerLen)
-    val inf = inflaters.get()
-    inf.reset()
-    inf.setInput(blob, 5, blob.length - 5)
-    var pos = 0
-    while (pos < innerLen && !inf.finished()) {
-      val n = inf.inflate(out, pos, innerLen - pos)
-      if (n == 0 && inf.needsInput()) // truncated stream
-        throw new IllegalArgumentException(s"corrupt page: stream ended at $pos of $innerLen")
-      pos += n
+    if ((blob(0) & 0xff) == PageZstd) {
+      val n =
+        try com.github.luben.zstd.Zstd.decompressByteArray(
+          out, 0, innerLen, blob, 5, blob.length - 5)
+        catch {
+          case e: com.github.luben.zstd.ZstdException =>
+            throw new IllegalArgumentException(s"corrupt zstd page: ${e.getMessage}")
+        }
+      require(n == innerLen, s"corrupt zstd page: inflated $n of $innerLen bytes")
+    } else {
+      val inf = inflaters.get()
+      inf.reset()
+      inf.setInput(blob, 5, blob.length - 5)
+      var pos = 0
+      while (pos < innerLen && !inf.finished()) {
+        val n = inf.inflate(out, pos, innerLen - pos)
+        if (n == 0 && inf.needsInput()) // truncated stream
+          throw new IllegalArgumentException(s"corrupt page: stream ended at $pos of $innerLen")
+        pos += n
+      }
+      require(pos == innerLen, s"corrupt page: inflated $pos of $innerLen bytes")
     }
-    require(pos == innerLen, s"corrupt page: inflated $pos of $innerLen bytes")
     out
   }
 
-  /** true when the stored blob carries the DEFLATE page layer. */
+  /** true when the stored blob carries a compressed page layer (zstd or the
+    * legacy DEFLATE era). */
   def isPageCompressed(blob: Array[Byte]): Boolean =
-    blob.nonEmpty && (blob(0) & 0xff) == PageZlib
+    blob.nonEmpty && isPageId(blob(0) & 0xff)
 
   // ======================== Long columns ========================
 

@@ -553,9 +553,10 @@ case class BlobCodec(child: Expression)
     copy(child = newChild)
 }
 
-/** whether the stored blob carries the transparent DEFLATE page layer
-  * (Codecs.PageZlib) — a page property, reported separately from the inner
-  * codec name exactly as Parquet separates encoding from page compression. */
+/** whether the stored blob carries the transparent compressed-page layer
+  * (zstd or legacy DEFLATE) — a page property, reported separately from the
+  * inner codec name exactly as Parquet separates encoding from page
+  * compression. */
 case class BlobPageCompressed(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = BooleanType

@@ -3,11 +3,12 @@ package graft.core
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.charset.StandardCharsets.UTF_8
 
-/** The transparent DEFLATE page layer (Codecs.PageZlib): blobs produced by
-  * the storage-finalizing encoders carry an outermost compressed page when
-  * it saves ≥1/16 of the bytes; every consumer unwraps at entry, so decode,
-  * views, zone kernels and stats behave identically on wrapped and plain
-  * blobs (the Parquet encoding-vs-page-compression separation). */
+/** The transparent compressed-page layer (zstd default, legacy DEFLATE
+  * readable): blobs produced by the storage-finalizing encoders carry an
+  * outermost compressed page when it saves ≥1/16 of the bytes; every
+  * consumer unwraps at entry, so decode, views, zone kernels and stats
+  * behave identically on wrapped and plain blobs (the Parquet
+  * encoding-vs-page-compression separation). */
 class PageCompressSpec extends AnyFunSuite {
 
   private val words = Array("the", "of", "and", "data", "page", "web", "report",
@@ -94,6 +95,26 @@ class PageCompressSpec extends AnyFunSuite {
     // tiny blobs are never worth a page
     val (tiny, _) = Codecs.encodeStrsN(Array("a".getBytes(UTF_8)))
     assert(!Codecs.isPageCompressed(tiny))
+  }
+
+  test("legacy DEFLATE pages (the pre-zstd writer era) still decode") {
+    val vs = texts(1024)
+    val (zstdBlob, _) = Codecs.encodeStrsN(vs)
+    assert((zstdBlob(0) & 0xff) === Codecs.PageZstd) // current writer = zstd
+    val inner = Codecs.pageUnwrap(zstdBlob)
+    val zlibBlob = Codecs.pageWrapAt(inner, 6) // what the DEFLATE era wrote
+    assert((zlibBlob(0) & 0xff) === Codecs.PageZlib)
+    assert(Codecs.isPageCompressed(zlibBlob))
+    assert(Codecs.codecOf(zlibBlob) === "fsst")
+    val dec = Codecs.decodeStrsN(zlibBlob)
+    var i = 0
+    while (i < vs.length) {
+      assert(java.util.Arrays.equals(dec(i), vs(i)), s"row $i")
+      i += 1
+    }
+    // zone kernels see through the legacy page too
+    assert(Codecs.countBetweenStr(zlibBlob, "a".getBytes(UTF_8), true,
+      "zzzz".getBytes(UTF_8), true) === 1024L)
   }
 
   test("corrupt page headers fail loudly, not silently") {
