@@ -785,20 +785,40 @@ class GraftMicroBatchStream(spark: SparkSession, outDir: String,
   }
 }
 
+object GraftReaderFactory {
+  /** operational knob: -Dgraft.columnar=false falls back to the row-based
+    * readers (debug / A-B comparison); vectorized is the default. */
+  def columnarDefault: Boolean =
+    sys.props.getOrElse("graft.columnar", "true").toBoolean
+}
+
 case class GraftReaderFactory(conf: Bridge.HadoopConfBroadcast,
                               cols: Array[EncodePipeline.ColPlan],
                               dicts: Option[org.apache.spark.broadcast.Broadcast[Map[Long, Codecs.DictTable]]],
-                              limit: Int)
+                              limit: Int,
+                              columnar: Boolean = GraftReaderFactory.columnarDefault)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], this)
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarReader(partition.asInstanceOf[GraftInputPartition], this)
 }
 
-/** streams one data file: parquet Group rows (one per block) → blob decode →
-  * delete-vector-filtered InternalRows. Only the projected columns' blobs
-  * are requested from parquet (column pruning reaches the file bytes). */
-class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
-    extends PartitionReader[InternalRow] {
+/** one decoded block's column arrays, before delete-vector filtering */
+private[sources] final class DecodedBlock(
+    val block: Int, val n: Int,
+    val longVals: Array[Array[Long]], val longNulls: Array[Array[Boolean]],
+    val strViews: Array[Codecs.StrView], val binVals: Array[Array[Array[Byte]]],
+    val allNull: Array[Boolean])
+
+/** shared machinery for the row and columnar readers over one data file:
+  * parquet Group rows (one per block) → blob decode → per-block delete-
+  * vector survivor index. Only the projected columns' blobs are requested
+  * from parquet (column pruning reaches the file bytes). */
+private[sources] abstract class GraftFileReaderBase(
+    p: GraftInputPartition, f: GraftReaderFactory) {
 
   f.dicts.foreach(b => Codecs.registerDicts(b.value))
 
@@ -810,11 +830,11 @@ class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
-  private val present: Array[Boolean] =
+  protected val present: Array[Boolean] =
     f.cols.map(c => c.kind != 'm' && fileSchema.containsField("e_" + c.name))
   // the part-qualified data-file id (what `_file` reports and delete
   // vectors key on), computed once per file
-  private val fileSuffixU8: UTF8String =
+  protected val fileSuffixU8: UTF8String =
     UTF8String.fromString(EncodePipeline.fileSuffix(p.path))
   private val projection: MessageType = {
     val wanted = Seq("__block", "__cnt") ++
@@ -827,25 +847,12 @@ class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), path).withConf(conf).build()
 
-  private var emitted = 0
-  private var rowIter: Iterator[InternalRow] = Iterator.empty
+  def close(): Unit = reader.close()
 
-  override def next(): Boolean = {
-    if (f.limit >= 0 && emitted >= f.limit) return false
-    while (!rowIter.hasNext) {
-      val g = reader.read()
-      if (g == null) return false
-      rowIter = decodeBlock(g)
-    }
-    emitted += 1
-    true
-  }
-
-  private var current: InternalRow = _
-  override def get(): InternalRow = { current = rowIter.next(); current }
-  override def close(): Unit = reader.close()
-
-  private def decodeBlock(g: Group): Iterator[InternalRow] = {
+  /** decode the next block's projected blobs; null at end of file */
+  protected def nextBlock(): DecodedBlock = {
+    val g = reader.read()
+    if (g == null) return null
     val n = g.getInteger("__cnt", 0)
     val block = g.getInteger("__block", 0)
     val nCols = f.cols.length
@@ -858,7 +865,7 @@ class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
     while (c < nCols) {
       val name = "e_" + f.cols(c).name
       if (f.cols(c).kind == 'm') {
-        () // metadata column: synthesized per row below, no blob behind it
+        () // metadata column: synthesized per row, no blob behind it
       } else if (!present(c) || g.getFieldRepetitionCount(name) == 0) {
         allNull(c) = true // column absent from this file's era
       } else {
@@ -878,34 +885,75 @@ class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
       }
       c += 1
     }
-    val bm = p.deletes.getOrElse(block, null)
-    (0 until n).iterator
-      .filter(i => bm == null || (i >> 3) >= bm.length || (bm(i >> 3) & (1 << (i & 7))) == 0)
-      .map { i =>
-        val vals = new Array[Any](nCols)
-        var c2 = 0
-        while (c2 < nCols) {
-          vals(c2) =
-            if (allNull(c2)) null
-            else f.cols(c2).kind match {
-              case 'm' => f.cols(c2).name match {
-                case "_file" => fileSuffixU8
-                case "_block" => block
-                case "_pos" => i
-              }
-              case 'l' =>
-                if (longNulls(c2) != null && longNulls(c2)(i)) null
-                else restoreLong(f.cols(c2).sourceType, longVals(c2)(i))
-              case 's' =>
-                val v = strViews(c2)
-                val len = v.lens(i)
-                if (len < 0) null else UTF8String.fromBytes(v.buf, v.offs(i), len)
-              case _ => binVals(c2)(i)
-            }
-          c2 += 1
-        }
-        new GenericInternalRow(vals): InternalRow
+    new DecodedBlock(block, n, longVals, longNulls, strViews, binVals, allNull)
+  }
+
+  /** positions surviving this block's delete vector, in block order */
+  protected def liveIdx(db: DecodedBlock): Array[Int] = {
+    val bm = p.deletes.getOrElse(db.block, null)
+    if (bm == null) Array.tabulate(db.n)(identity)
+    else {
+      val out = new Array[Int](db.n)
+      var m = 0
+      var i = 0
+      while (i < db.n) {
+        if ((i >> 3) >= bm.length || (bm(i >> 3) & (1 << (i & 7))) == 0) { out(m) = i; m += 1 }
+        i += 1
       }
+      java.util.Arrays.copyOf(out, m)
+    }
+  }
+}
+
+/** row-based reader: one GenericInternalRow per surviving row (fallback
+  * path; the vectorized [[GraftColumnarReader]] is the default). */
+class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
+    extends GraftFileReaderBase(p, f) with PartitionReader[InternalRow] {
+
+  private var emitted = 0
+  private var rowIter: Iterator[InternalRow] = Iterator.empty
+
+  override def next(): Boolean = {
+    if (f.limit >= 0 && emitted >= f.limit) return false
+    while (!rowIter.hasNext) {
+      val db = nextBlock()
+      if (db == null) return false
+      rowIter = rowsOf(db)
+    }
+    emitted += 1
+    true
+  }
+
+  private var current: InternalRow = _
+  override def get(): InternalRow = { current = rowIter.next(); current }
+
+  private def rowsOf(db: DecodedBlock): Iterator[InternalRow] = {
+    val nCols = f.cols.length
+    liveIdx(db).iterator.map { i =>
+      val vals = new Array[Any](nCols)
+      var c2 = 0
+      while (c2 < nCols) {
+        vals(c2) =
+          if (db.allNull(c2)) null
+          else f.cols(c2).kind match {
+            case 'm' => f.cols(c2).name match {
+              case "_file" => fileSuffixU8
+              case "_block" => db.block
+              case "_pos" => i
+            }
+            case 'l' =>
+              if (db.longNulls(c2) != null && db.longNulls(c2)(i)) null
+              else restoreLong(f.cols(c2).sourceType, db.longVals(c2)(i))
+            case 's' =>
+              val v = db.strViews(c2)
+              val len = v.lens(i)
+              if (len < 0) null else UTF8String.fromBytes(v.buf, v.offs(i), len)
+            case _ => db.binVals(c2)(i)
+          }
+        c2 += 1
+      }
+      new GenericInternalRow(vals): InternalRow
+    }
   }
 
   /** canonical long → the source type's InternalRow representation */
@@ -917,5 +965,106 @@ class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
     case DoubleType => java.lang.Double.longBitsToDouble(v)
     case FloatType => java.lang.Double.longBitsToDouble(v).toFloat
     case other => throw new IllegalArgumentException(s"unsupported restore type $other")
+  }
+}
+
+/** VECTORIZED reader: one ColumnarBatch per block, decoded column arrays
+  * copied straight into OnHeapColumnVectors — no per-row InternalRow, no
+  * per-value boxing; Spark's ColumnarToRow/whole-stage codegen consumes the
+  * vectors directly (the same shape Spark's own vectorized parquet reader
+  * feeds it). Delete-vector survivors are written densely; `_pos` still
+  * reports the ORIGINAL block position. Vectors are reused across blocks
+  * (reset + reserve), so steady-state allocation is the string bytes only. */
+class GraftColumnarReader(p: GraftInputPartition, f: GraftReaderFactory)
+    extends GraftFileReaderBase(p, f)
+    with PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val batchSchema = StructType(f.cols.map(c => StructField(c.name, c.sourceType)).toSeq)
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(4096, batchSchema)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+  private val fileSuffixBytes: Array[Byte] = fileSuffixU8.getBytes
+
+  private var emitted = 0
+
+  override def next(): Boolean = {
+    if (f.limit >= 0 && emitted >= f.limit) return false
+    while (true) {
+      val db = nextBlock()
+      if (db == null) return false
+      val live = liveIdx(db)
+      if (live.length > 0) {
+        fill(db, live)
+        var rows = live.length
+        if (f.limit >= 0 && emitted + rows > f.limit) rows = f.limit - emitted
+        batch.setNumRows(rows)
+        emitted += rows
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  private def fill(db: DecodedBlock, live: Array[Int]): Unit = {
+    val m = live.length
+    var c = 0
+    while (c < f.cols.length) {
+      val v = vectors(c)
+      v.reset()
+      v.reserve(m)
+      if (db.allNull(c)) v.putNulls(0, m)
+      else f.cols(c).kind match {
+        case 'm' => f.cols(c).name match {
+          case "_file" =>
+            var j = 0
+            while (j < m) { v.putByteArray(j, fileSuffixBytes, 0, fileSuffixBytes.length); j += 1 }
+          case "_block" =>
+            var j = 0; while (j < m) { v.putInt(j, db.block); j += 1 }
+          case "_pos" =>
+            var j = 0; while (j < m) { v.putInt(j, live(j)); j += 1 }
+        }
+        case 'l' =>
+          val vals = db.longVals(c); val nulls = db.longNulls(c)
+          @inline def each(put: (Int, Long) => Unit): Unit = {
+            var j = 0
+            while (j < m) {
+              val i = live(j)
+              if (nulls != null && nulls(i)) v.putNull(j) else put(j, vals(i))
+              j += 1
+            }
+          }
+          f.cols(c).sourceType match {
+            case LongType | TimestampType | TimestampNTZType => each((j, x) => v.putLong(j, x))
+            case IntegerType | DateType => each((j, x) => v.putInt(j, x.toInt))
+            case ShortType => each((j, x) => v.putShort(j, x.toShort))
+            case ByteType => each((j, x) => v.putByte(j, x.toByte))
+            case DoubleType => each((j, x) => v.putDouble(j, java.lang.Double.longBitsToDouble(x)))
+            case FloatType => each((j, x) => v.putFloat(j, java.lang.Double.longBitsToDouble(x).toFloat))
+            case other => throw new IllegalArgumentException(s"unsupported restore type $other")
+          }
+        case 's' =>
+          val sv = db.strViews(c)
+          var j = 0
+          while (j < m) {
+            val i = live(j)
+            val len = sv.lens(i)
+            if (len < 0) v.putNull(j) else v.putByteArray(j, sv.buf, sv.offs(i), len)
+            j += 1
+          }
+        case _ =>
+          val bv = db.binVals(c)
+          var j = 0
+          while (j < m) {
+            val b = bv(live(j))
+            if (b == null) v.putNull(j) else v.putByteArray(j, b, 0, b.length)
+            j += 1
+          }
+      }
+      c += 1
+    }
   }
 }

@@ -163,6 +163,38 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(agg.head().getLong(0) === 600L - killed)
   }
 
+  test("vectorized columnar reads: batch path engaged, identical to the row path") {
+    // nulls in a long column + a delete vector + small blocks: every fill
+    // path (null slots, DV-compacted batches, multi-block files) is hit
+    val d = docs(600).withColumn("score",
+      when(pmod(xxhash64(col("url")), lit(5)) === 0, lit(null))
+        .otherwise(pmod(xxhash64(col("url")), lit(1000)).cast("long")))
+    val out = tmpDir()
+    EncodePipeline.run(d, "url", out, partitions = 3, blockSize = 64)
+    val killed = EncodePipeline.deleteWhereLazy(spark, out, d.schema,
+      pmod(xxhash64(col("url")), lit(7)) === 0)
+    assert(killed > 0)
+    val q = spark.read.format("graft").load(out)
+    // the vectorized path is the default and must actually engage: the
+    // executed plan converts our ColumnarBatches via ColumnarToRow
+    assert(q.queryExecution.executedPlan.collectFirst {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+    }.nonEmpty, "expected the scan to feed Spark vectorized batches")
+    val colRows = q.orderBy("url").collect()
+    assert(colRows.length === 600 - killed)
+    // A/B: the row-based fallback must produce bit-identical results
+    System.setProperty("graft.columnar", "false")
+    try {
+      val rq = spark.read.format("graft").load(out)
+      assert(rq.queryExecution.executedPlan.collectFirst {
+        case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+      }.isEmpty, "row fallback should not plan a ColumnarToRow")
+      assert(rq.orderBy("url").collect().toSeq === colRows.toSeq)
+    } finally System.setProperty("graft.columnar", "true")
+    // limit pushdown caps the batch tail mid-block
+    assert(spark.read.format("graft").load(out).limit(5).collect().length === 5)
+  }
+
   test("limit pushdown truncates reads; statistics come from the manifest") {
     val d = docs(800)
     val out = tmpDir()
