@@ -742,7 +742,11 @@ object EncodePipeline {
     * table, new rows join each part's CURRENT generation so they are not
     * superseded by older compactions. */
   def appendCommit(df: DataFrame, key: String, outDir: String, partitions: Int,
-                   blockSize: Int = 4096, batchId: Long = 0L): Boolean = {
+                   blockSize: Int = 4096, batchId: Long = 0L,
+                   extraMeta: Option[DataFrame] = None /* rows unioned into
+                     the SAME single-file manifest append — [[updateWhereLazy]]
+                     passes its delete-snapshot marker here so append + delete
+                     commit as ONE atomic snapshot */): Boolean = {
     val spark = df.sparkSession
     val t0 = System.currentTimeMillis()
     val rawMeta = try {
@@ -780,7 +784,10 @@ object EncodePipeline {
       (names -- before.getOrElse(dir, Set.empty)).toSeq.sorted
         .map(n => s"$outDir/data/$dir/$n")
     }
-    if (newPaths.isEmpty) return false // empty batch
+    if (newPaths.isEmpty) { // empty batch: still commit any snapshot marker
+      extraMeta.foreach(_.coalesce(1).write.mode("append").parquet(s"$outDir/meta"))
+      return extraMeta.nonEmpty
+    }
     val written = spark.read.option("basePath", s"$outDir/data").parquet(newPaths: _*)
     val partFiles = written
       .select(col("__part"), input_file_name().as("__file"))
@@ -801,7 +808,15 @@ object EncodePipeline {
         .withColumn("gen", coalesce(col("__curgen"), lit(0)))
         .drop("__curgen")
     }
-    rows.write.mode("append").parquet(s"$outDir/meta")
+    // ONE single-file manifest append = the commit point: data files above
+    // are invisible orphans and any extraMeta delete vectors are inert
+    // until this rename lands, so the whole snapshot is atomic
+    extraMeta.map(m => rows.unionByName(m, allowMissingColumns = true))
+      .getOrElse(rows)
+      // repartition (not coalesce): a 1-way coalesce would serialize the
+      // whole upstream metadata aggregation into one task; the rows are a
+      // few KB, so the exchange is free and the append stays one file
+      .repartition(1).write.mode("append").parquet(s"$outDir/meta")
     writeSchemaFile(spark, outDir, df.schema)
     // a table CREATED by appendCommit (streaming first batch) records its
     // placement. Only when this commit created the table: a pre-spec-era
@@ -815,14 +830,31 @@ object EncodePipeline {
   /** driver-side commit for SQL row-level (delta) writes — the tail ends of
     * [[appendCommit]] and [[deleteWhereLazy]] replayed over files/bitmaps
     * the executors produced: `insertedFiles` (already under `data/__part=p/`)
-    * manifest-append as a tracked batch, `deletes` land as gen-tagged
-    * positional vectors plus a snapshot marker. Inserts commit FIRST so a
-    * crash between the two never loses rows (the updateWhereLazy window,
-    * documented there). */
+    * manifest-append as a tracked batch, `deletes` land as txn-tagged
+    * positional vectors plus a snapshot marker. The whole delta is ONE
+    * ATOMIC SNAPSHOT: vectors are staged inert first, then the insert
+    * manifest rows and the delete marker land in a single one-file
+    * manifest append — a crash before it leaves only invisible orphans
+    * (untracked data files, inert vectors; [[vacuum]] reclaims both). */
   def commitDelta(spark: SparkSession, outDir: String, sourceSchema: StructType,
                   insertedFiles: Seq[String],
                   deletes: Seq[(String, Int, Array[Byte])],
                   batchId: Long): Unit = {
+    // phase 1: stage the delete vectors (inert until their marker commits)
+    val marker: Option[DataFrame] = if (deletes.nonEmpty) {
+      val txn = java.util.UUID.randomUUID().toString
+      val meta = readMeta(spark, outDir)
+      val nextGen = 1 + (if (meta.columns.contains("gen"))
+        meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+      val spark2 = spark
+      import spark2.implicits._
+      deletes.toDF("file", "block", "bitmap").withColumn("gen", lit(nextGen))
+        .withColumn("txn", lit(txn))
+        .write.mode("append").parquet(s"$outDir/deletes")
+      Some(genMarker(spark, nextGen, Some(txn)))
+    } else None
+    // phase 2 (the commit point): one single-file manifest append carries
+    // the insert rows AND the delete marker
     if (insertedFiles.nonEmpty) {
       val t0 = System.currentTimeMillis()
       val rawMeta = try {
@@ -847,18 +879,12 @@ object EncodePipeline {
           .withColumn("gen", coalesce(col("__curgen"), lit(0)))
           .drop("__curgen")
       }
-      rows.write.mode("append").parquet(s"$outDir/meta")
+      marker.map(m => rows.unionByName(m, allowMissingColumns = true))
+        .getOrElse(rows)
+        .repartition(1).write.mode("append").parquet(s"$outDir/meta")
       writeSchemaFile(spark, outDir, sourceSchema)
-    }
-    if (deletes.nonEmpty) {
-      val meta = readMeta(spark, outDir)
-      val nextGen = 1 + (if (meta.columns.contains("gen"))
-        meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
-      val spark2 = spark
-      import spark2.implicits._
-      deletes.toDF("file", "block", "bitmap").withColumn("gen", lit(nextGen))
-        .write.mode("append").parquet(s"$outDir/deletes")
-      genMarker(spark, nextGen).write.mode("append").parquet(s"$outDir/meta")
+    } else {
+      marker.foreach(_.coalesce(1).write.mode("append").parquet(s"$outDir/meta"))
     }
   }
 
@@ -1338,6 +1364,24 @@ object EncodePipeline {
   def deleteWhereLazy(spark: SparkSession, outDir: String,
                       sourceSchema: StructType, pred: Column,
                       excludeFiles: Set[String]): Long = {
+    val (nDel, marker) = stageDeletes(spark, outDir, sourceSchema, pred, excludeFiles)
+    // commit point: ONE single-file manifest append (an atomic rename on
+    // the committer side) activates the staged vectors
+    marker.foreach(_.coalesce(1).write.mode("append").parquet(s"$outDir/meta"))
+    nDel
+  }
+
+  /** phase 1 of a merge-on-read delete: compute the positional vectors and
+    * write them to `deletes/` tagged with a fresh transaction token — they
+    * are INERT ([[loadDeletes]] ignores txns without committed markers)
+    * until the returned snapshot-marker row lands in the manifest. Callers
+    * commit the marker alone ([[deleteWhereLazy]]) or union it into the
+    * same manifest append as other commit rows for an atomic multi-part
+    * snapshot ([[updateWhereLazy]], [[commitDelta]]). Returns (rows
+    * deleted, marker to append — None when nothing matched). */
+  private def stageDeletes(spark: SparkSession, outDir: String,
+                           sourceSchema: StructType, pred: Column,
+                           excludeFiles: Set[String]): (Long, Option[DataFrame]) = {
     val dicts = (try loadDicts(spark, outDir)
                  catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
     val existing = loadDeletes(spark, outDir)
@@ -1360,30 +1404,34 @@ object EncodePipeline {
     }.toDF("file", "block", "bitmap", "n")
       .persist()
     val nDel = dv.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-    if (nDel > 0) {
+    val marker = if (nDel > 0) {
+      val txn = java.util.UUID.randomUUID().toString
       val meta = readMeta(spark, outDir)
       val nextGen = 1 + (if (meta.columns.contains("gen"))
         meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
       dv.drop("n").withColumn("gen", lit(nextGen))
+        .withColumn("txn", lit(txn))
         .write.mode("append").parquet(s"$outDir/deletes")
-      genMarker(spark, nextGen).write.mode("append").parquet(s"$outDir/meta")
-    }
+      Some(genMarker(spark, nextGen, Some(txn)))
+    } else None
     dv.unpersist()
-    nDel
+    (nDel, marker)
   }
 
   /** merge-on-read row-level UPDATE: the updated versions of the matching
     * rows APPEND as a tracked batch (assignments follow [[updateWhere]]'s
     * contract — cast to declared types, free to reference the old row, the
-    * partitioning key not assignable), then the originals are vector-
-    * deleted ([[deleteWhereLazy]]) with the fresh batch's files exempted —
-    * ZERO existing data bytes rewritten. Idempotent by `batchId` (default:
-    * next after the manifest's highest): the append replays its detection
-    * and a re-run's delete finds the originals already gone. NOT an atomic
-    * snapshot: between the two commits a reader sees both versions (the
-    * append lands first so a crash never loses rows); Iceberg closes this
-    * window with a single snapshot commit, here it is documented. Returns
-    * the number of rows updated. */
+    * partitioning key not assignable) and the originals are vector-deleted
+    * — ZERO existing data bytes rewritten. The two sides commit as ONE
+    * ATOMIC SNAPSHOT: the delete vectors are staged first as inert
+    * txn-tagged rows ([[stageDeletes]]) — computed against the pre-update
+    * table, so no fresh-file exemption is needed — and their snapshot
+    * marker rides in the SAME single-file manifest append as the insert
+    * batch's rows. A crash anywhere before that one append leaves the
+    * table byte-for-byte unchanged (orphan data files and inert vectors;
+    * [[vacuum]] reclaims both); after it, the update is fully visible.
+    * Idempotent by `batchId` (default: next after the manifest's highest).
+    * Returns the number of rows updated. */
   def updateWhereLazy(spark: SparkSession, outDir: String,
                       sourceSchema: StructType, key: String, pred: Column,
                       set: Map[String, Column], partitions: Int,
@@ -1407,16 +1455,15 @@ object EncodePipeline {
           case None    => col(f.name)
         }
       }: _*)
-    appendCommit(updated, key, outDir, partitions, blockSize, bid)
-    // the batch's own files (manifest rows with this batch_id) are exempt:
-    // un-reassigned columns can still satisfy the predicate on fresh rows
-    val meta1 = readMeta(spark, outDir)
-    val fresh: Set[String] =
-      if (!meta1.columns.contains("batch_id")) Set.empty
-      else meta1.filter(col("batch_id") === bid && col("data_files").isNotNull)
-        .select(explode(col("data_files")).as("f")).distinct()
-        .collect().map(r => fileSuffix(r.getString(0))).toSet
-    deleteWhereLazy(spark, outDir, sourceSchema, pred, fresh)
+    // stage the originals' delete vectors FIRST (inert until committed);
+    // `updated` evaluates lazily inside appendCommit and still reads the
+    // pre-update snapshot — inert vectors don't apply
+    val (nDel, marker) = stageDeletes(spark, outDir, sourceSchema, pred, Set.empty)
+    val committed =
+      appendCommit(updated, key, outDir, partitions, blockSize, bid, extraMeta = marker)
+    // a batchId replay skips the whole snapshot (marker included): the
+    // staged vectors stay inert and nothing changed
+    if (committed) nDel else 0L
   }
 
   /** one zero-file manifest row that advances the table generation without
@@ -1424,7 +1471,8 @@ object EncodePipeline {
     * its vectors are time-travel-addressable. Part -1 never matches data;
     * the empty file list keeps every reader, vacuum, and compaction
     * indifferent to it. */
-  private def genMarker(spark: SparkSession, nextGen: Int): DataFrame = {
+  private def genMarker(spark: SparkSession, nextGen: Int,
+                        txn: Option[String] = None): DataFrame = {
     import spark.implicits._
     Seq((-1, "__dv_marker", 0L, 0L, 0L, 0L))
       .toDF("__part", "column", "rows", "blocks", "raw_bytes", "encoded_bytes")
@@ -1434,6 +1482,23 @@ object EncodePipeline {
       .withColumn("wall_millis", lit(0L))
       .withColumn("attempt", lit(1))
       .withColumn("gen", lit(nextGen))
+      .withColumn("txn", txn.map(lit(_)).getOrElse(lit(null).cast("string")))
+  }
+
+  /** txns whose snapshot markers are committed in the manifest at
+    * generations ≤ maxGen — the visibility gate for transaction-tagged
+    * delete vectors ([[stageDeletes]]). Reads the RAW manifest (markers
+    * are cumulative facts; generation supersede does not apply to them). */
+  private def committedTxns(spark: SparkSession, outDir: String,
+                            maxGen: Int): Set[String] = {
+    try {
+      val meta = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+      if (!meta.columns.contains("txn")) Set.empty
+      else meta.filter(col("txn").isNotNull &&
+          (if (meta.columns.contains("gen")) coalesce(col("gen"), lit(0)) <= maxGen
+           else lit(true)))
+        .select("txn").distinct().collect().map(_.getString(0)).toSet
+    } catch { case _: Exception => Set.empty }
   }
 
   /** OR-merged position-delete bitmaps currently on disk, keyed by
@@ -1452,9 +1517,21 @@ object EncodePipeline {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Map.empty
     val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/deletes")
-    val scoped =
+    val genScoped =
       if (!raw.columns.contains("gen")) raw
       else raw.filter(coalesce(col("gen"), lit(0)) <= maxGen)
+    // transaction gate: a txn-tagged vector applies ONLY once its snapshot
+    // marker is committed in the manifest — vectors staged by an atomic
+    // delta commit that crashed before its single manifest append are
+    // permanently inert (vacuum reclaims them). Legacy rows (null txn)
+    // apply by generation alone.
+    val scoped =
+      if (!genScoped.columns.contains("txn")) genScoped
+      else {
+        val committed = committedTxns(spark, outDir, maxGen)
+        genScoped.filter(col("txn").isNull ||
+          (if (committed.isEmpty) lit(false) else col("txn").isin(committed.toSeq: _*)))
+      }
     scoped.select("file", "block", "bitmap").collect()
       .groupBy(r => (r.getString(0), r.getInt(1)))
       .map { case (k, rows) =>
@@ -1577,6 +1654,28 @@ object EncodePipeline {
           if (!name.startsWith("_") && !referenced.contains(s"$dirName/$name")) {
             if (fs.delete(f.getPath, false)) deleted += 1
           }
+        }
+      }
+    }
+    // inert delete-vector files: every row txn-tagged, no txn committed —
+    // the leftovers of atomic delta commits that crashed before their
+    // single manifest append (such vectors can never apply)
+    val delPath = new org.apache.hadoop.fs.Path(s"$outDir/deletes")
+    if (fs.exists(delPath)) {
+      val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/deletes")
+      if (raw.columns.contains("txn")) {
+        val committed = committedTxns(spark, outDir, Int.MaxValue)
+        val committedCol =
+          if (committed.isEmpty) lit(false) else col("txn").isin(committed.toSeq: _*)
+        val orphan = raw.withColumn("__f", input_file_name())
+          .groupBy(col("__f"))
+          .agg(max(col("txn").isNull.cast("int")).as("any_legacy"),
+               max(committedCol.cast("int")).as("any_committed"))
+          .filter(col("any_legacy") === 0 && col("any_committed") === 0)
+          .select("__f").collect().map(_.getString(0))
+        orphan.foreach { uri =>
+          if (fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(uri)), false))
+            deleted += 1
         }
       }
     }
