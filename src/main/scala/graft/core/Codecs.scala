@@ -1796,23 +1796,32 @@ object Codecs {
     * the manifest columns that serve min/max/sum/count aggregates without
     * opening data files (Iceberg-style scan-free aggregation). Paid once at
     * encode time, where the block is hot anyway. */
-  final case class BlobStats(min: Long, max: Long, sum: Long, count: Long)
+  final case class BlobStats(min: Long, max: Long, sum: Long, count: Long,
+                             sumValid: Boolean = true)
 
   def statsOfLong(blob0: Array[Byte]): BlobStats = {
     val blob = pageUnwrap(blob0)
     val (vs, nulls) = decodeLongsN(blob)
     var mn = Long.MaxValue; var mx = Long.MinValue; var s = 0L; var c = 0L
+    var ok = true
     var i = 0
     while (i < vs.length) {
       if (nulls == null || !nulls(i)) {
         val v = vs(i)
         if (v < mn) mn = v
         if (v > mx) mx = v
-        s += v; c += 1L
+        val ns = s + v
+        // signed-overflow detection (Hacker's Delight 2-13): the sum
+        // overflowed iff both operands agree in sign and the result differs.
+        // A block of near-2^63 values (e.g. far-future timestamp micros)
+        // must yield sumValid=false — "stats unavailable" — never a wrapped
+        // number the scan-free aggregate path would serve as truth.
+        if (((s ^ ns) & (v ^ ns)) < 0) ok = false
+        s = ns; c += 1L
       }
       i += 1
     }
-    if (c == 0L) null else BlobStats(mn, mx, s, c)
+    if (c == 0L) null else BlobStats(mn, mx, s, c, ok)
   }
 
   /** truncated lower bound: truncation only lowers, so a plain prefix stays

@@ -497,7 +497,10 @@ case class BlobStatsLong(child: Expression)
   override def dataType: DataType = StructType(Seq(
     StructField("min", LongType, nullable = false),
     StructField("max", LongType, nullable = false),
-    StructField("sum", LongType, nullable = false),
+    // null sum = the block's true sum overflows a signed 64-bit long
+    // ("stats unavailable" downstream — consumers decline, never serve a
+    // wrapped number); min/max/cnt stay exact
+    StructField("sum", LongType, nullable = true),
     StructField("cnt", LongType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "blob_stats"
@@ -507,7 +510,8 @@ case class BlobStatsLong(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val s = Codecs.statsOfLong(input.asInstanceOf[Array[Byte]])
     if (s == null) null
-    else org.apache.spark.sql.catalyst.InternalRow(s.min, s.max, s.sum, s.count)
+    else org.apache.spark.sql.catalyst.InternalRow(s.min, s.max,
+      if (s.sumValid) s.sum else null, s.count)
   }
   override protected def withNewChildInternal(newChild: Expression): BlobStatsLong =
     copy(child = newChild)

@@ -587,7 +587,14 @@ object EncodePipeline {
         max(col("c.rng.hi")).as("value_hi"),
         min(col("c.st.min")).as("value_min"),
         max(col("c.st.max")).as("value_max"),
-        sum(col("c.st.sum")).as("value_sum"),
+        // null = unknown (never a wrapped number): poisoned by any block
+        // whose own sum overflowed (st present, sum null), and try_sum
+        // nulls out a part-level overflow instead of ANSI-throwing —
+        // far-future-timestamp parts encode fine, they just decline the
+        // scan-free SUM path
+        when(max((col("c.st").isNotNull && col("c.st.sum").isNull).cast("int")) === 1,
+          lit(null).cast(LongType))
+          .otherwise(try_sum(col("c.st.sum"))).as("value_sum"),
         sum(col("c.st.cnt")).as("value_count"),
         min(col("c.rng_s.lo")).as("str_lo"),
         when(hiUnbounded, lit(null).cast(BinaryType)).otherwise(max(col("c.rng_s.hi"))).as("str_hi"),
@@ -2165,7 +2172,13 @@ object EncodePipeline {
       sum(coalesce(col("null_value_count"), lit(0L))).as("nulls"),
       (if (hasStats) min(col("value_min")) else lit(null).cast(LongType)).as("v_min"),
       (if (hasStats) max(col("value_max")) else lit(null).cast(LongType)).as("v_max"),
-      (if (hasStats) sum(col("value_sum")) else lit(null).cast(LongType)).as("v_sum"),
+      // a commit with values but null sum = unknown (block/part overflow);
+      // sum() would skip it and serve a WRONG total — poison instead
+      (if (hasStats)
+        when(max((coalesce(col("value_count"), lit(0L)) > 0 &&
+            col("value_sum").isNull).cast("int")) === 1, lit(null).cast(LongType))
+          .otherwise(try_sum(col("value_sum")))
+       else lit(null).cast(LongType)).as("v_sum"),
       (if (hasStats) sum(coalesce(col("value_count"), lit(0L)))
        else lit(null).cast(LongType)).as("v_cnt")
     ).collect()
@@ -2192,7 +2205,21 @@ object EncodePipeline {
               s"tableStats: column ${p.name} has manifest rows without exact value stats (pre-upgrade era); compact() first")
           (rows.flatMap(r => if (r.isNullAt(5)) None else Some(r.getLong(5))).min,
            rows.flatMap(r => if (r.isNullAt(6)) None else Some(r.getLong(6))).max,
-           rows.map(r => if (r.isNullAt(7)) 0L else r.getLong(7)).sum)
+           // exact cross-part total in BigInt; a part with values but no
+           // sum (overflow) or a total outside Long = unknown → null
+           {
+             val parts = rows.map { r =>
+               val cnt = if (r.isNullAt(8)) 0L else r.getLong(8)
+               if (cnt == 0L) Some(BigInt(0))
+               else if (r.isNullAt(7)) None
+               else Some(BigInt(r.getLong(7)))
+             }
+             if (parts.contains(None)) null
+             else {
+               val tot = parts.flatten.sum
+               if (tot.isValidLong) java.lang.Long.valueOf(tot.toLong) else null
+             }
+           })
         }
       org.apache.spark.sql.Row(p.name, totalRows, nValues, nullsTotal, vMin, vMax, vSum)
     }

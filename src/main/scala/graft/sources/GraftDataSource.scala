@@ -488,10 +488,15 @@ class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructT
           if p.sourceType == LongType || p.sourceType == IntegerType ||
              p.sourceType == ShortType || p.sourceType == ByteType
           r <- stats.get(name)
-        } yield if (r.isNullAt(6)) null else java.lang.Long.valueOf(r.getLong(6))
+        } yield r
         if (v.isEmpty) return None
+        val r = v.get
+        // null sum over n_values>0 = the exact total overflows a long
+        // (manifest declines) — fall back to a scan, which reproduces
+        // Spark's own ANSI overflow semantics instead of a wrapped number
+        if (r.isNullAt(6) && r.getLong(2) > 0L) return None
         fields += StructField("sum", LongType, nullable = true)
-        values += v.get
+        values += (if (r.isNullAt(6)) null else java.lang.Long.valueOf(r.getLong(6)))
       case _ => return None
     }
     Some((StructType(fields.toSeq), new GenericInternalRow(values.toArray)))
@@ -968,36 +973,35 @@ class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
   }
 }
 
-/** VECTORIZED reader: one ColumnarBatch per block, decoded column arrays
-  * copied straight into OnHeapColumnVectors — no per-row InternalRow, no
-  * per-value boxing; Spark's ColumnarToRow/whole-stage codegen consumes the
-  * vectors directly (the same shape Spark's own vectorized parquet reader
-  * feeds it). Delete-vector survivors are written densely; `_pos` still
-  * reports the ORIGINAL block position. Vectors are reused across blocks
-  * (reset + reserve), so steady-state allocation is the string bytes only. */
+/** VECTORIZED reader: one ColumnarBatch per block, each column a read-only
+  * [[GraftVector]] VIEW over the decode kernel's arrays — zero copies, no
+  * per-row InternalRow, no per-value boxing; Spark's ColumnarToRow /
+  * whole-stage codegen consumes the vectors directly (the same shape its
+  * own vectorized parquet reader feeds it). Strings stay UTF8String views
+  * over the block's shared StrView buffer. Delete-vector survivors apply
+  * through a position indirection (`_pos` reports the ORIGINAL block
+  * position); blocks with no deletes skip the indirection entirely. */
 class GraftColumnarReader(p: GraftInputPartition, f: GraftReaderFactory)
     extends GraftFileReaderBase(p, f)
     with PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
-  private val batchSchema = StructType(f.cols.map(c => StructField(c.name, c.sourceType)).toSeq)
-  private val vectors: Array[OnHeapColumnVector] =
-    OnHeapColumnVector.allocateColumns(4096, batchSchema)
-  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
-  private val fileSuffixBytes: Array[Byte] = fileSuffixU8.getBytes
-
+  private var batch: ColumnarBatch = _
   private var emitted = 0
+  private val hasDeletes = p.deletes.nonEmpty
 
   override def next(): Boolean = {
     if (f.limit >= 0 && emitted >= f.limit) return false
     while (true) {
       val db = nextBlock()
       if (db == null) return false
-      val live = liveIdx(db)
-      if (live.length > 0) {
-        fill(db, live)
-        var rows = live.length
+      // no deletes for this block → identity positions, no indirection
+      val live: Array[Int] =
+        if (!hasDeletes || !p.deletes.contains(db.block)) null else liveIdx(db)
+      val m = if (live == null) db.n else live.length
+      if (m > 0) {
+        batch = new ColumnarBatch(buildVectors(db, live, m))
+        var rows = m
         if (f.limit >= 0 && emitted + rows > f.limit) rows = f.limit - emitted
         batch.setNumRows(rows)
         emitted += rows
@@ -1009,62 +1013,25 @@ class GraftColumnarReader(p: GraftInputPartition, f: GraftReaderFactory)
 
   override def get(): ColumnarBatch = batch
 
-  private def fill(db: DecodedBlock, live: Array[Int]): Unit = {
-    val m = live.length
+  private def buildVectors(db: DecodedBlock, live: Array[Int], m: Int): Array[ColumnVector] = {
+    val out = new Array[ColumnVector](f.cols.length)
     var c = 0
     while (c < f.cols.length) {
-      val v = vectors(c)
-      v.reset()
-      v.reserve(m)
-      if (db.allNull(c)) v.putNulls(0, m)
-      else f.cols(c).kind match {
-        case 'm' => f.cols(c).name match {
-          case "_file" =>
-            var j = 0
-            while (j < m) { v.putByteArray(j, fileSuffixBytes, 0, fileSuffixBytes.length); j += 1 }
-          case "_block" =>
-            var j = 0; while (j < m) { v.putInt(j, db.block); j += 1 }
-          case "_pos" =>
-            var j = 0; while (j < m) { v.putInt(j, live(j)); j += 1 }
+      out(c) =
+        if (db.allNull(c)) new GraftAllNullVector(f.cols(c).sourceType, m)
+        else f.cols(c).kind match {
+          case 'm' => f.cols(c).name match {
+            case "_file" => new GraftConstStringVector(fileSuffixU8)
+            case "_block" => new GraftConstIntVector(db.block)
+            case "_pos" => new GraftPosVector(live)
+          }
+          case 'l' =>
+            new GraftLongsVector(f.cols(c).sourceType, db.longVals(c), db.longNulls(c), live)
+          case 's' => new GraftStringVector(db.strViews(c), live)
+          case _ => new GraftBinaryVector(db.binVals(c), live)
         }
-        case 'l' =>
-          val vals = db.longVals(c); val nulls = db.longNulls(c)
-          @inline def each(put: (Int, Long) => Unit): Unit = {
-            var j = 0
-            while (j < m) {
-              val i = live(j)
-              if (nulls != null && nulls(i)) v.putNull(j) else put(j, vals(i))
-              j += 1
-            }
-          }
-          f.cols(c).sourceType match {
-            case LongType | TimestampType | TimestampNTZType => each((j, x) => v.putLong(j, x))
-            case IntegerType | DateType => each((j, x) => v.putInt(j, x.toInt))
-            case ShortType => each((j, x) => v.putShort(j, x.toShort))
-            case ByteType => each((j, x) => v.putByte(j, x.toByte))
-            case DoubleType => each((j, x) => v.putDouble(j, java.lang.Double.longBitsToDouble(x)))
-            case FloatType => each((j, x) => v.putFloat(j, java.lang.Double.longBitsToDouble(x).toFloat))
-            case other => throw new IllegalArgumentException(s"unsupported restore type $other")
-          }
-        case 's' =>
-          val sv = db.strViews(c)
-          var j = 0
-          while (j < m) {
-            val i = live(j)
-            val len = sv.lens(i)
-            if (len < 0) v.putNull(j) else v.putByteArray(j, sv.buf, sv.offs(i), len)
-            j += 1
-          }
-        case _ =>
-          val bv = db.binVals(c)
-          var j = 0
-          while (j < m) {
-            val b = bv(live(j))
-            if (b == null) v.putNull(j) else v.putByteArray(j, b, 0, b.length)
-            j += 1
-          }
-      }
       c += 1
     }
+    out
   }
 }

@@ -410,6 +410,17 @@ class CodecsSpec extends AnyFunSuite {
     // negative values (sign-sensitive min/max, wrapping sum domain)
     val neg = Codecs.statsOfLong(Codecs.encodeLongs(Array(-5L, 3L, -9L)))
     assert(neg.min === -9L && neg.max === 3L && neg.sum === -11L)
+    assert(neg.sumValid)
+    // sum overflow: sumValid=false, min/max/count stay exact — the block
+    // must decline the scan-free sum, never serve a wrapped number
+    val huge = Codecs.statsOfLong(
+      Codecs.encodeLongs(Array(Long.MaxValue - 1L, Long.MaxValue - 2L, 5L)))
+    assert(!huge.sumValid)
+    assert(huge.min === 5L && huge.max === Long.MaxValue - 1L && huge.count === 3L)
+    // negative-direction overflow detected too
+    val hugeNeg = Codecs.statsOfLong(
+      Codecs.encodeLongs(Array(Long.MinValue + 1L, Long.MinValue + 2L)))
+    assert(!hugeNeg.sumValid)
   }
 
   test("rangeOfStr: truncated byte-string bounds contain the data for every codec") {

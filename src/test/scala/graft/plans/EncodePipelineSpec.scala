@@ -320,6 +320,35 @@ class EncodePipelineSpec extends SparkTestBase {
     assert(st2("score").getLong(2) === exp.getLong(1) - zeroes)
   }
 
+  test("part-level value_sum overflow: stats decline, min/max/count stay exact") {
+    // ~5000 rows/part of ~2e15 values: each 4096-block sum fits a long
+    // (8.2e18) but the per-part total (1e19) overflows — the exact case a
+    // 10^12-row table of timestamp micros hits on every part
+    val docs = WebDocGen.dataset(spark, 10000, 4).toDF()
+      .withColumn("big", lit(2000000000000000L) + pmod(xxhash64(col("url")), lit(1000L)))
+    val out = tmpDir()
+    EncodePipeline.run(docs, "url", out, partitions = 2, blockSize = 4096)
+    val exp = docs.agg(min(col("big")), max(col("big"))).head()
+    val st = EncodePipeline.tableStats(spark, out, docs.schema)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val bg = st("big")
+    assert(bg.isNullAt(6), "overflowed sum must read unknown (null), not wrapped")
+    assert(bg.getLong(1) === 10000L && bg.getLong(2) === 10000L)
+    assert(bg.getLong(4) === exp.getLong(0) && bg.getLong(5) === exp.getLong(1))
+    // V2 aggregate pushdown: min/max/count still answer from the manifest...
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    val ok = spark.read.format("graft").load(out)
+      .agg(min(col("big")).as("mn"), max(col("big")).as("mx"), count(lit(1)).as("n"))
+    assert(ok.queryExecution.executedPlan.collectFirst {
+      case l: LocalTableScanExec => l }.nonEmpty)
+    assert(ok.head().getLong(0) === exp.getLong(0))
+    // ...but SUM declines to a real scan (which reproduces Spark's own ANSI
+    // overflow semantics) instead of serving a wrapped manifest number
+    val sq = spark.read.format("graft").load(out).agg(sum(col("big")))
+    assert(sq.queryExecution.executedPlan.collectFirst {
+      case l: LocalTableScanExec => l }.isEmpty, "overflowed SUM must not serve from the manifest")
+  }
+
   test("generic encode handles the TPC-H events table (ts, doubles, strings)") {
     val events = sf("events")
     val enc = EncodePipeline.encode(events, "event_id", partitions = 4, blockSize = 512)
