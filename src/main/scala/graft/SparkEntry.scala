@@ -662,17 +662,25 @@ object SparkEntry {
       val before = files()
       val pred = when(col("doc_id") % 17 === 0, lit(null).cast("boolean"))
         .otherwise(col("doc_id") % 5 === 2)
+      def metaFiles(): Set[String] = new java.io.File(s"$path/meta").listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .map(_.getName).toSet
+      val metaBefore = metaFiles()
       val nUpd = EncodePipeline.updateWhereLazy(s, path, d.schema, "doc_id", pred,
         Map("lang" -> lit("yy"), "n_chars" -> (col("n_chars") + 250L)),
         partitions = 8, blockSize = 1024)
       val after = files()
       val zeroRewrite = before.forall { case (f, len) => after.get(f).contains(len) }
+      // atomic snapshot: the insert batch's manifest rows AND the delete
+      // marker land in exactly ONE new manifest file (one atomic rename)
+      val atomicCommit = (metaFiles() -- metaBefore).size == 1
       EncodePipeline.decodeShared(s, path, d.schema)
         .groupBy(col("lang")).agg(
           count(lit(1)).cast("long").as("n_docs"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
         .withColumn("n_updated", lit(nUpd).cast("long"))
         .withColumn("zero_rewrite", lit(zeroRewrite))
+        .withColumn("atomic_commit", lit(atomicCommit))
         .orderBy(col("lang"))
     }),
     "q_merge" -> ((s, dir) => {
@@ -1348,7 +1356,8 @@ object SparkEntry {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM s " +
         "WHERE doc_id % 17 <> 0 AND doc_id % 5 = 2) AS n_updated, " +
-        "TRUE AS zero_rewrite FROM u GROUP BY lang ORDER BY lang"),
+        "TRUE AS zero_rewrite, TRUE AS atomic_commit " +
+        "FROM u GROUP BY lang ORDER BY lang"),
     "q_merge" ->
       ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
         "merged AS (" +
