@@ -1495,18 +1495,37 @@ object EncodePipeline {
   /** txns whose snapshot markers are committed in the manifest at
     * generations ≤ maxGen — the visibility gate for transaction-tagged
     * delete vectors ([[stageDeletes]]). Reads the RAW manifest (markers
-    * are cumulative facts; generation supersede does not apply to them). */
-  private def committedTxns(spark: SparkSession, outDir: String,
-                            maxGen: Int): Set[String] = {
+    * are cumulative facts; generation supersede does not apply to them).
+    * Cached per (outDir, manifest listing signature): the manifest is
+    * append-only, so a new commit changes the listing and invalidates —
+    * one cheap listStatus replaces a parquet read on every loadDeletes. */
+  private val txnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, Int])]()
+
+  private def committedTxnGens(spark: SparkSession, outDir: String): Map[String, Int] = {
     try {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sig = fs.listStatus(p).filter(_.isFile)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("|")
+      val hit = txnCache.get(outDir)
+      if (hit != null && hit._1 == sig) return hit._2
       val meta = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
-      if (!meta.columns.contains("txn")) Set.empty
-      else meta.filter(col("txn").isNotNull &&
-          (if (meta.columns.contains("gen")) coalesce(col("gen"), lit(0)) <= maxGen
-           else lit(true)))
-        .select("txn").distinct().collect().map(_.getString(0)).toSet
-    } catch { case _: Exception => Set.empty }
+      val txns: Map[String, Int] =
+        if (!meta.columns.contains("txn")) Map.empty
+        else meta.filter(col("txn").isNotNull)
+          .select(col("txn"),
+            if (meta.columns.contains("gen")) coalesce(col("gen"), lit(0)) else lit(0))
+          .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      txnCache.put(outDir, (sig, txns))
+      txns
+    } catch { case _: Exception => Map.empty }
   }
+
+  private def committedTxns(spark: SparkSession, outDir: String,
+                            maxGen: Int): Set[String] =
+    committedTxnGens(spark, outDir).collect { case (t, g) if g <= maxGen => t }.toSet
 
   /** OR-merged position-delete bitmaps currently on disk, keyed by
     * (data-file "__part=p/name" id, block). Empty map when the table has none. The
