@@ -665,7 +665,9 @@ object EncodePipeline {
         .withColumn("wave", lit(w))
         .withColumn("wall_millis", lit(System.currentTimeMillis() - waveStart))
         .withColumn("attempt", lit(1))
-        .write.mode("append").parquet(s"$outDir/meta")
+        // one file per wave commit: a torn multi-file append could record
+        // some of a part's columns without the rest, confusing resume
+        .repartition(1).write.mode("append").parquet(s"$outDir/meta")
       w += 1
     }
     writeSchemaFile(spark, outDir, df.schema)
@@ -944,7 +946,8 @@ object EncodePipeline {
     val enc = readData(spark, outDir).filter(col("__part").isin(cands.toSeq: _*))
     rewriteBlocks(spark, outDir, sourceSchema, enc, cands.toSeq, blockSize, t0)
       .withColumn("gen", lit(nextGen))
-      .write.mode("append").parquet(s"$outDir/meta")
+      // one-file append = atomic generation flip (no torn snapshots)
+      .repartition(1).write.mode("append").parquet(s"$outDir/meta")
     cands.toSeq
   }
 
@@ -1097,7 +1100,7 @@ object EncodePipeline {
       .join(smallSets, Seq("__part", "data_files"), "left_anti")
       .withColumn("gen", lit(nextGen))
     newRows.unionByName(kept, allowMissingColumns = true)
-      .write.mode("append").parquet(s"$outDir/meta")
+      .repartition(1).write.mode("append").parquet(s"$outDir/meta")
     cands
   }
 
@@ -1156,7 +1159,7 @@ object EncodePipeline {
       case (None, Some(b))    => b
       case _                  => return 0L
     }
-    manifest.write.mode("append").parquet(s"$outDir/meta")
+    manifest.repartition(1).write.mode("append").parquet(s"$outDir/meta")
     nDeleted
   }
 
@@ -1239,7 +1242,7 @@ object EncodePipeline {
       blockSize, partExpr = Some(col("__part")))
     landAndDescribe(spark, outDir, sourceSchema, encOut, cands, t0)
       .withColumn("gen", lit(nextGen))
-      .write.mode("append").parquet(s"$outDir/meta")
+      .repartition(1).write.mode("append").parquet(s"$outDir/meta")
     byPart.map(_._2).sum
   }
 
@@ -1330,7 +1333,7 @@ object EncodePipeline {
         case (Some(a), Some(b)) => Some(a.unionByName(b, allowMissingColumns = true))
         case (a, b)             => a.orElse(b)
       }
-      manifest.foreach(_.write.mode("append").parquet(s"$outDir/meta"))
+      manifest.foreach(_.repartition(1).write.mode("append").parquet(s"$outDir/meta"))
       survivors.unpersist()
     }
     appendCommit(updates.select(sourceSchema.fieldNames.map(col).toSeq: _*),
@@ -1649,7 +1652,7 @@ object EncodePipeline {
       case (None, Some(b))    => b
       case _                  => return 0L
     }
-    manifest.write.mode("append").parquet(s"$outDir/meta")
+    manifest.repartition(1).write.mode("append").parquet(s"$outDir/meta")
     fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/deletes"), true)
     nFolded
   }
