@@ -797,12 +797,35 @@ object EncodePipeline {
       extraMeta.foreach(_.coalesce(1).write.mode("append").parquet(s"$outDir/meta"))
       return extraMeta.nonEmpty
     }
-    val written = spark.read.option("basePath", s"$outDir/data").parquet(newPaths: _*)
+    // ONE single-file manifest append = the commit point: data files above
+    // are invisible orphans and any extraMeta delete vectors are inert
+    // until this rename lands, so the whole snapshot is atomic
+    commitBatchMeta(spark, outDir, df.schema, newPaths, batchId, t0, rawMeta, extraMeta)
+    // a table CREATED by appendCommit (streaming first batch) records its
+    // placement. Only when this commit created the table: a pre-spec-era
+    // table's placement is unknown (host/custom), so stamping "hash" on it
+    // would lie to the storage-partitioned-join machinery.
+    if (rawMeta.isEmpty && spec.isEmpty)
+      writePartSpec(spark, outDir, PartSpec("hash", key, partitions, salts = 4))
+    true
+  }
+
+
+  /** shared tail of [[appendCommit]] and [[commitDelta]]: build the manifest
+    * rows describing freshly written data files (file lists, stats, batch
+    * id, current generation per part) and commit them — plus any snapshot
+    * marker rows — as ONE single-file manifest append (the atomic commit
+    * point). Kept in one place so the two callers cannot drift. */
+  private def commitBatchMeta(spark: SparkSession, outDir: String,
+      schema: StructType, files: Seq[String], batchId: Long, t0: Long,
+      rawMeta: Option[DataFrame], extraMeta: Option[DataFrame]): Unit = {
+    val written = spark.read.option("basePath", s"$outDir/data")
+      .parquet(files: _*)
     val partFiles = written
       .select(col("__part"), input_file_name().as("__file"))
       .groupBy(col("__part"))
       .agg(sort_array(collect_set(col("__file"))).as("data_files"))
-    var rows = metadata(written, df.schema)
+    var rows = metadata(written, schema)
       .join(partFiles, Seq("__part"))
       .withColumn("wave", lit(batchId.toInt))
       .withColumn("wall_millis", lit(System.currentTimeMillis() - t0))
@@ -817,23 +840,13 @@ object EncodePipeline {
         .withColumn("gen", coalesce(col("__curgen"), lit(0)))
         .drop("__curgen")
     }
-    // ONE single-file manifest append = the commit point: data files above
-    // are invisible orphans and any extraMeta delete vectors are inert
-    // until this rename lands, so the whole snapshot is atomic
     extraMeta.map(m => rows.unionByName(m, allowMissingColumns = true))
       .getOrElse(rows)
       // repartition (not coalesce): a 1-way coalesce would serialize the
       // whole upstream metadata aggregation into one task; the rows are a
       // few KB, so the exchange is free and the append stays one file
       .repartition(1).write.mode("append").parquet(s"$outDir/meta")
-    writeSchemaFile(spark, outDir, df.schema)
-    // a table CREATED by appendCommit (streaming first batch) records its
-    // placement. Only when this commit created the table: a pre-spec-era
-    // table's placement is unknown (host/custom), so stamping "hash" on it
-    // would lie to the storage-partitioned-join machinery.
-    if (rawMeta.isEmpty && spec.isEmpty)
-      writePartSpec(spark, outDir, PartSpec("hash", key, partitions, salts = 4))
-    true
+    writeSchemaFile(spark, outDir, schema)
   }
 
   /** driver-side commit for SQL row-level (delta) writes — the tail ends of
@@ -865,33 +878,11 @@ object EncodePipeline {
     // phase 2 (the commit point): one single-file manifest append carries
     // the insert rows AND the delete marker
     if (insertedFiles.nonEmpty) {
-      val t0 = System.currentTimeMillis()
       val rawMeta = try {
         Some(spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta"))
       } catch { case _: Exception => None }
-      val written = spark.read.option("basePath", s"$outDir/data")
-        .parquet(insertedFiles: _*)
-      val partFiles = written
-        .select(col("__part"), input_file_name().as("__file"))
-        .groupBy(col("__part"))
-        .agg(sort_array(collect_set(col("__file"))).as("data_files"))
-      var rows = metadata(written, sourceSchema)
-        .join(partFiles, Seq("__part"))
-        .withColumn("wave", lit(batchId.toInt))
-        .withColumn("wall_millis", lit(System.currentTimeMillis() - t0))
-        .withColumn("attempt", lit(1))
-        .withColumn("batch_id", lit(batchId))
-      rawMeta.filter(_.columns.contains("gen")).foreach { m =>
-        val cur = m.groupBy(col("__part"))
-          .agg(max(coalesce(col("gen"), lit(0))).as("__curgen"))
-        rows = rows.join(broadcast(cur), Seq("__part"), "left")
-          .withColumn("gen", coalesce(col("__curgen"), lit(0)))
-          .drop("__curgen")
-      }
-      marker.map(m => rows.unionByName(m, allowMissingColumns = true))
-        .getOrElse(rows)
-        .repartition(1).write.mode("append").parquet(s"$outDir/meta")
-      writeSchemaFile(spark, outDir, sourceSchema)
+      commitBatchMeta(spark, outDir, sourceSchema, insertedFiles, batchId,
+        System.currentTimeMillis(), rawMeta, marker)
     } else {
       marker.foreach(_.coalesce(1).write.mode("append").parquet(s"$outDir/meta"))
     }
@@ -1506,24 +1497,27 @@ object EncodePipeline {
     new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, Int])]()
 
   private def committedTxnGens(spark: SparkSession, outDir: String): Map[String, Int] = {
-    try {
-      val p = new org.apache.hadoop.fs.Path(s"$outDir/meta")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val sig = fs.listStatus(p).filter(_.isFile)
-        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-        .sorted.mkString("|")
-      val hit = txnCache.get(outDir)
-      if (hit != null && hit._1 == sig) return hit._2
-      val meta = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
-      val txns: Map[String, Int] =
-        if (!meta.columns.contains("txn")) Map.empty
-        else meta.filter(col("txn").isNotNull)
-          .select(col("txn"),
-            if (meta.columns.contains("gen")) coalesce(col("gen"), lit(0)) else lit(0))
-          .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-      txnCache.put(outDir, (sig, txns))
-      txns
-    } catch { case _: Exception => Map.empty }
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // no manifest at all = a table that has never committed = no committed
+    // txns — the ONLY case that legitimately answers empty. Any other
+    // failure must PROPAGATE: swallowing a transient manifest-read error
+    // into Map.empty would silently resurrect every txn-tagged deleted row.
+    if (!fs.exists(p)) return Map.empty
+    val sig = fs.listStatus(p).filter(_.isFile)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+    val hit = txnCache.get(outDir)
+    if (hit != null && hit._1 == sig) return hit._2
+    val meta = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    val txns: Map[String, Int] =
+      if (!meta.columns.contains("txn")) Map.empty
+      else meta.filter(col("txn").isNotNull)
+        .select(col("txn"),
+          if (meta.columns.contains("gen")) coalesce(col("gen"), lit(0)) else lit(0))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    txnCache.put(outDir, (sig, txns))
+    txns
   }
 
   private def committedTxns(spark: SparkSession, outDir: String,
@@ -1545,6 +1539,11 @@ object EncodePipeline {
     val p = new org.apache.hadoop.fs.Path(s"$outDir/deletes")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Map.empty
+    // a parquet-less directory (all vector files reclaimed) must read as
+    // "no deletes", not fail schema inference
+    if (!fs.listStatus(p).exists(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith(".")))
+      return Map.empty
     val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/deletes")
     val genScoped =
       if (!raw.columns.contains("gen")) raw
@@ -1688,28 +1687,55 @@ object EncodePipeline {
     }
     // inert delete-vector files: every row txn-tagged, no txn committed —
     // the leftovers of atomic delta commits that crashed before their
-    // single manifest append (such vectors can never apply)
+    // single manifest append (such vectors can never apply). AGE-GATED
+    // (Iceberg orphan-cleanup style): an in-flight updateWhereLazy /
+    // commitDelta stages its vectors minutes before the marker commits, and
+    // a vacuum racing that window must not reclaim them — only files older
+    // than `orphanDvMinAgeMs` qualify (0 in tests for determinism).
     val delPath = new org.apache.hadoop.fs.Path(s"$outDir/deletes")
     if (fs.exists(delPath)) {
-      val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/deletes")
-      if (raw.columns.contains("txn")) {
-        val committed = committedTxns(spark, outDir, Int.MaxValue)
-        val committedCol =
-          if (committed.isEmpty) lit(false) else col("txn").isin(committed.toSeq: _*)
-        val orphan = raw.withColumn("__f", input_file_name())
-          .groupBy(col("__f"))
-          .agg(max(col("txn").isNull.cast("int")).as("any_legacy"),
-               max(committedCol.cast("int")).as("any_committed"))
-          .filter(col("any_legacy") === 0 && col("any_committed") === 0)
-          .select("__f").collect().map(_.getString(0))
-        orphan.foreach { uri =>
-          if (fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(uri)), false))
-            deleted += 1
+      val dvFiles = fs.listStatus(delPath).filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("."))
+      if (dvFiles.nonEmpty) {
+        val oldEnough: Set[String] = {
+          val cutoff = System.currentTimeMillis() - orphanDvMinAgeMs
+          dvFiles.filter(_.getModificationTime <= cutoff).map(_.getPath.getName).toSet
         }
+        val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/deletes")
+        if (raw.columns.contains("txn") && oldEnough.nonEmpty) {
+          val committed = committedTxns(spark, outDir, Int.MaxValue)
+          val committedCol =
+            if (committed.isEmpty) lit(false) else col("txn").isin(committed.toSeq: _*)
+          val orphan = raw.withColumn("__f", input_file_name())
+            .groupBy(col("__f"))
+            .agg(max(col("txn").isNull.cast("int")).as("any_legacy"),
+                 max(committedCol.cast("int")).as("any_committed"))
+            .filter(col("any_legacy") === 0 && col("any_committed") === 0)
+            .select("__f").collect().map(_.getString(0))
+            .filter(uri => oldEnough.contains(
+              new org.apache.hadoop.fs.Path(new java.net.URI(uri)).getName))
+          orphan.foreach { uri =>
+            if (fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(uri)), false))
+              deleted += 1
+          }
+          // reclaiming the LAST vector file leaves a parquet-less directory
+          // that would fail schema inference on the next read — remove it
+          val left = fs.listStatus(delPath).exists(s => s.isFile &&
+            s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("."))
+          if (!left) fs.delete(delPath, true)
+        }
+      } else {
+        fs.delete(delPath, true) // already parquet-less: never serve it to a reader
       }
     }
     deleted
   }
+
+  /** minimum age before vacuum may reclaim an uncommitted-txn delete-vector
+    * file (default 15 min) — must exceed any in-flight commit's
+    * stage-to-marker window. Tests set -Dgraft.vacuum.dvMinAgeMs=0. */
+  private def orphanDvMinAgeMs: Long =
+    sys.props.getOrElse("graft.vacuum.dvMinAgeMs", "900000").toLong
 
   /** "__part=3/part-xyz.parquet" suffix of a recorded file URI/path — the
     * normalization that survives file:/ vs file:/// scheme differences

@@ -75,7 +75,12 @@ private[sources] final class GraftStringVector(sv: Codecs.StrView, live: Array[I
   override def isNullAt(rowId: Int): Boolean = sv.lens(at(rowId)) < 0
   override def getUTF8String(rowId: Int): UTF8String = {
     val i = at(rowId)
-    UTF8String.fromBytes(sv.buf, sv.offs(i), sv.lens(i))
+    val len = sv.lens(i)
+    // defensive: a getter reached for a null slot (a read schema that
+    // declares the column non-nullable skips the isNullAt branch in
+    // codegen) must not build a negative-length string
+    if (len < 0) UTF8String.EMPTY_UTF8
+    else UTF8String.fromBytes(sv.buf, sv.offs(i), len)
   }
 }
 
@@ -112,10 +117,22 @@ private[sources] final class GraftPosVector(live: Array[Int])
   override def getInt(rowId: Int): Int = if (live == null) rowId else live(rowId)
 }
 
-/** a column absent from this file's era (schema evolution): all null */
+/** a column absent from this file's era (schema evolution): all null.
+  * Getters return zero values instead of throwing — a read schema that
+  * declares the column non-nullable makes codegen skip the isNullAt
+  * branch, and Spark's own vectors return buffer zeros in that case. */
 private[sources] final class GraftAllNullVector(dt: DataType, n: Int)
     extends GraftVector(dt) {
   override def hasNull: Boolean = true
   override def numNulls: Int = n
   override def isNullAt(rowId: Int): Boolean = true
+  override def getBoolean(rowId: Int): Boolean = false
+  override def getByte(rowId: Int): Byte = 0
+  override def getShort(rowId: Int): Short = 0
+  override def getInt(rowId: Int): Int = 0
+  override def getLong(rowId: Int): Long = 0L
+  override def getFloat(rowId: Int): Float = 0f
+  override def getDouble(rowId: Int): Double = 0d
+  override def getUTF8String(rowId: Int): UTF8String = UTF8String.EMPTY_UTF8
+  override def getBinary(rowId: Int): Array[Byte] = Array.emptyByteArray
 }

@@ -893,10 +893,12 @@ private[sources] abstract class GraftFileReaderBase(
     new DecodedBlock(block, n, longVals, longNulls, strViews, binVals, allNull)
   }
 
-  /** positions surviving this block's delete vector, in block order */
+  /** positions surviving this block's delete vector, in block order;
+    * null = no vector for this block, every position survives (callers
+    * treat null as identity — no per-block allocation on the common path) */
   protected def liveIdx(db: DecodedBlock): Array[Int] = {
     val bm = p.deletes.getOrElse(db.block, null)
-    if (bm == null) Array.tabulate(db.n)(identity)
+    if (bm == null) null
     else {
       val out = new Array[Int](db.n)
       var m = 0
@@ -934,7 +936,10 @@ class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
 
   private def rowsOf(db: DecodedBlock): Iterator[InternalRow] = {
     val nCols = f.cols.length
-    liveIdx(db).iterator.map { i =>
+    val live = liveIdx(db)
+    val idx: Iterator[Int] =
+      if (live == null) (0 until db.n).iterator else live.iterator
+    idx.map { i =>
       val vals = new Array[Any](nCols)
       var c2 = 0
       while (c2 < nCols) {
@@ -988,16 +993,14 @@ class GraftColumnarReader(p: GraftInputPartition, f: GraftReaderFactory)
 
   private var batch: ColumnarBatch = _
   private var emitted = 0
-  private val hasDeletes = p.deletes.nonEmpty
 
   override def next(): Boolean = {
     if (f.limit >= 0 && emitted >= f.limit) return false
     while (true) {
       val db = nextBlock()
       if (db == null) return false
-      // no deletes for this block → identity positions, no indirection
-      val live: Array[Int] =
-        if (!hasDeletes || !p.deletes.contains(db.block)) null else liveIdx(db)
+      // null live = no deletes for this block → identity positions
+      val live: Array[Int] = liveIdx(db)
       val m = if (live == null) db.n else live.length
       if (m > 0) {
         batch = new ColumnarBatch(buildVectors(db, live, m))

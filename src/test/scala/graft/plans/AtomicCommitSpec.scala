@@ -75,10 +75,41 @@ class AtomicCommitSpec extends SparkTestBase {
       .toDF("file", "block", "bitmap", "gen", "txn")
       .write.mode("append").parquet(s"$out/deletes")
     assert(deleteFiles(out).size > committedDvFiles.size)
-    val reclaimed = EncodePipeline.vacuum(spark, out)
-    assert(reclaimed >= 1, "vacuum must reclaim the inert vector file")
+    // vacuum is AGE-GATED (an in-flight commit's staged vectors must not be
+    // raced): with the default 15-min threshold the fresh orphan survives...
+    assert(EncodePipeline.vacuum(spark, out) === 0)
+    assert(deleteFiles(out).size > committedDvFiles.size)
+    // ...and with the threshold at zero it is reclaimed
+    System.setProperty("graft.vacuum.dvMinAgeMs", "0")
+    try {
+      val reclaimed = EncodePipeline.vacuum(spark, out)
+      assert(reclaimed >= 1, "vacuum must reclaim the inert vector file")
+    } finally System.clearProperty("graft.vacuum.dvMinAgeMs")
     assert(deleteFiles(out) === committedDvFiles, "committed vectors survive vacuum")
     assert(EncodePipeline.decodeShared(spark, out, docs.schema).count() === 240L - n)
+  }
+
+  test("reclaiming the LAST vector file leaves a readable table (no empty dir)") {
+    val docs = WebDocGen.dataset(spark, 180, 4).toDF()
+    val out = tmpDir()
+    EncodePipeline.run(docs, "url", out, partitions = 2, blockSize = 64)
+    // the table's ONLY vector file is an uncommitted orphan
+    val aFile = EncodePipeline.currentFiles(spark, out)
+      .map(f => EncodePipeline.fileSuffix(f._2)).head
+    import spark.implicits._
+    Seq((aFile, 0, Array[Byte](0x01.toByte), 77, "txn-solo-orphan"))
+      .toDF("file", "block", "bitmap", "gen", "txn")
+      .write.mode("append").parquet(s"$out/deletes")
+    System.setProperty("graft.vacuum.dvMinAgeMs", "0")
+    try assert(EncodePipeline.vacuum(spark, out) >= 1)
+    finally System.clearProperty("graft.vacuum.dvMinAgeMs")
+    // the deletes dir must not survive parquet-less (schema inference would
+    // fail every subsequent read)
+    assert(!new java.io.File(s"$out/deletes").exists())
+    assert(EncodePipeline.decodeShared(spark, out, docs.schema).count() === 180L)
+    assert(spark.read.format("graft").load(out).count() === 180L)
+    // second vacuum is a no-op, not a crash
+    assert(EncodePipeline.vacuum(spark, out) === 0)
   }
 
   test("updateWhereLazy commits append + delete as ONE single-file manifest append") {

@@ -195,6 +195,21 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(spark.read.format("graft").load(out).limit(5).collect().length === 5)
   }
 
+  test("null-slot vector getters are defensive (non-nullable read schemas)") {
+    // a read schema that declares a column non-nullable makes codegen skip
+    // the isNullAt branch; getters must return zero values, never throw
+    import org.apache.spark.sql.types.LongType
+    val an = new GraftAllNullVector(LongType, 3)
+    assert(an.isNullAt(1) && an.numNulls === 3)
+    assert(an.getLong(1) === 0L && an.getInt(1) === 0 && an.getDouble(1) === 0d)
+    assert(an.getUTF8String(1).numBytes === 0 && an.getBinary(1).length === 0)
+    val sv = graft.core.Codecs.decodeStrsView(
+      graft.core.Codecs.encodeStrsN(Array("ab".getBytes, null))._1)
+    val gs = new GraftStringVector(sv, null)
+    assert(!gs.isNullAt(0) && gs.getUTF8String(0).toString === "ab")
+    assert(gs.isNullAt(1) && gs.getUTF8String(1).numBytes === 0)
+  }
+
   test("limit pushdown truncates reads; statistics come from the manifest") {
     val d = docs(800)
     val out = tmpDir()
