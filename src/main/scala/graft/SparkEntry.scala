@@ -712,6 +712,50 @@ object SparkEntry {
         .withColumn("n_inserted", lit(nIns).cast("long"))
         .orderBy(col("lang"))
     }),
+    "q_merge_lazy" -> ((s, dir) => {
+      // merge-on-read MERGE (upsert) end-to-end: the SAME merge as q_merge
+      // but zero-rewrite — matched originals become position-delete
+      // vectors, every update row appends, both in ONE atomic snapshot.
+      // zero_rewrite pins every pre-existing data file byte-identical;
+      // atomic_commit pins the single-manifest-file snapshot; the oracle
+      // recomputes the merged table in DuckDB (same SQL as q_merge).
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 3)
+      val out = java.nio.file.Files.createTempDirectory("graft_mergelazy_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath
+      EncodePipeline.run(d, "doc_id", path, partitions = 8, blockSize = 1024)
+      def files(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$path/data"))
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .map(f => f.getAbsolutePath -> f.length()).toMap
+      }
+      def metaFiles(): Set[String] = new java.io.File(s"$path/meta").listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .map(_.getName).toSet
+      val before = files()
+      val metaBefore = metaFiles()
+      val repl = d.filter(col("doc_id") % 10 === 3)
+        .withColumn("lang", lit("xx"))
+        .withColumn("n_chars", col("n_chars") + 500L)
+      val ins = d.filter(col("doc_id") % 25 === 7)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      val (nRep, nIns) = EncodePipeline.mergeByKeyLazy(s, path, d.schema, "doc_id",
+        repl.unionByName(ins), partitions = 8, blockSize = 1024)
+      val after = files()
+      val zeroRewrite = before.forall { case (f, len) => after.get(f).contains(len) }
+      val atomicCommit = (metaFiles() -- metaBefore).size == 1
+      EncodePipeline.decodeShared(s, path, d.schema)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .withColumn("n_replaced", lit(nRep).cast("long"))
+        .withColumn("n_inserted", lit(nIns).cast("long"))
+        .withColumn("zero_rewrite", lit(zeroRewrite))
+        .withColumn("atomic_commit", lit(atomicCommit))
+        .orderBy(col("lang"))
+    }),
     "q_delete_lazy" -> ((s, dir) => {
       // merge-on-read row-level DELETE end-to-end: position-delete bitmaps
       // land in the deletes/ side structure with ZERO data bytes rewritten
@@ -1370,6 +1414,20 @@ object SparkEntry {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 10 = 3) AS n_replaced, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 25 = 7) AS n_inserted " +
+        "FROM merged GROUP BY lang ORDER BY lang"),
+    "q_merge_lazy" ->
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
+        "merged AS (" +
+        "SELECT * FROM s WHERE doc_id % 10 <> 3 " +
+        "UNION ALL SELECT doc_id, text, 'xx' AS lang, source, n_chars + 500 " +
+        "FROM s WHERE doc_id % 10 = 3 " +
+        "UNION ALL SELECT doc_id + 1000000, text, lang, source, n_chars " +
+        "FROM s WHERE doc_id % 25 = 7) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 10 = 3) AS n_replaced, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 25 = 7) AS n_inserted, " +
+        "TRUE AS zero_rewrite, TRUE AS atomic_commit " +
         "FROM merged GROUP BY lang ORDER BY lang"),
     "q_delete_lazy" ->
       ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3) " +

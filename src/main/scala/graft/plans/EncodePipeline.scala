@@ -1383,16 +1383,31 @@ object EncodePipeline {
   private def stageDeletes(spark: SparkSession, outDir: String,
                            sourceSchema: StructType, pred: Column,
                            excludeFiles: Set[String]): (Long, Option[DataFrame]) = {
-    val dicts = (try loadDicts(spark, outDir)
-                 catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
-    val existing = loadDeletes(spark, outDir)
-    val dec = decodeEx(readDataKeepFile(spark, outDir), sourceSchema,
-      if (dicts.isEmpty) None else Some(dicts),
-      keepPart = false, lineage = true, existing)
+    val dec = decodeLineage(spark, outDir, sourceSchema)
     val hits = dec.filter(coalesce(pred, lit(false)) &&
         (if (excludeFiles.isEmpty) lit(true)
          else !col("__file").isin(excludeFiles.toSeq: _*)))
       .select(col("__file"), col("__block"), col("__pos"))
+    stageDeleteHits(spark, outDir, hits)
+  }
+
+  /** the table decoded with row lineage (__file/__block/__pos), committed
+    * delete vectors applied — the input both predicate- and join-shaped
+    * delete stagings filter */
+  private def decodeLineage(spark: SparkSession, outDir: String,
+                            sourceSchema: StructType): DataFrame = {
+    val dicts = (try loadDicts(spark, outDir)
+                 catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
+    decodeEx(readDataKeepFile(spark, outDir), sourceSchema,
+      if (dicts.isEmpty) None else Some(dicts),
+      keepPart = false, lineage = true, loadDeletes(spark, outDir))
+  }
+
+  /** shared staging tail: turn lineage-coordinates `hits` (__file, __block,
+    * __pos) into inert txn-tagged position bitmaps on disk and return the
+    * snapshot marker that commits them. */
+  private def stageDeleteHits(spark: SparkSession, outDir: String,
+                              hits: DataFrame): (Long, Option[DataFrame]) = {
     val perBlock = hits
       .groupBy(col("__file").as("file"), col("__block").as("block"))
       .agg(collect_list(col("__pos")).as("positions"))
@@ -1465,6 +1480,47 @@ object EncodePipeline {
     // a batchId replay skips the whole snapshot (marker included): the
     // staged vectors stay inert and nothing changed
     if (committed) nDel else 0L
+  }
+
+  /** merge-on-read MERGE INTO by key (upsert): every `updates` row APPENDS
+    * as a tracked batch; existing rows whose key appears in `updates` are
+    * vector-deleted — ZERO existing data bytes rewritten (the Iceberg v2
+    * equality-delete upsert shape, here realized as position vectors
+    * resolved at stage time). Both sides commit as ONE ATOMIC SNAPSHOT:
+    * the delete marker rides in the same single-file manifest append as
+    * the insert batch ([[updateWhereLazy]]'s discipline). `updates` must
+    * carry the table's schema and be unique by `key` (same contract as the
+    * copy-on-write [[mergeByKey]]). Idempotent by `batchId`. Returns
+    * (rows replaced, rows inserted). */
+  def mergeByKeyLazy(spark: SparkSession, outDir: String,
+                     sourceSchema: StructType, key: String, updates: DataFrame,
+                     partitions: Int, blockSize: Int = 4096,
+                     batchId: Long = -1L): (Long, Long) = {
+    val missing = sourceSchema.fieldNames.toSet -- updates.columns.toSet
+    require(missing.isEmpty, s"mergeByKeyLazy updates miss columns: ${missing.mkString(", ")}")
+    val aligned = updates.select(sourceSchema.fields.toSeq
+      .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val nSrc = aligned.count()
+    require(aligned.select(col(key)).distinct().count() == nSrc,
+      s"mergeByKeyLazy updates must be unique by '$key'")
+    val meta0 = readMeta(spark, outDir)
+    val bid = if (batchId >= 0) batchId
+      else if (!meta0.columns.contains("batch_id")) 0L
+      else meta0.agg(max(coalesce(col("batch_id"), lit(-1L)))).head().getLong(0) + 1
+    // stage the matched originals' vectors FIRST (inert until committed):
+    // a left-semi join on the key against the source — the table may hold
+    // several rows per key (appends); all of them are replaced
+    val dec = decodeLineage(spark, outDir, sourceSchema)
+    val srcKeys = aligned.select(col(key)).distinct()
+    val hits = dec.join(srcKeys, Seq(key), "left_semi")
+      .select(col("__file"), col("__block"), col("__pos"))
+    val (nDel, marker) = stageDeleteHits(spark, outDir, hits)
+    val matchedKeys = if (nDel == 0L) 0L
+      else dec.join(srcKeys, Seq(key), "left_semi")
+        .select(col(key)).distinct().count()
+    val committed =
+      appendCommit(aligned, key, outDir, partitions, blockSize, bid, extraMeta = marker)
+    if (committed) (nDel, nSrc - matchedKeys) else (0L, 0L)
   }
 
   /** one zero-file manifest row that advances the table generation without

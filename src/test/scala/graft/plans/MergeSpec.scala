@@ -60,6 +60,57 @@ class MergeSpec extends SparkTestBase {
     assert(sortedRows(EncodePipeline.decodeShared(spark, out, docs.schema)) === expect)
   }
 
+  test("merge-on-read merge: zero rewrite, atomic snapshot, counts exact") {
+    val docs = WebDocGen.dataset(spark, 400, 4).toDF()
+    val out = tmpDir()
+    EncodePipeline.run(docs, "url", out, partitions = 3, blockSize = 64)
+    def dataFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$out/data"))
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+    def metaFiles(): Set[String] = new java.io.File(s"$out/meta").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+    val before = dataFiles()
+    val metaBefore = metaFiles()
+    // 25 replacements + 15 fresh inserts
+    val matchedUrls = docs.limit(25).select("url").collect().map(_.getString(0)).toSet
+    import spark.implicits._
+    val replace = docs.filter(col("url").isin(matchedUrls.toSeq: _*))
+      .withColumn("lang", lit("zz"))
+    val fresh = spark.range(7000, 7015).map(i => WebDocGen.make(i)).toDF()
+    val updates = replace.unionByName(fresh)
+    val (nRep, nIns) = EncodePipeline.mergeByKeyLazy(spark, out, docs.schema, "url",
+      updates, partitions = 3, blockSize = 64)
+    assert(nRep === 25L && nIns === 15L)
+    // every pre-existing data file byte-identical — merge-on-read
+    val after = dataFiles()
+    assert(before.forall { case (f, len) => after.get(f).contains(len) })
+    // ONE new manifest file = insert rows + delete marker (atomic snapshot)
+    assert((metaFiles() -- metaBefore).size === 1)
+    // end state matches the COW merge semantics exactly
+    val expect = sortedRows(
+      docs.filter(!col("url").isin(matchedUrls.toSeq: _*)).unionByName(updates))
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, docs.schema)) === expect)
+    // replayed batchId: no-op, (0, 0)
+    val bid = {
+      val m = EncodePipeline.readMeta(spark, out)
+      m.agg(max(coalesce(col("batch_id"), lit(-1L)))).head().getLong(0)
+    }
+    assert(EncodePipeline.mergeByKeyLazy(spark, out, docs.schema, "url",
+      updates, partitions = 3, blockSize = 64, batchId = bid) === ((0L, 0L)))
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, docs.schema)) === expect)
+    // duplicate keys rejected (same contract as the COW merge)
+    val dup = updates.unionByName(updates.limit(1))
+    val ex = intercept[IllegalArgumentException] {
+      EncodePipeline.mergeByKeyLazy(spark, out, docs.schema, "url", dup, 3, 64)
+    }
+    assert(ex.getMessage.contains("unique"))
+  }
+
   test("pure insert (no matches) and pure replace both work") {
     val docs = WebDocGen.dataset(spark, 200, 2).toDF()
     val out = tmpDir()
