@@ -1041,10 +1041,18 @@ object EncodePipeline {
     * reclaims only the packed-away small files. Much cheaper than a whole-
     * part rewrite on tables where a large sorted base accretes a trickle of
     * small appends. Crash anywhere leaves the previous generation fully
-    * readable; single maintenance writer assumed. Returns packed part ids. */
+    * readable; single maintenance writer assumed. Returns packed part ids.
+    *
+    * Small = row count under one `blockSize` block, OR (when
+    * `maxSmallBytes` > 0) total encoded bytes across the commit's columns
+    * at or under the budget — the byte criterion catches wide-but-short
+    * commits and, conversely, leaves alone a sub-block commit of huge blobs
+    * that a row count alone would needlessly rewrite when the byte budget
+    * is the operator's stated intent. 0 (default) keeps the pure row-count
+    * semantics every existing caller relies on. */
   def compactSmallFiles(spark: SparkSession, outDir: String,
                         sourceSchema: StructType, blockSize: Int = 4096,
-                        minSmall: Int = 2): Seq[Int] = {
+                        minSmall: Int = 2, maxSmallBytes: Long = 0L): Seq[Int] = {
     requireNoLiveDeletes(spark, outDir, "compactSmallFiles")
     val t0 = System.currentTimeMillis()
     val meta = readMeta(spark, outDir)
@@ -1052,14 +1060,23 @@ object EncodePipeline {
     val hasGen = meta.columns.contains("gen")
     val tracked = meta.filter(col("data_files").isNotNull)
     // commit grain: one append's manifest rows share a data_files list per
-    // part (rows is per-column but identical across a commit's columns)
+    // part (rows is per-column but identical across a commit's columns;
+    // bytes is the commit's total across columns — null-tolerant so
+    // pre-stats-era rows neither throw nor qualify by bytes)
     val commits = tracked.groupBy(col("__part"), col("data_files"))
-      .agg(max(col("rows")).as("rows"))
+      .agg(max(col("rows")).as("rows"),
+        (if (tracked.columns.contains("encoded_bytes"))
+          sum(col("encoded_bytes")) else lit(null).cast(LongType)).as("bytes"))
+    val isSmall =
+      if (maxSmallBytes > 0L)
+        col("rows") < blockSize ||
+          (col("bytes").isNotNull && col("bytes") <= maxSmallBytes)
+      else col("rows") < blockSize
     // same guard as [[compact]]: part-level (null data_files) parts are
     // read as whole directories and must never be partially rewritten
     val partLevel = meta.filter(col("data_files").isNull)
       .select("__part").distinct().collect().map(_.getInt(0)).toSet
-    val cands = commits.filter(col("rows") < blockSize)
+    val cands = commits.filter(isSmall)
       .groupBy(col("__part")).agg(count(lit(1)).as("nsmall"))
       .filter(col("nsmall") >= minSmall)
       .select("__part").collect().map(_.getInt(0))
@@ -1069,7 +1086,7 @@ object EncodePipeline {
       meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
 
     val smallSets = commits
-      .filter(col("rows") < blockSize && col("__part").isin(cands: _*))
+      .filter(isSmall && col("__part").isin(cands: _*))
       .select(col("__part"), col("data_files"))
     val smallPaths = smallSets.select(explode(col("data_files")).as("f"))
       .distinct().collect()

@@ -206,6 +206,41 @@ class CompactionSpec extends SparkTestBase {
     assert(!EncodePipeline.appendCommit(replay, "url", out, 4, 64, batchId = 0L))
   }
 
+  test("bin-packing byte budget: sub-budget commits pack above the row threshold") {
+    import spark.implicits._
+    val base = WebDocGen.dataset(spark, 600, 4).toDF()
+    val out = tmpDir()
+    // blockSize 16: even the append commits (~50 rows/part) clear a block,
+    // so the row-count criterion sees nothing small anywhere
+    EncodePipeline.run(base, "url", out, partitions = 4, blockSize = 16)
+    (0 until 2).foreach { b =>
+      val batch = spark.range(600 + b * 200, 600 + (b + 1) * 200)
+        .map(i => WebDocGen.make(i)).toDF()
+      assert(EncodePipeline.appendCommit(batch, "url", out, 4, 16, batchId = b.toLong))
+    }
+    val all = WebDocGen.dataset(spark, 1000, 4).toDF()
+    val expect = sortedRows(all)
+    assert(EncodePipeline.compactSmallFiles(spark, out, all.schema, blockSize = 16).isEmpty)
+    // byte budget between the append commits' totals and the base commit's,
+    // derived from the manifest so the pin is insensitive to codec drift
+    val commits = spark.read.parquet(s"$out/meta")
+      .where(col("data_files").isNotNull)
+      .groupBy(col("__part"), col("data_files"))
+      .agg(max(col("rows")).as("rows"), sum(col("encoded_bytes")).as("bytes"))
+      .collect()
+    val baseMin = commits.filter(_.getAs[Long]("rows") >= 100).map(_.getAs[Long]("bytes")).min
+    val appMax = commits.filter(_.getAs[Long]("rows") < 100).map(_.getAs[Long]("bytes")).max
+    assert(appMax < baseMin, "test assumption: append commits smaller than base")
+    val packed = EncodePipeline.compactSmallFiles(spark, out, all.schema,
+      blockSize = 16, maxSmallBytes = appMax)
+    assert(packed.nonEmpty)
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, all.schema)) === expect)
+    // over-budget base commits carried forward verbatim; only the packed
+    // appends' files are reclaimable
+    assert(EncodePipeline.vacuum(spark, out) > 0)
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, all.schema)) === expect)
+  }
+
   test("crash-orphan files are invisible and vacuumed") {
     val docs = WebDocGen.dataset(spark, 300, 4).toDF()
     val out = tmpDir()
