@@ -122,6 +122,45 @@ object SparkEntry {
         .crossJoin(b.select(col("n_rows").as("nr2"), col("n_mismatch").as("m2")))
         .select((col("nr1") + col("nr2")).as("n_values"), (col("m1") + col("m2")).as("n_mismatch"))
     }),
+    "q_alp_roundtrip" -> ((s, dir) => {
+      // ALP (decimal-scaled doubles): 2-decimal prices travel the long path
+      // as IEEE bit patterns; the selector must pick alp UNFORCED on every
+      // block with enough values to probe, and decode bit-exactly (the
+      // n_mismatch pin). sum_cents re-derives the VALUES in DuckDB, so a
+      // bit-faithful but value-corrupting codec cannot pass.
+      val grp = expr("(l_orderkey * 8 + l_linenumber) DIV 4096")
+      val li = tbl(s, dir, "lineitem")
+        .select(double_bits(col("l_extendedprice")).as("bits"),
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      val rt = longRoundTrip(li, col("bits"), grp, Some("alp"))
+      val pick = li.groupBy(grp.as("g"))
+        .agg(sort_array(collect_list(col("bits"))).as("vals"))
+        .select(size(col("vals")).as("n"), blob_codec(encode_longs(col("vals"))).as("c"))
+        .filter(col("n") >= 8) // sub-probe blocks legitimately fall back
+        .agg(count(lit(1)).cast("long").as("n_blocks"),
+          sum(when(col("c") === "alp", 1L).otherwise(0L)).cast("long").as("n_alp"))
+      val agg = li.agg(sum(floor(col("l_extendedprice") * 100 + 0.5)).cast("long").as("sum_cents"))
+      rt.crossJoin(pick).crossJoin(agg)
+    }),
+    "q_tzfor_roundtrip" -> ((s, dir) => {
+      // TZ-FOR (common-trailing-zero shift): embeddings re-laid out
+      // DIM-MAJOR — one block per (vector-range, dimension) — so each block
+      // holds one dimension's float-upcast doubles: 29 zero mantissa bits
+      // that FOR/delta can't see (sign-crossing bit patterns pin them at
+      // width 64) and ALP rejects (float mantissas aren't decimal at e<=14)
+      val em = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(expr("vec_id DIV 4096 * 256 + pos").as("g"),
+          double_bits(col("col").cast("double")).as("bits"))
+      val rt = longRoundTrip(em, col("bits"), col("g"), Some("tzfor"))
+      val pick = em.groupBy(col("g"))
+        .agg(sort_array(collect_list(col("bits"))).as("vals"))
+        .select(size(col("vals")).as("n"), blob_codec(encode_longs(col("vals"))).as("c"))
+        .filter(col("n") >= 8)
+        .agg(count(lit(1)).cast("long").as("n_blocks"),
+          sum(when(col("c") === "tzfor", 1L).otherwise(0L)).cast("long").as("n_tzfor"))
+      rt.crossJoin(pick)
+    }),
 
     // ---- analyzer / selector statistics (oracle-checked aggregations) ----
     "q_bitwidth_hist" -> ((s, dir) => {
@@ -1178,6 +1217,21 @@ object SparkEntry {
         "CAST(sum(strlen(source)) AS BIGINT) AS total_bytes FROM documents"),
     "q_auto_roundtrip" ->
       "SELECT CAST(2 * count(*) AS BIGINT) AS n_values, CAST(0 AS BIGINT) AS n_mismatch FROM events",
+    "q_alp_roundtrip" ->
+      ("WITH b AS (SELECT (l_orderkey * 8 + l_linenumber) // 4096 AS g, count(*) AS n " +
+        "FROM lineitem GROUP BY 1), big AS (SELECT count(*) AS nb FROM b WHERE n >= 8) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch, " +
+        "CAST((SELECT nb FROM big) AS BIGINT) AS n_blocks, " +
+        "CAST((SELECT nb FROM big) AS BIGINT) AS n_alp, " + // selector pin: every probe-sized block picks alp
+        "CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT) AS sum_cents FROM lineitem"),
+    "q_tzfor_roundtrip" ->
+      ("WITH v AS (SELECT vec_id // 4096 * 256 + unnest(range(len(embedding))) AS g " +
+        "FROM embeddings), " +
+        "b AS (SELECT g, count(*) AS n FROM v GROUP BY 1), " +
+        "big AS (SELECT count(*) AS nb FROM b WHERE n >= 8) " +
+        "SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch, " +
+        "CAST((SELECT nb FROM big) AS BIGINT) AS n_blocks, " +
+        "CAST((SELECT nb FROM big) AS BIGINT) AS n_tzfor"), // selector pin: dim-major float blocks pick tzfor
     "q_bitwidth_hist" ->
       ("SELECT CAST(length(bin(user_id)) AS INT) AS width, CAST(count(*) AS BIGINT) AS n " +
         "FROM events GROUP BY 1 ORDER BY 1"),

@@ -35,6 +35,10 @@ object Codecs {
   final val DeltaId = 4
   final val RleLong = 5
   final val NullLong = 6 // wrapper: null bitmap + inner long blob of non-nulls
+  // Float-bearing long blocks (doubles travel the long path as raw IEEE-754
+  // bit patterns via double_bits — see EncodePipeline.toStorage):
+  final val AlpLong = 7 // ALP-style decimal scaling: round(d*10^e) FOR-packed + bit-exact exception patches
+  final val TzForId = 8 // common-trailing-zero shift then FOR (float-upcast mantissas: 64 -> ~35 bits)
   final val ConstStr = 16
   final val RawStr = 17
   final val DictId = 18
@@ -56,6 +60,8 @@ object Codecs {
     case ForId     => "for"
     case DeltaId   => "delta"
     case RleLong   => "rle"
+    case AlpLong   => "alp"
+    case TzForId   => "tzfor"
     case ConstStr  => "const"
     case RawStr    => "raw"
     case DictId    => "dict"
@@ -242,17 +248,26 @@ object Codecs {
 
   // ======================== Long columns ========================
 
-  /** Distribution stats driving codec choice (gathered in one pass). */
+  /** Distribution stats driving codec choice (gathered in one pass).
+    * `orAll` (bitwise OR of every value) gives the block's COMMON trailing
+    * zero count — the [[TzForId]] viability signal: float-upcast doubles
+    * share ≥29 zero mantissa bits, so their OR does too. */
   final case class LongStats(count: Int, min: Long, max: Long, runs: Int,
-                             maxZigzagDelta: Long, sorted: Boolean) {
+                             maxZigzagDelta: Long, sorted: Boolean,
+                             orAll: Long = -1L) {
     def widthFor: Int = BitPack.bitsNeeded(max - min) // max-min may wrap if range > Long.Max; guarded in analyze
     def widthDelta: Int = BitPack.bitsNeeded(maxZigzagDelta)
+    /** trailing zeros common to every value (0 when orAll defaulted). */
+    def commonTz: Int = {
+      val tz = java.lang.Long.numberOfTrailingZeros(orAll)
+      if (tz >= 64) 0 else tz // all-zero block: const wins anyway
+    }
   }
 
   def analyzeLongs(vs: Array[Long]): LongStats = {
     require(vs.nonEmpty, "empty block")
     var mn = vs(0); var mx = vs(0); var runs = 1
-    var maxZz = 0L; var sorted = true
+    var maxZz = 0L; var sorted = true; var orAll = vs(0)
     var i = 1
     while (i < vs.length) {
       val v = vs(i)
@@ -262,9 +277,10 @@ object Codecs {
       if (v < vs(i - 1)) sorted = false
       val zz = BitPack.zigzag(v - vs(i - 1)) // wrapping delta round-trips by construction
       if (java.lang.Long.compareUnsigned(zz, maxZz) > 0) maxZz = zz
+      orAll |= v
       i += 1
     }
-    LongStats(vs.length, mn, mx, runs, maxZz, sorted)
+    LongStats(vs.length, mn, mx, runs, maxZz, sorted, orAll)
   }
 
   /** Estimated blob bytes per codec; Long.MaxValue = not applicable. */
@@ -284,15 +300,161 @@ object Codecs {
         val lenW = 32 // conservative before run-length pass; exact at encode
         1L + 4 + 4 + 1 + 1 + 8 + BitPack.packedByteLen(s.runs, valW).toLong +
           BitPack.packedByteLen(s.runs, lenW).toLong
+      },
+      TzForId -> {
+        // conservative width upper bound: (max>>>tz)-(min>>>tz) never needs
+        // more than forW+1-tz bits when the signed range is sane, 64-tz when
+        // it sign-crosses (the float-bit-pattern case, where FOR itself is
+        // stuck at width 64). Exact width computed at encode (always <= this).
+        val tz = s.commonTz
+        if (tz < 1) Long.MaxValue
+        else {
+          val w = math.min(64 - tz, math.max(1, (if (range < 0) 65 else forW + 1) - tz))
+          1L + 4 + 1 + 1 + 8 + BitPack.packedByteLen(s.count, w).toLong
+        }
       }
     )
   }
 
-  /** Auto-select and encode (the codec selector, SURVEY.md §7.4). */
+  // ==================== float-in-long codecs (ALP) ====================
+  // Doubles reach the long family as raw IEEE-754 bit patterns (DoubleBits).
+  // ALP (Afroozeh & Boncz, VLDB 2023 — "ALP: Adaptive Lossless floating-Point
+  // compression"; public paper, clean-room implementation) observes that real
+  // data is overwhelmingly decimal: d == round(d*10^e)/10^e bit-exactly for
+  // some small e, so the block stores the INTEGERS round(d*10^e), which then
+  // compress like any other int stream (FOR+bitpack here). Values that fail
+  // the bit-exactness test become patch-list exceptions (raw bits). The probe
+  // is sampled and gated so non-double long blocks pay ~8 reinterprets.
+
+  private final val AlpMaxExp = 14
+  private val alpPow10: Array[Double] = Array.tabulate(AlpMaxExp + 1)(e => math.pow(10.0, e))
+  /** |round(d*10^e)| must stay comfortably inside 2^52 so enc.toDouble is
+    * exact and the round-trip check is meaningful. */
+  private final val AlpMaxEnc = 1L << 51
+
+  /** A viable ALP encoding of a block, produced by [[probeAlp]]: the scaled
+    * integers (exception slots pre-filled with a valid neighbor so FOR stays
+    * tight), the exception patch list, and the exact encoded byte count used
+    * by the codec selector. */
+  final case class AlpPlan(e: Int, enc: Array[Long], excPos: Array[Int],
+                           excBits: Array[Long], bytes: Long)
+
+  /** Try ALP on a block of double BIT PATTERNS; null when not viable (not
+    * doubles, no exponent reaches 95% sample exactness, or >1/16 exceptions). */
+  def probeAlp(vs: Array[Long]): AlpPlan = {
+    val n = vs.length
+    if (n < 8) return null
+    // cheap gate: plausible decimal doubles. Genuine small longs reinterpret
+    // to denormals (~1e-320) and timestamps to ~1e-195 — both rejected.
+    val gateN = math.min(8, n)
+    val gStride = math.max(1, n / gateN)
+    var g = 0; var i = 0
+    while (i < gateN) {
+      val d = java.lang.Double.longBitsToDouble(vs(i * gStride))
+      val a = math.abs(d)
+      if (d == 0.0 || (a == a && a >= 1e-10 && a < 1e15)) g += 1 // a==a rejects NaN
+      i += 1
+    }
+    if (g < gateN) return null
+    // pick the smallest exponent that makes >=95% of a 64-value sample
+    // bit-exact (smallest e = smallest integers = fewest packed bits)
+    val sampleN = math.min(64, n)
+    val stride = math.max(1, n / sampleN)
+    var bestE = -1
+    var e = 0
+    while (e <= AlpMaxExp && bestE < 0) {
+      val p = alpPow10(e)
+      var hits = 0; var k = 0
+      while (k < sampleN) {
+        val bits = vs(k * stride)
+        val scaled = java.lang.Double.longBitsToDouble(bits) * p
+        if (math.abs(scaled) < AlpMaxEnc.toDouble) {
+          val enc = Math.round(scaled)
+          if (java.lang.Double.doubleToRawLongBits(enc.toDouble / p) == bits) hits += 1
+        }
+        k += 1
+      }
+      if (hits * 20 >= sampleN * 19) bestE = e else e += 1
+    }
+    if (bestE < 0) return null
+    // full pass: scaled ints + exceptions (bit-exactness decides, never stats)
+    val p = alpPow10(bestE)
+    val enc = new Array[Long](n)
+    val excP = new java.util.ArrayList[Integer]()
+    var fill = 0L; var haveFill = false
+    i = 0
+    while (i < n) {
+      val bits = vs(i)
+      val scaled = java.lang.Double.longBitsToDouble(bits) * p
+      var ok = false; var ev = 0L
+      if (math.abs(scaled) < AlpMaxEnc.toDouble) {
+        ev = Math.round(scaled)
+        ok = java.lang.Double.doubleToRawLongBits(ev.toDouble / p) == bits
+      }
+      if (ok) {
+        enc(i) = ev
+        if (!haveFill) { fill = ev; haveFill = true }
+      } else {
+        excP.add(i)
+        enc(i) = fill // patched below if this preceded the first valid value
+      }
+      i += 1
+    }
+    val nExc = excP.size
+    if (!haveFill || nExc.toLong * 16 > n) return null
+    val excPos = new Array[Int](nExc)
+    val excBits = new Array[Long](nExc)
+    var k = 0
+    while (k < nExc) {
+      val pos = excP.get(k).intValue()
+      excPos(k) = pos
+      excBits(k) = vs(pos)
+      enc(pos) = fill // early exceptions (before first valid) refilled
+      k += 1
+    }
+    var mn = enc(0); var mx = enc(0)
+    i = 1
+    while (i < n) { val v = enc(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+    val width = BitPack.bitsNeeded(mx - mn) // |enc| < 2^51: range never wraps
+    val bytes = 1L + 4 + 1 + 4 + 1 + 8 + BitPack.packedByteLen(n, width) + 12L * nExc
+    AlpPlan(bestE, enc, excPos, excBits, bytes)
+  }
+
+  private def encodeAlp(vs: Array[Long], plan: AlpPlan): Array[Byte] = {
+    val n = vs.length
+    var mn = plan.enc(0)
+    var i = 1
+    while (i < n) { if (plan.enc(i) < mn) mn = plan.enc(i); i += 1 }
+    var mx = plan.enc(0)
+    i = 1
+    while (i < n) { if (plan.enc(i) > mx) mx = plan.enc(i); i += 1 }
+    val width = BitPack.bitsNeeded(mx - mn)
+    val shifted = new Array[Long](n)
+    i = 0
+    while (i < n) { shifted(i) = plan.enc(i) - mn; i += 1 }
+    val w = new ByteWriter(n * 2 + 32)
+    w.writeByte(AlpLong); w.writeInt(n); w.writeByte(plan.e)
+    w.writeInt(plan.excPos.length); w.writeByte(width); w.writeLong(mn)
+    w.writeBytes(BitPack.pack(shifted, width))
+    var k = 0
+    while (k < plan.excPos.length) { w.writeInt(plan.excPos(k)); k += 1 }
+    k = 0
+    while (k < plan.excBits.length) { w.writeLong(plan.excBits(k)); k += 1 }
+    w.toArray
+  }
+
+  /** Auto-select and encode (the codec selector, SURVEY.md §7.4). The ALP
+    * candidate joins the estimate race only when its gated probe finds a
+    * viable exponent — its `bytes` is exact, the others are estimates. */
   def encodeLongs(vs: Array[Long]): Array[Byte] = {
     val s = analyzeLongs(vs)
-    val best = estimateLong(s).minBy(_._2)._1
-    encodeLongsAs(vs, best, Some(s))
+    val est = estimateLong(s)
+    val alp = if (s.runs > 1) probeAlp(vs) else null // const subsumes 1-run blocks
+    val best =
+      if (alp != null && alp.bytes < est.values.min) AlpLong
+      else est.minBy(_._2)._1
+    if (best == AlpLong) encodeAlp(vs, alp)
+    else encodeLongsAs(vs, best, Some(s))
   }
 
   def encodeLongsAs(vs: Array[Long], id: Int, stats: Option[LongStats] = None): Array[Byte] = {
@@ -321,6 +483,31 @@ object Codecs {
         var i = 1
         while (i < vs.length) { deltas(i - 1) = BitPack.zigzag(vs(i) - vs(i - 1)); i += 1 }
         w.writeBytes(BitPack.pack(deltas, width))
+      case AlpLong =>
+        val plan = probeAlp(vs)
+        require(plan != null, "block is not ALP-encodable (not decimal doubles)")
+        return encodeAlp(vs, plan)
+      case TzForId =>
+        val tz = s.commonTz
+        require(tz >= 1 && tz < 64, s"tzfor needs common trailing zeros (got $tz)")
+        val shifted = new Array[Long](vs.length)
+        var i = 0
+        while (i < vs.length) { shifted(i) = vs(i) >>> tz; i += 1 }
+        var mn = shifted(0); var mx = shifted(0)
+        i = 1
+        while (i < vs.length) {
+          val v = shifted(i)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        // >>>tz with tz>=1 keeps everything in [0, 2^63): signed math is safe
+        val width = BitPack.bitsNeeded(mx - mn)
+        i = 0
+        while (i < vs.length) { shifted(i) -= mn; i += 1 }
+        w.writeByte(TzForId); w.writeInt(s.count); w.writeByte(tz)
+        w.writeByte(width); w.writeLong(mn)
+        w.writeBytes(BitPack.pack(shifted, width))
       case RleLong =>
         val runVals = new Array[Long](s.runs)
         val runLens = new Array[Long](s.runs)
@@ -390,6 +577,41 @@ object Codecs {
           while (k > 0) { out(o) = v; o += 1; k -= 1 }
           i += 1
         }
+        out
+      case AlpLong =>
+        val e = r.readByte() & 0xff
+        require(e <= AlpMaxExp, s"corrupt alp blob: exponent $e")
+        val nExc = r.readInt()
+        require(nExc >= 0 && nExc <= count, s"corrupt alp blob: $nExc exceptions of $count")
+        val width = r.readByte() & 0xff
+        val ref = r.readLong()
+        val enc = BitPack.unpack(r.readBytes(BitPack.packedByteLen(count, width)), width, count)
+        val p = alpPow10(e)
+        val out = new Array[Long](count)
+        var i = 0
+        while (i < count) {
+          // identical op sequence to the encode-time exactness check
+          out(i) = java.lang.Double.doubleToRawLongBits((enc(i) + ref).toDouble / p)
+          i += 1
+        }
+        var k = 0
+        val excPos = new Array[Int](nExc)
+        while (k < nExc) {
+          val pos = r.readInt()
+          require(pos >= 0 && pos < count, s"corrupt alp blob: exception at $pos of $count")
+          excPos(k) = pos; k += 1
+        }
+        k = 0
+        while (k < nExc) { out(excPos(k)) = r.readLong(); k += 1 }
+        out
+      case TzForId =>
+        val tz = r.readByte() & 0xff
+        require(tz >= 1 && tz < 64, s"corrupt tzfor blob: shift $tz")
+        val width = r.readByte() & 0xff
+        val ref = r.readLong()
+        val out = BitPack.unpack(r.readBytes(r.remaining), width, count)
+        var i = 0
+        while (i < out.length) { out(i) = (out(i) + ref) << tz; i += 1 }
         out
       case other => throw new IllegalArgumentException(s"not a long codec id: $other")
     }
@@ -1510,7 +1732,15 @@ object Codecs {
         var n = 0L; var i = 0
         while (i < nRuns) { if (runVals(i) == shifted) n += runLens(i); i += 1 }
         n
-      case DeltaId =>
+      case TzForId =>
+        // header zone skip: every stored value has >= tz trailing zeros
+        val tz = r.readByte() & 0xff
+        if (tz >= 1 && tz < 64 && (target & ((1L << tz) - 1)) != 0L) return 0L
+        val vs = decodeLongs(blob)
+        var n = 0L; var i = 0
+        while (i < vs.length) { if (vs(i) == target) n += 1; i += 1 }
+        n
+      case DeltaId | AlpLong =>
         val vs = decodeLongs(blob)
         var n = 0L; var i = 0
         while (i < vs.length) { if (vs(i) == target) n += 1; i += 1 }
@@ -1571,7 +1801,7 @@ object Codecs {
           i += 1
         }
         n
-      case DeltaId =>
+      case DeltaId | AlpLong | TzForId =>
         val vs = decodeLongs(blob)
         var n = 0L; var i = 0
         while (i < vs.length) { if (vs(i) >= lo && vs(i) <= hi) n += 1; i += 1 }
@@ -1779,7 +2009,7 @@ object Codecs {
         r.readByte()
         val ref = r.readLong()
         (ref, packedHi(ref, valW))
-      case DeltaId =>
+      case DeltaId | AlpLong | TzForId =>
         val vs = decodeLongs(blob)
         var mn = vs(0); var mx = vs(0); var i = 1
         while (i < vs.length) { if (vs(i) < mn) mn = vs(i); if (vs(i) > mx) mx = vs(i); i += 1 }

@@ -59,6 +59,8 @@ package object functions {
     case ("for", true)       => Codecs.ForId
     case ("delta", true)     => Codecs.DeltaId
     case ("rle", true)       => Codecs.RleLong
+    case ("alp", true)       => Codecs.AlpLong
+    case ("tzfor", true)     => Codecs.TzForId
     case ("const", false)    => Codecs.ConstStr
     case ("raw", false)      => Codecs.RawStr
     case ("dict", false)     => Codecs.DictId

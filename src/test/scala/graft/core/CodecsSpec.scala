@@ -498,4 +498,87 @@ class CodecsSpec extends AnyFunSuite {
       assert(lo <= straddle.min && hi >= straddle.max, s"codec $id")
     }
   }
+
+  // ---- float-in-long codecs (ALP + TZ-FOR) ----
+
+  private def bitsOf(d: Double): Long = java.lang.Double.doubleToRawLongBits(d)
+
+  test("alp: 2-decimal prices select alp, round-trip bit-exact, ~4x smaller than FOR") {
+    val r = new scala.util.Random(7)
+    // TPC-H-style extendedprice: cents/100.0 — the decimal sweet spot
+    val prices = Array.fill(4096)(bitsOf((90000 + r.nextInt(9000000)).toLong / 100.0))
+    val blob = Codecs.encodeLongs(prices)
+    assert(Codecs.codecOf(blob) === "alp")
+    assert(Codecs.decodeLongs(blob).toSeq === prices.toSeq)
+    // round(d*100) < 10^5..10^7 → ~27-bit FOR body vs 64-bit bit patterns
+    assert(blob.length < 4096 * 8 / 2, s"alp blob ${blob.length} bytes")
+    // probe kernels: decode-fallback answers are exact
+    val target = prices(17)
+    val n = prices.count(_ == target).toLong
+    assert(Codecs.countEqLong(blob, target) === n)
+    val (lo, hi) = Codecs.rangeOfLong(blob)
+    assert(lo <= prices.min && hi >= prices.max)
+    val st = Codecs.statsOfLong(blob)
+    assert(st.min === prices.min && st.max === prices.max && st.count === 4096L)
+  }
+
+  test("alp: exceptions patch bit-exactly (NaN, infinity, irrational outliers)") {
+    val r = new scala.util.Random(11)
+    val vs = Array.fill(1024)(bitsOf(r.nextInt(100000) / 100.0))
+    // anomalies away from the gate/sample stride positions
+    vs(3) = bitsOf(Double.NaN)
+    vs(7) = bitsOf(Double.PositiveInfinity)
+    vs(33) = bitsOf(math.Pi)
+    vs(65) = bitsOf(1.0 / 3.0)
+    vs(129) = bitsOf(-0.0)
+    val blob = Codecs.encodeLongsAs(vs, Codecs.AlpLong)
+    assert(Codecs.codecOf(blob) === "alp")
+    assert(Codecs.decodeLongs(blob).toSeq === vs.toSeq) // incl. the NaN bit pattern
+  }
+
+  test("alp: never misfires on genuine longs or timestamps; forced encode throws") {
+    val ids = Array.tabulate(2048)(i => 1000000L + i * 7)
+    assert(Codecs.codecOf(Codecs.encodeLongs(ids)) !== "alp")
+    val micros = Array.tabulate(2048)(i => 1700000000000000L + i * 1000000L)
+    assert(Codecs.codecOf(Codecs.encodeLongs(micros)) !== "alp")
+    intercept[IllegalArgumentException] { Codecs.encodeLongsAs(ids, Codecs.AlpLong) }
+  }
+
+  test("tzfor: float-upcast doubles (non-decimal mantissas) beat FOR's 64-bit wall") {
+    val r = new scala.util.Random(13)
+    // embedding-like floats in [-1,1): as doubles the low 29 mantissa bits are
+    // zero but the values are NOT decimal (alp's 10^e test fails at e<=14)
+    val vs = Array.fill(4096)(bitsOf((r.nextFloat() * 2f - 1f).toDouble))
+    val blob = Codecs.encodeLongs(vs)
+    assert(Codecs.codecOf(blob) === "tzfor", s"picked ${Codecs.codecOf(blob)}")
+    assert(Codecs.decodeLongs(blob).toSeq === vs.toSeq)
+    assert(blob.length < 4096L * 64 / 8 * 6 / 10, s"tzfor blob ${blob.length} bytes") // ≥40% saved
+    // equality zone skip: a target without the common trailing zeros is
+    // rejected from the header alone
+    assert(Codecs.countEqLong(blob, 1L) === 0L)
+    assert(Codecs.countEqLong(blob, vs(5)) >= 1L)
+    assert(Codecs.countBetweenLong(blob, vs(5), vs(5)) >= 1L)
+    val (lo, hi) = Codecs.rangeOfLong(blob)
+    assert(lo <= vs.min && hi >= vs.max)
+  }
+
+  test("tzfor: forced round-trip on shifted integers and sign-bit patterns") {
+    val evens = Array.tabulate(512)(i => (i * 8).toLong)
+    assert(Codecs.decodeLongs(Codecs.encodeLongsAs(evens, Codecs.TzForId)).toSeq === evens.toSeq)
+    val r = new scala.util.Random(17)
+    val mixed = Array.fill(512)(r.nextLong() << 20) // random incl. negatives, tz=20
+    assert(Codecs.decodeLongs(Codecs.encodeLongsAs(mixed, Codecs.TzForId)).toSeq === mixed.toSeq)
+    intercept[IllegalArgumentException] { // odd values: no common trailing zeros
+      Codecs.encodeLongsAs(Array(1L, 2L, 3L), Codecs.TzForId)
+    }
+  }
+
+  test("alp/tzfor: auto round-trips stay exact under the full selector race") {
+    val r = new scala.util.Random(19)
+    rt(Array.fill(777)(bitsOf(r.nextInt(1000) / 10.0)))           // alp e=1
+    rt(Array.fill(777)(bitsOf(r.nextFloat().toDouble)))           // tzfor
+    rt(Array.fill(777)(bitsOf(r.nextDouble())))                   // raw-entropy doubles
+    rt(Array.tabulate(777)(i => bitsOf(i / 1000.0)))              // alp e=3, sorted
+    rt(Array.fill(9)(bitsOf(0.25)))                               // const wins
+  }
 }

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.functions._
 import graft.SparkTestBase
+import graft.functions.double_bits
 import graft.sources.WebDocGen
 
 /** End-to-end invariant test (SURVEY.md §5 item 3): synthetic WebDoc table →
@@ -355,5 +356,29 @@ class EncodePipelineSpec extends SparkTestBase {
     val decoded = EncodePipeline.decode(enc, events.schema)
     val summary = EncodePipeline.verifyRoundTrip(events, decoded, "event_id").head()
     assert(summary.getLong(1) === 0L)
+  }
+
+  test("double columns: alp picked for decimal scores, tzfor for float upcasts, bit-exact") {
+    import spark.implicits._
+    // decimal quality scores (3 places) and float-upcast similarity values —
+    // the two shapes the float-in-long codecs target; id stays delta/for
+    val df = spark.range(0, 5000)
+      .select(col("id"),
+        (floor(rand(7) * 1000) / 1000.0).as("score"),
+        rand(11).cast("float").cast("double").as("sim"))
+      .cache()
+    val out = tmpDir()
+    EncodePipeline.run(df.toDF(), "id", out, partitions = 4, blockSize = 1024)
+    val back = EncodePipeline.decodeShared(spark, out, df.schema)
+    assert(back.count() === 5000L)
+    val joined = df.join(back.withColumnsRenamed(Map("score" -> "s2", "sim" -> "m2")), "id")
+    assert(joined.filter(double_bits(col("score")) =!= double_bits(col("s2")) ||
+      double_bits(col("sim")) =!= double_bits(col("m2"))).count() === 0L)
+    val codecs = spark.read.parquet(s"$out/meta")
+      .select(col("column"), explode(col("codecs")).as("c"))
+      .groupBy(col("column")).agg(collect_set(col("c")).as("cs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(codecs("score").contains("alp"), s"score codecs: ${codecs("score")}")
+    assert(codecs("sim").contains("tzfor"), s"sim codecs: ${codecs("sim")}")
   }
 }
