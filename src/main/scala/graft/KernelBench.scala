@@ -58,6 +58,21 @@ object KernelBench {
     bench("delta decode (ts)", n * 8L, 4) { Codecs.decodeLongs(deltaBlob) }
     bench("auto-select longs", n * 8L, 4) { Codecs.encodeLongs(ts) }
 
+    // float-in-long codecs: alp on 2-decimal prices, tzfor on float upcasts
+    val prices = Array.fill(n)(java.lang.Double.doubleToRawLongBits(
+      (90000 + rnd.nextInt(9000000)).toLong / 100.0))
+    bench("alp encode (prices)", n * 8L, 4) { Codecs.encodeLongsAs(prices, Codecs.AlpLong) }
+    val alpBlob = Codecs.encodeLongsAs(prices, Codecs.AlpLong)
+    println(f"alp ratio (prices)           ${n * 8.0 / alpBlob.length}%10.2fx")
+    bench("alp decode (prices)", n * 8L, 4) { Codecs.decodeLongs(alpBlob) }
+    val floats = Array.fill(n)(java.lang.Double.doubleToRawLongBits(
+      (rnd.nextFloat() * 2f - 1f).toDouble))
+    bench("tzfor encode (floats)", n * 8L, 4) { Codecs.encodeLongsAs(floats, Codecs.TzForId) }
+    val tzBlob = Codecs.encodeLongsAs(floats, Codecs.TzForId)
+    println(f"tzfor ratio (floats)         ${n * 8.0 / tzBlob.length}%10.2fx")
+    bench("tzfor decode (floats)", n * 8L, 4) { Codecs.decodeLongs(tzBlob) }
+    bench("auto-select doubles", n * 8L, 4) { Codecs.encodeLongs(prices) }
+
     // dict on low-cardinality strings
     val langs = Array("en", "de", "fr", "es", "zh", "ja", "pt", "ru")
     val strN = n / 8

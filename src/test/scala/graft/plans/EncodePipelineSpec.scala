@@ -380,5 +380,10 @@ class EncodePipelineSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
     assert(codecs("score").contains("alp"), s"score codecs: ${codecs("score")}")
     assert(codecs("sim").contains("tzfor"), s"sim codecs: ${codecs("sim")}")
+    // the V2 connector's vectorized batches decode the new codecs too
+    val v2 = spark.read.format("graft").load(out)
+    val j2 = df.join(v2.withColumnsRenamed(Map("score" -> "s2", "sim" -> "m2")), "id")
+    assert(j2.filter(double_bits(col("score")) =!= double_bits(col("s2")) ||
+      double_bits(col("sim")) =!= double_bits(col("m2"))).count() === 0L)
   }
 }
