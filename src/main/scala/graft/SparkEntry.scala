@@ -933,6 +933,43 @@ object SparkEntry {
           "(CAST(5 AS BIGINT), CAST(50 AS BIGINT), CAST(500 AS BIGINT))))"))
           .cast("long").as("n_id_in"))
     }),
+    "q_bloom_lookup" -> ((s, dir) => {
+      // block-grain Bloom filters (Parquet/Iceberg bloom parity): fp is a
+      // multiplicative hash of doc_id, so the doc_id-keyed placement leaves
+      // every part AND block spanning the fp domain — zone maps prune
+      // nothing, the bm_fp filters prove absence per block. Pins: the three
+      // needle probes return exactly their rows (DuckDB re-derives by
+      // doc_id), the absent probe returns none, and both probe families
+      // kept under 1/4 of the blocks (bloom actually skipped; fp-noise-safe)
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+        expr("pmod(doc_id * 2654435761, 1000000007)").as("fp"))
+      val out = java.nio.file.Files.createTempDirectory("graft_bloom_q").toFile
+      out.deleteOnExit()
+      val dir0 = out.getAbsolutePath
+      EncodePipeline.run(d, "doc_id", dir0, partitions = 4, blockSize = 64,
+        bloomCols = Seq("fp"))
+      val targets = Seq(7L, 123L, 321L)
+      val blocksTotal = EncodePipeline.readData(s, dir0).count()
+      val probes = targets.map { did =>
+        val v = (did * 2654435761L) % 1000000007L
+        val pr = EncodePipeline.readDataPruned(s, dir0, "fp", v)
+        (EncodePipeline.decode(pr, d.schema).filter(col("fp") === v), pr.count())
+      }
+      val hitRows = probes.map(_._1).reduce(_ unionAll _)
+      val kept = probes.map(_._2).sum
+      val absentPr = EncodePipeline.readDataPruned(s, dir0, "fp", 999999999L)
+      val nAbsent = EncodePipeline.decode(absentPr, d.schema)
+        .filter(col("fp") === 999999999L).count()
+      hitRows.agg(count(lit(1)).cast("long").as("n_hits"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .withColumn("n_absent", lit(nAbsent))
+        // needle probes keep <= 2 blocks each on average (true block + rare
+        // false positives) out of >= 8 — absolute bounds, fp-noise-safe at
+        // every sf tier (500 rows -> 8 blocks, 5000 -> ~80)
+        .withColumn("bloom_pruned",
+          lit(kept <= 2L * targets.size && blocksTotal >= 8L))
+        .withColumn("bloom_pruned_absent", lit(absentPr.count() * 4 < blocksTotal))
+    }),
     "q_codec_plan" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
       val blocks = e.select(unix_micros(col("ts").cast("timestamp")).as("ts_us"),
@@ -1314,6 +1351,10 @@ object SparkEntry {
       ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(CASE lang WHEN 'en' THEN 160 ELSE 0 END AS BIGINT) AS n_correct " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "q_bloom_lookup" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_hits, CAST(sum(doc_id) AS BIGINT) AS sum_ids, " +
+        "CAST(0 AS BIGINT) AS n_absent, true AS bloom_pruned, true AS bloom_pruned_absent " +
+        "FROM documents WHERE doc_id IN (7, 123, 321)"),
     // codec-selection pin: the auto-selector's choice per events block is
     // deterministic on the seeded fixture — every 4096-id block picks
     // delta(ts)/bitpack(user)/dict(type)/dict(props); the block count is

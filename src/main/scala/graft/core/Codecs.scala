@@ -86,6 +86,17 @@ object Codecs {
     } else codecName(id)
   }
 
+  /** inner codec id through the null wrapper (input must be page-unwrapped);
+    * -1 for an all-null wrapper with no inner blob. */
+  private[core] def innerCodecId(blob: Array[Byte]): Int = {
+    val id = blob(0) & 0xff
+    if (id != NullLong && id != NullStr) return id
+    val count = (blob(1) & 0xff) | ((blob(2) & 0xff) << 8) |
+      ((blob(3) & 0xff) << 16) | ((blob(4) & 0xff) << 24)
+    val innerOff = 5 + ((count + 7) >> 3)
+    if (innerOff >= blob.length) -1 else blob(innerOff) & 0xff
+  }
+
   // ==================== page compression (transparent) ====================
   // A Parquet-style second stage: the lightweight codecs above exploit
   // per-column structure (order, cardinality, runs, shared substrings); a
@@ -623,8 +634,10 @@ object Codecs {
                             dictBytes: Long, maxLen: Int,
                             prefixSaved: Long, maxLcp: Int)
 
-  /** 64-bit content hash (splitmix-mixed 8-byte words) for ndv estimation. */
-  @inline private def hash64(b: Array[Byte]): Long = {
+  /** 64-bit content hash (splitmix-mixed 8-byte words) for ndv estimation
+    * (and [[Bloom]] membership hashing — the two must agree forever: bloom
+    * bits written at encode time are probed by later readers). */
+  @inline private[core] def hash64(b: Array[Byte]): Long = {
     var h = 0x9e3779b97f4a7c15L ^ b.length
     var i = 0
     while (i + 8 <= b.length) { h = Bits.mix(h ^ Bits.loadLongLE(b, i)); i += 8 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.core.Codecs
+import graft.core.{Bloom, Codecs}
 
 /** analysis-time input validation (ADVICE r1): a mistyped column fails the
   * query at analysis instead of a ClassCastException on an executor.
@@ -106,6 +106,10 @@ object CodecRuntime {
   def countEq(blob: Array[Byte], v: Long): Long = Codecs.countEqLong(blob, v)
   def countEq(blob: Array[Byte], v: UTF8String): Long = Codecs.countEqStr(blob, v.getBytes)
   def countEq(blob: Array[Byte], v: Array[Byte]): Long = Codecs.countEqStr(blob, v)
+
+  def bloomMaybe(bm: Array[Byte], v: Long): Boolean = Bloom.maybe(bm, Bloom.hashLong(v))
+  def bloomMaybe(bm: Array[Byte], v: UTF8String): Boolean = Bloom.maybe(bm, Bloom.hashBytes(v.getBytes))
+  def bloomMaybe(bm: Array[Byte], v: Array[Byte]): Boolean = Bloom.maybe(bm, Bloom.hashBytes(v))
 }
 
 /** Catalyst expressions wrapping the codec kernels. Each operates on one
@@ -539,6 +543,60 @@ case class BlobRangeStr(child: Expression)
   }
   override protected def withNewChildInternal(newChild: Expression): BlobRangeStr =
     copy(child = newChild)
+}
+
+/** Build a [[graft.core.Bloom]] filter over a blob's non-null values — the
+  * `bm_<col>` sibling column written at encode time for opted-in columns
+  * (Parquet/Iceberg bloom-filter parity at our block grain). Null when the
+  * block is all-null or the values aren't locally enumerable (shared-dict
+  * codecs); readers treat a null filter as "no claim". */
+case class BlobBloom(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "blob_bloom"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == BinaryType,
+      s"blob_bloom expects binary blob, got ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any =
+    Bloom.ofBlob(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.core.Bloom.ofBlob($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): BlobBloom =
+    copy(child = newChild)
+}
+
+/** Bloom membership probe: FALSE proves the value is absent from the block;
+  * TRUE means "maybe". Standard null propagation — readers wrap with
+  * coalesce(..., true) so blocks without filters (mixed-era files,
+  * all-null blocks, maintenance rewrites) stay conservatively kept. Probe
+  * doubles via double_bits(v) (long blobs hash the stored bit patterns). */
+case class BloomMaybe(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_maybe"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(left.dataType == BinaryType &&
+      Seq(LongType, IntegerType, StringType, BinaryType).contains(right.dataType),
+      s"bloom_maybe expects (binary, bigint|int|string|binary), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def nullSafeEval(bm: Any, v: Any): Any = {
+    val b = bm.asInstanceOf[Array[Byte]]
+    v match {
+      case l: java.lang.Long    => CodecRuntime.bloomMaybe(b, l.longValue())
+      case i: java.lang.Integer => CodecRuntime.bloomMaybe(b, i.longValue())
+      case s: UTF8String        => CodecRuntime.bloomMaybe(b, s)
+      case bs: Array[Byte]      => CodecRuntime.bloomMaybe(b, bs)
+      case other => throw new IllegalArgumentException(s"bloom_maybe: unsupported value $other")
+    }
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, v) => s"graft.functions.CodecRuntime.bloomMaybe($b, $v)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMaybe =
+    copy(left = l, right = r)
 }
 
 /** codec name stored in a blob header (for metadata/metrics queries). */

@@ -49,6 +49,12 @@ package object functions {
   def blob_contains_between_str(blob: Column, lo: Column, hi: Column,
                                 loInc: Boolean = true, hiInc: Boolean = true): Column =
     toCol(BlobContainsBetweenStr(toExpr(blob), toExpr(lo), toExpr(hi), loInc, hiInc))
+  /** per-block Bloom filter over a blob's non-null values (null = no claim:
+    * all-null block or shared-dict codec). */
+  def blob_bloom(blob: Column): Column = toCol(BlobBloom(toExpr(blob)))
+  /** FALSE proves absence; wrap with coalesce(.., lit(true)) when the filter
+    * column may be null (mixed-era files). Probe doubles via double_bits. */
+  def bloom_maybe(bm: Column, v: Column): Column = toCol(BloomMaybe(toExpr(bm), toExpr(v)))
   def bits_needed(c: Column): Column = toCol(BitsNeeded(toExpr(c)))
   def double_bits(c: Column): Column = toCol(DoubleBits(toExpr(c)))
   def bits_double(c: Column): Column = toCol(BitsDouble(toExpr(c)))

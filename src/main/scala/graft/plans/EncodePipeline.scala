@@ -613,7 +613,10 @@ object EncodePipeline {
             metadata zone maps prune; must be a pure function of the row */,
           sharedDictCols: Seq[String] = Nil /* low-cardinality string columns
             to encode against per-partition shared dictionaries */,
-          sharedMaxNdv: Int = 4096, sharedMaxBytes: Int = 1 << 20): Unit = {
+          sharedMaxNdv: Int = 4096, sharedMaxBytes: Int = 1 << 20,
+          bloomCols: Seq[String] = Nil /* high-cardinality columns whose data
+            files carry a per-block bm_<col> Bloom filter for point-lookup
+            block skipping (Parquet bloom-filter parity); ~2 bytes/value */): Unit = {
     val spark = df.sparkSession
     val committed: Set[Int] = try {
       spark.read.parquet(s"$outDir/meta").select("__part").distinct()
@@ -644,7 +647,13 @@ object EncodePipeline {
       val waveStart = System.currentTimeMillis()
       val inWave = df.filter(pmod(partExpr, lit(waves)) === w &&
         (if (committed.isEmpty) lit(true) else !partExpr.isin(committed.toSeq: _*)))
-      val enc = encode(inWave, key, partitions, blockSize, Some(partExpr), shared)
+      val enc0 = encode(inWave, key, partitions, blockSize, Some(partExpr), shared)
+      // opted-in bloom columns ride as bm_<col> siblings of the blobs (built
+      // here while the block is hot; decode paths ignore unknown columns,
+      // maintenance rewrites drop them — readers coalesce a missing/null
+      // filter to "maybe")
+      val enc = bloomCols.foldLeft(enc0)((d, c) =>
+        d.withColumn(s"bm_$c", blob_bloom(col(s"e_$c"))))
       // dynamic partition overwrite: a re-run of a crashed wave REPLACES that
       // wave's orphan part directories instead of appending duplicates
       enc.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
@@ -783,10 +792,22 @@ object EncodePipeline {
     // in the part the original run chose (keeps the co-partitioning invariant
     // storage-partitioned joins rely on). Specless / re-keyed: plain hash.
     val spec = readPartSpec(spark, outDir).filter(_.key == key)
-    val enc = spec match {
+    val enc0 = spec match {
       case Some(ps) => encode(df, key, ps.partitions, blockSize, Some(ps.expr))
       case None => encode(df, key, partitions, blockSize)
     }
+    // bloom convention is inherited from the table: an append to a table
+    // whose data files carry bm_<col> filters builds them for its own blocks
+    // too, so point-lookup block skipping keeps working across appends
+    val inheritedBloom: Seq[String] =
+      if (before.isEmpty) Nil
+      else try {
+        spark.read.parquet(s"$outDir/data").columns.toSeq.collect {
+          case c if c.startsWith("bm_") => c.stripPrefix("bm_")
+        }
+      } catch { case _: Exception => Nil }
+    val enc = inheritedBloom.filter(c => enc0.columns.contains(s"e_$c"))
+      .foldLeft(enc0)((d, c) => d.withColumn(s"bm_$c", blob_bloom(col(s"e_$c"))))
     enc.write.mode("append").partitionBy("__part").parquet(s"$outDir/data")
     val after = snapshot()
     val newPaths = after.toSeq.flatMap { case (dir, names) =>
@@ -2126,8 +2147,21 @@ object EncodePipeline {
       .filter(col("column") === column &&
         (isOldRow || (col("value_lo") <= value && col("value_hi") >= value)))
       .select("__part").distinct()
-    scanParts(spark, outDir, meta, parts)
+    bloomFilterBlocks(scanParts(spark, outDir, meta, parts), column, lit(value))
   }
+
+  /** block-level Bloom skipping inside zone-surviving parts: when the table
+    * opted `column` into bloom filters at encode time (run(bloomCols=...)),
+    * drop blocks whose bm_<col> filter PROVES the probe value absent — the
+    * needle-in-haystack complement of part-level zone maps, which cannot
+    * prune a hash-scattered column at all (every part spans the domain).
+    * Missing column / null filters (mixed-era files, all-null blocks,
+    * maintenance rewrites, delta-written files) coalesce to "maybe" = kept;
+    * no false negatives by [[graft.core.Bloom]]'s contract, so the result
+    * contract is unchanged: every block that can match survives. */
+  private def bloomFilterBlocks(df: DataFrame, column: String, value: Column): DataFrame =
+    if (!df.columns.contains(s"bm_$column")) df
+    else df.filter(coalesce(bloom_maybe(col(s"bm_$column"), value), lit(true)))
 
   /** string-column manifest pruning: parts whose truncated byte-string zone
     * maps ([str_lo, str_hi], unsigned-lexicographic, null str_hi = unbounded
@@ -2149,7 +2183,7 @@ object EncodePipeline {
     val parts = meta
       .filter(col("column") === column && (isOldRow || admits))
       .select("__part").distinct()
-    scanParts(spark, outDir, meta, parts)
+    bloomFilterBlocks(scanParts(spark, outDir, meta, parts), column, vb)
   }
 
   /** RANGE-probe pruning: parts whose manifest [value_lo, value_hi] zone

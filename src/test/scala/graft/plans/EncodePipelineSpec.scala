@@ -358,6 +358,45 @@ class EncodePipelineSpec extends SparkTestBase {
     assert(summary.getLong(1) === 0L)
   }
 
+  test("bloom columns: point lookups skip blocks; appends inherit the convention") {
+    // fp is hash-scattered relative to the url placement AND the url block
+    // sort: every part's [value_lo, value_hi] spans the whole long domain, so
+    // zone maps prune NOTHING for it — the needle-in-haystack shape blooms fix
+    val docs = WebDocGen.dataset(spark, 1500, 4).toDF()
+      .select(col("url"), col("lang"), xxhash64(col("url")).as("fp"))
+    val out = tmpDir()
+    EncodePipeline.run(docs, "url", out, partitions = 4, blockSize = 128,
+      bloomCols = Seq("fp", "url"))
+    val target = docs.select("fp").head().getLong(0)
+    val totalBlocks = EncodePipeline.readData(spark, out).count()
+    val pruned = EncodePipeline.readDataPruned(spark, out, "fp", target)
+    val kept = pruned.count()
+    assert(kept < totalBlocks / 4, s"bloom kept $kept of $totalBlocks blocks")
+    // soundness: the surviving blocks still hold the matching row
+    assert(EncodePipeline.decode(pruned, docs.schema)
+      .filter(col("fp") === target).count() === 1L)
+    // an absent value keeps only false-positive blocks (≈none); zone maps
+    // cannot have done it — the xxhash64 domain makes every part admit it
+    assert(EncodePipeline.readDataPruned(spark, out, "fp", 12345L)
+      .count() <= totalBlocks / 4)
+    // string blooms through the byte-hash path: url probe skips blocks too
+    val u = docs.select("url").head().getString(0)
+    val prunedS = EncodePipeline.readDataPruned(spark, out, "url", u)
+    assert(prunedS.count() < totalBlocks / 4)
+    assert(EncodePipeline.decode(prunedS, docs.schema)
+      .filter(col("url") === u).count() === docs.filter(col("url") === u).count())
+    // appends inherit: new files carry filters, lookups stay exact across eras
+    import spark.implicits._
+    val extra = spark.range(1500, 1550).map(i => WebDocGen.make(i)).toDF()
+      .select(col("url"), col("lang"), xxhash64(col("url")).as("fp"))
+    assert(EncodePipeline.appendCommit(extra, "url", out, 4, 128, batchId = 7L))
+    val t2 = extra.select("fp").head().getLong(0)
+    val afterAppend = EncodePipeline.readDataPruned(spark, out, "fp", t2)
+    assert(EncodePipeline.decode(afterAppend, docs.schema)
+      .filter(col("fp") === t2).count() === 1L)
+    assert(afterAppend.count() < EncodePipeline.readData(spark, out).count() / 4)
+  }
+
   test("double columns: alp picked for decimal scores, tzfor for float upcasts, bit-exact") {
     import spark.implicits._
     // decimal quality scores (3 places) and float-upcast similarity values —
