@@ -299,10 +299,22 @@ private[sources] object GraftPruning {
     case _ => None // doubles/floats: bit-domain zone maps don't order by value
   }
 
-  private def strBytes(v: Any): Option[Array[Byte]] = v match {
+  private[sources] def strBytes(v: Any): Option[Array[Byte]] = v match {
     case s: String => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     case b: Array[Byte] => Some(b)
     case _ => None
+  }
+
+  /** canonical-long for BLOOM probes: like [[canonLong]] but also maps
+    * double/float literals to their stored bit patterns — blooms test exact
+    * equality, where the bit domain is fine (zone maps exclude floats
+    * because bit order is not value order; equality doesn't care). */
+  private[sources] def canonBloomLong(dt: DataType, v: Any): Option[Long] = (dt, v) match {
+    case (DoubleType, n: Number) =>
+      Some(java.lang.Double.doubleToRawLongBits(n.doubleValue()))
+    case (FloatType, n: Number) => // pipeline canon: float upcast to double bits
+      Some(java.lang.Double.doubleToRawLongBits(n.floatValue().toDouble))
+    case _ => canonLong(dt, v)
   }
 
   /** smallest byte-string strictly above every string with prefix `p`
@@ -315,6 +327,31 @@ private[sources] object GraftPruning {
       val out = java.util.Arrays.copyOf(p, i + 1)
       out(i) = (out(i) + 1).toByte
       Some(out)
+    }
+  }
+
+  /** a block-skipping probe against the bm_<col> bloom column: the block is
+    * kept iff ANY of `anyOf`'s hashes might be present (EqualTo = one hash,
+    * In-list = the value set). Probes are conjuncts: a block must admit every
+    * probe. Sound because every pushed filter stays residual above the scan
+    * AND blooms have no false negatives. */
+  final case class BloomProbe(col: String, anyOf: Array[Long]) extends Serializable
+
+  /** derive bloom probes from the pushed conjuncts (plan-time only; In-lists
+    * capped at 256 values to bound per-block probe cost). */
+  def bloomProbesOf(kinds: Map[String, EncodePipeline.ColPlan],
+                    filters: Array[Filter]): Array[BloomProbe] = {
+    def hashOf(c: String, v: Any): Option[Long] = kinds.get(c).flatMap { p =>
+      if (p.kind == 'l') canonBloomLong(p.sourceType, v).map(graft.core.Bloom.hashLong)
+      else strBytes(v).map(graft.core.Bloom.hashBytes)
+    }
+    filters.flatMap {
+      case sources.EqualTo(c, v) if v != null => hashOf(c, v).map(h => BloomProbe(c, Array(h)))
+      case sources.EqualNullSafe(c, v) if v != null => hashOf(c, v).map(h => BloomProbe(c, Array(h)))
+      case sources.In(c, vs) if vs.nonEmpty && vs.length <= 256 && !vs.contains(null) =>
+        val hs = vs.map(hashOf(c, _))
+        if (hs.forall(_.isDefined)) Some(BloomProbe(c, hs.map(_.get))) else None
+      case _ => None
     }
   }
 
@@ -380,6 +417,7 @@ class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructT
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var allFilters: Array[Filter] = Array.empty
   private var survivors: Option[Set[Int]] = None // None = all parts
   private var aggRow: Option[(StructType, InternalRow)] = None
   private var limit: Int = -1
@@ -387,6 +425,7 @@ class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructT
   // ---- filter pushdown: manifest zone maps prune whole parts; every
   // filter stays residual (bounds are supersets / truncated) ----
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    allFilters = filters // bloom block probes see every conjunct
     if (gen.isEmpty) { // survivingParts* resolve the CURRENT generation only
       val usable = filters.flatMap(f => survivorsOf(f).map(f -> _))
       if (usable.nonEmpty) {
@@ -510,7 +549,7 @@ class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructT
     case Some((schema, row)) => new GraftAggScan(outDir, schema, row)
     case None =>
       new GraftScan(spark, outDir, tableSchema, required, gen, survivors, pushed, limit,
-        ignoreChanges)
+        ignoreChanges, allFilters)
   }
 }
 
@@ -557,7 +596,8 @@ case class GraftInputPartition(path: String, part: Int,
 
 class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
                 required: StructType, gen: Option[Int], survivors: Option[Set[Int]],
-                pushed: Array[Filter], limit: Int, ignoreChanges: Boolean = false)
+                pushed: Array[Filter], limit: Int, ignoreChanges: Boolean = false,
+                allFilters: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -675,8 +715,10 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
       catch { case _: Exception => Map.empty[Long, Codecs.DictTable] }
     val dictsBc = if (dicts.isEmpty) None
                   else Some(spark.sparkContext.broadcast(dicts))
+    val kinds = EncodePipeline.plan(tableSchema).map(p => p.name -> p).toMap
     GraftReaderFactory(Bridge.hadoopConfBroadcast(spark),
-      GraftScan.planWithMeta(tableSchema, required), dictsBc, limit)
+      GraftScan.planWithMeta(tableSchema, required), dictsBc, limit,
+      probes = GraftPruning.bloomProbesOf(kinds, allFilters))
   }
 
   /** exact stats from the manifest: decoded size for join sizing, row count
@@ -801,7 +843,8 @@ case class GraftReaderFactory(conf: Bridge.HadoopConfBroadcast,
                               cols: Array[EncodePipeline.ColPlan],
                               dicts: Option[org.apache.spark.broadcast.Broadcast[Map[Long, Codecs.DictTable]]],
                               limit: Int,
-                              columnar: Boolean = GraftReaderFactory.columnarDefault)
+                              columnar: Boolean = GraftReaderFactory.columnarDefault,
+                              probes: Array[GraftPruning.BloomProbe] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], this)
@@ -809,6 +852,12 @@ case class GraftReaderFactory(conf: Bridge.HadoopConfBroadcast,
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     new GraftColumnarReader(partition.asInstanceOf[GraftInputPartition], this)
+}
+
+/** same-JVM diagnostic: blocks actually decoded by file readers (local-mode
+  * tests assert bloom skipping through it; one atomic add per ~4096 rows). */
+private[sources] object ReaderDiag {
+  val blocksDecoded = new java.util.concurrent.atomic.AtomicLong()
 }
 
 /** one decoded block's column arrays, before delete-vector filtering */
@@ -841,13 +890,42 @@ private[sources] abstract class GraftFileReaderBase(
   // vectors key on), computed once per file
   protected val fileSuffixU8: UTF8String =
     UTF8String.fromString(EncodePipeline.fileSuffix(p.path))
+  // bloom block probes active for THIS file: pushed equality/In conjuncts
+  // whose bm_<col> filter column exists in the file's era. A block is read
+  // only if every probe finds a possibly-present hash (no false negatives,
+  // and all filters stay residual above the scan — pure skipping).
+  private val activeProbes: Array[(String, Array[Long])] =
+    f.probes.collect {
+      case pr if fileSchema.containsField("bm_" + pr.col) => ("bm_" + pr.col, pr.anyOf)
+    }
   private val projection: MessageType = {
     val wanted = Seq("__block", "__cnt") ++
-      f.cols.filter(c => fileSchema.containsField("e_" + c.name)).map("e_" + _.name)
+      f.cols.filter(c => fileSchema.containsField("e_" + c.name)).map("e_" + _.name) ++
+      activeProbes.map(_._1)
     new MessageType("graft_projection",
       wanted.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))).asJava)
   }
   conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+
+  /** false = the block's bloom filters PROVE some conjunct cannot match */
+  private def bloomAdmits(g: Group): Boolean = {
+    var i = 0
+    while (i < activeProbes.length) {
+      val (field, anyOf) = activeProbes(i)
+      if (g.getFieldRepetitionCount(field) > 0) { // null filter = no claim
+        val bm = g.getBinary(field, 0).getBytes
+        var hit = false
+        var k = 0
+        while (!hit && k < anyOf.length) {
+          if (graft.core.Bloom.maybe(bm, anyOf(k))) hit = true
+          k += 1
+        }
+        if (!hit) return false
+      }
+      i += 1
+    }
+    true
+  }
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), path).withConf(conf).build()
@@ -856,8 +934,10 @@ private[sources] abstract class GraftFileReaderBase(
 
   /** decode the next block's projected blobs; null at end of file */
   protected def nextBlock(): DecodedBlock = {
-    val g = reader.read()
+    var g = reader.read()
+    while (g != null && activeProbes.nonEmpty && !bloomAdmits(g)) g = reader.read()
     if (g == null) return null
+    ReaderDiag.blocksDecoded.incrementAndGet()
     val n = g.getInteger("__cnt", 0)
     val block = g.getInteger("__block", 0)
     val nCols = f.cols.length

@@ -319,4 +319,54 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(back.filter(col("rank").isNull).count() === 300L)
     assert(back.filter(col("rank").isNotNull).count() === 300L)
   }
+
+  test("bloom block skipping in the V2 scan: equality probes decode only surviving blocks") {
+    val d = docs(1200).select(col("url"), xxhash64(col("url")).as("fp"),
+      (pmod(xxhash64(col("url")), lit(10000)) / 100.0).as("score"), col("lang"))
+    val out = tmpDir()
+    EncodePipeline.run(d, "url", out, partitions = 4, blockSize = 64,
+      bloomCols = Seq("fp", "score"))
+    val head = d.select("fp", "score").head()
+    val (target, tScore) = (head.getLong(0), head.getDouble(1))
+
+    ReaderDiag.blocksDecoded.set(0)
+    val hit = spark.read.format("graft").load(out).filter(col("fp") === target).collect()
+    assert(hit.length === 1)
+    val bloomBlocks = ReaderDiag.blocksDecoded.get()
+
+    ReaderDiag.blocksDecoded.set(0)
+    val all = spark.read.format("graft").load(out).filter(col("lang").isNotNull).collect()
+    assert(all.length === 1200)
+    val totalBlocks = ReaderDiag.blocksDecoded.get()
+    assert(bloomBlocks < totalBlocks / 4, s"decoded $bloomBlocks of $totalBlocks blocks")
+
+    // In-list probes OR within the list, AND across conjuncts
+    val t2 = d.orderBy(col("url").desc).select("fp").head().getLong(0)
+    ReaderDiag.blocksDecoded.set(0)
+    val two = spark.read.format("graft").load(out)
+      .filter(col("fp").isin(target, t2)).collect()
+    assert(two.length === 2)
+    assert(ReaderDiag.blocksDecoded.get() < totalBlocks / 2)
+
+    // double equality probes travel as bit patterns (canonBloomLong)
+    ReaderDiag.blocksDecoded.set(0)
+    val byScore = spark.read.format("graft").load(out)
+      .filter(col("score") === tScore).collect()
+    assert(byScore.map(_.getAs[Long]("fp")).contains(target))
+    assert(byScore.forall(_.getAs[Double]("score") == tScore))
+    assert(ReaderDiag.blocksDecoded.get() < totalBlocks, "score probe read everything")
+
+    // absent probe: zone maps can't prune the xxhash domain, blooms can
+    ReaderDiag.blocksDecoded.set(0)
+    assert(spark.read.format("graft").load(out).filter(col("fp") === 12345L).isEmpty)
+    assert(ReaderDiag.blocksDecoded.get() <= totalBlocks / 4)
+
+    // row fallback takes the same skip path
+    System.setProperty("graft.columnar", "false")
+    try {
+      ReaderDiag.blocksDecoded.set(0)
+      assert(spark.read.format("graft").load(out).filter(col("fp") === target).count() === 1L)
+      assert(ReaderDiag.blocksDecoded.get() < totalBlocks / 4)
+    } finally System.setProperty("graft.columnar", "true")
+  }
 }
