@@ -970,6 +970,36 @@ object SparkEntry {
           lit(kept <= 2L * targets.size && blocksTotal >= 8L))
         .withColumn("bloom_pruned_absent", lit(absentPr.count() * 4 < blocksTotal))
     }),
+    "q_zone_skip" -> ((s, dir) => {
+      // block-grain ZONE MAPS in the V2 scan: the per-part key sort makes
+      // consecutive blocks cover disjoint did slices, while mod-4 placement
+      // leaves every PART spanning the whole domain — plan-time part pruning
+      // keeps all parts, so only the per-block blob bounds (rangeOfLong on
+      // the e_did header, the delta decode-based path) can skip. DuckDB
+      // re-derives n_rows/sum_ids from the raw table (did >= affine(lo) is
+      // exactly doc_id >= t); zone_pruned pins that the pushed range probe
+      // decoded strictly under half the blocks a full scan does.
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") * 7 + 100000).as("did"), col("lang"))
+      val out = java.nio.file.Files.createTempDirectory("graft_zone_q").toFile
+      out.deleteOnExit()
+      val dir0 = out.getAbsolutePath + "/t"
+      EncodePipeline.run(d, "did", dir0, partitions = 4, blockSize = 32,
+        customPart = Some(pmod(col("did"), lit(4)).cast("int")))
+      val t0 = d.agg(max(col("doc_id"))).head.getLong(0) * 9L / 10L
+      val lo = 100000L + 7L * t0 // did >= lo  <=>  doc_id >= t0
+      graft.sources.ReaderDiag.blocksDecoded.set(0)
+      val r = s.read.format("graft").load(dir0).filter(col("did") >= lo)
+        .agg(count(lit(1)).cast("long"), sum(col("doc_id")).cast("long")).head
+      val rangeBlocks = graft.sources.ReaderDiag.blocksDecoded.get()
+      graft.sources.ReaderDiag.blocksDecoded.set(0)
+      val nAll = s.read.format("graft").load(dir0)
+        .filter(col("lang").isNotNull).count()
+      val totalBlocks = graft.sources.ReaderDiag.blocksDecoded.get()
+      s.range(1).select(lit(r.getLong(0)).as("n_rows"), lit(r.getLong(1)).as("sum_ids"),
+        lit(nAll).as("n_all"),
+        lit(rangeBlocks * 2 < totalBlocks).as("zone_pruned"))
+    }),
     "q_codec_plan" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
       val blocks = e.select(unix_micros(col("ts").cast("timestamp")).as("ts_us"),
@@ -1355,6 +1385,12 @@ object SparkEntry {
       ("SELECT CAST(count(*) AS BIGINT) AS n_hits, CAST(sum(doc_id) AS BIGINT) AS sum_ids, " +
         "CAST(0 AS BIGINT) AS n_absent, true AS bloom_pruned, true AS bloom_pruned_absent " +
         "FROM documents WHERE doc_id IN (7, 123, 321)"),
+    // zone-map pin: n_rows/sum_ids re-derived over the equivalent doc_id
+    // threshold; zone_pruned asserts the engine-internal block-skip ratio
+    "q_zone_skip" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids, " +
+        "(SELECT CAST(count(lang) AS BIGINT) FROM documents) AS n_all, true AS zone_pruned " +
+        "FROM documents WHERE doc_id >= (SELECT (max(doc_id)*9)//10 FROM documents)"),
     // codec-selection pin: the auto-selector's choice per events block is
     // deterministic on the seeded fixture — every 4096-id block picks
     // delta(ts)/bitpack(user)/dict(type)/dict(props); the block count is

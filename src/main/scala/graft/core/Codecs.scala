@@ -86,6 +86,25 @@ object Codecs {
     } else codecName(id)
   }
 
+  /** inner codec id of a STORED blob (page + null wrapper unwrapped);
+    * -1 for an all-null wrapper with no inner blob. Readers use it to
+    * decide whether a zone probe ([[rangeOfLong]]/[[rangeOfStr]]) is
+    * header-only for this codec or would decode the payload. */
+  def innerCodecIdOf(blob0: Array[Byte]): Int = innerCodecId(pageUnwrap(blob0))
+
+  /** is a zone-bounds probe ([[rangeOfLong]]/[[rangeOfStr]]) cheap enough to
+    * run per block before deciding to decode? Header-only codecs obviously;
+    * ALSO the decode-based long codecs (delta/alp/tzfor decode at GB/s — the
+    * probe column decodes twice on admitted blocks, a small price for
+    * skipping every OTHER column on rejected ones) and PREFIX strings (the
+    * sorted-url shape is the main block-range use case). Only raw/FSST text
+    * scans are excluded: bounds over high-entropy text reject nothing and
+    * the decode is the most expensive in the suite. */
+  def rangeIsCheap(innerId: Int): Boolean = innerId match {
+    case RawStr | FsstId => false
+    case _ => true
+  }
+
   /** inner codec id through the null wrapper (input must be page-unwrapped);
     * -1 for an all-null wrapper with no inner blob. */
   private[core] def innerCodecId(blob: Array[Byte]): Int = {

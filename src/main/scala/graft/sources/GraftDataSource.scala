@@ -95,6 +95,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val blockSize = parameters.get("blockSize").map(_.toInt).getOrElse(4096)
     val sharedDictCols = parameters.get("sharedDictCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // bloomCols only shapes table CREATION — appends inherit the bm_<col>
+    // convention from the committed data schema (appendCommit)
+    val bloomCols = parameters.get("bloomCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val metaPath = new org.apache.hadoop.fs.Path(s"$outDir/meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(metaPath)
@@ -110,10 +114,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       case Overwrite =>
         fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
         EncodePipeline.run(data, key, outDir, partitions, blockSize,
-          sharedDictCols = sharedDictCols)
+          sharedDictCols = sharedDictCols, bloomCols = bloomCols)
       case _ => // fresh table (any mode when absent)
         EncodePipeline.run(data, key, outDir, partitions, blockSize,
-          sharedDictCols = sharedDictCols)
+          sharedDictCols = sharedDictCols, bloomCols = bloomCols)
     }
     val ctx = sqlContext // capture: the anon class's own member would shadow it
     new sources.BaseRelation {
@@ -353,6 +357,72 @@ private[sources] object GraftPruning {
         if (hs.forall(_.isDefined)) Some(BloomProbe(c, hs.map(_.get))) else None
       case _ => None
     }
+  }
+
+  /** a block-skipping RANGE probe against the e_<col> blob's header-derived
+    * bounds ([[Codecs.rangeOfLong]]/[[Codecs.rangeOfStr]] — representable
+    * supersets, so rejection is sound). Built by intersecting a column's
+    * pushed range/equality conjuncts; strict bounds widen to inclusive
+    * (conservative). Long probes use value-ordered canon only (doubles are
+    * bit-domain — equality goes through bloom probes instead). */
+  final case class RangeProbe(col: String, isLong: Boolean,
+                              loL: Long, hiL: Long,
+                              loB: Array[Byte], hiB: Array[Byte]) extends Serializable
+
+  def rangeProbesOf(kinds: Map[String, EncodePipeline.ColPlan],
+                    filters: Array[Filter]): Array[RangeProbe] = {
+    // per column: intersected [lo, hi] over the value-ordered domain
+    val longLo = scala.collection.mutable.Map.empty[String, Long]
+    val longHi = scala.collection.mutable.Map.empty[String, Long]
+    val strLo = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    val strHi = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    val cols = scala.collection.mutable.LinkedHashSet.empty[String]
+    def narrowLong(c: String, lo: Option[Long], hi: Option[Long]): Unit = {
+      cols += c
+      lo.foreach(v => longLo(c) = math.max(longLo.getOrElse(c, Long.MinValue), v))
+      hi.foreach(v => longHi(c) = math.min(longHi.getOrElse(c, Long.MaxValue), v))
+    }
+    def narrowStr(c: String, lo: Option[Array[Byte]], hi: Option[Array[Byte]]): Unit = {
+      cols += c
+      lo.foreach { v =>
+        val cur = strLo.get(c).orNull
+        if (cur == null || java.util.Arrays.compareUnsigned(v, cur) > 0) strLo(c) = v
+      }
+      hi.foreach { v =>
+        val cur = strHi.get(c).orNull
+        if (cur == null || java.util.Arrays.compareUnsigned(v, cur) < 0) strHi(c) = v
+      }
+    }
+    def bound(c: String, v: Any, isLo: Boolean, isHi: Boolean): Unit =
+      kinds.get(c).foreach { p =>
+        if (p.kind == 'l')
+          canonLong(p.sourceType, v).foreach(x =>
+            narrowLong(c, if (isLo) Some(x) else None, if (isHi) Some(x) else None))
+        else
+          strBytes(v).foreach(b =>
+            narrowStr(c, if (isLo) Some(b) else None, if (isHi) Some(b) else None))
+      }
+    filters.foreach {
+      case sources.EqualTo(c, v) if v != null => bound(c, v, isLo = true, isHi = true)
+      case sources.EqualNullSafe(c, v) if v != null => bound(c, v, isLo = true, isHi = true)
+      case sources.GreaterThan(c, v) => bound(c, v, isLo = true, isHi = false)
+      case sources.GreaterThanOrEqual(c, v) => bound(c, v, isLo = true, isHi = false)
+      case sources.LessThan(c, v) => bound(c, v, isLo = false, isHi = true)
+      case sources.LessThanOrEqual(c, v) => bound(c, v, isLo = false, isHi = true)
+      case sources.StringStartsWith(c, pfx) if kinds.get(c).exists(_.kind != 'l') =>
+        val pb = pfx.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        narrowStr(c, Some(pb), prefixSucc(pb)) // [p, succ(p)): succ is an inclusive-safe upper bound
+      case _ => ()
+    }
+    cols.iterator.map { c =>
+      if (kinds.get(c).exists(_.kind == 'l'))
+        RangeProbe(c, isLong = true,
+          longLo.getOrElse(c, Long.MinValue), longHi.getOrElse(c, Long.MaxValue), null, null)
+      else
+        RangeProbe(c, isLong = false, 0L, 0L, strLo.get(c).orNull, strHi.get(c).orNull)
+    }.filter(pr =>
+      if (pr.isLong) pr.loL != Long.MinValue || pr.hiL != Long.MaxValue
+      else pr.loB != null || pr.hiB != null).toArray
   }
 
   def survivorsOf(spark: SparkSession, outDir: String,
@@ -718,7 +788,8 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
     val kinds = EncodePipeline.plan(tableSchema).map(p => p.name -> p).toMap
     GraftReaderFactory(Bridge.hadoopConfBroadcast(spark),
       GraftScan.planWithMeta(tableSchema, required), dictsBc, limit,
-      probes = GraftPruning.bloomProbesOf(kinds, allFilters))
+      probes = GraftPruning.bloomProbesOf(kinds, allFilters),
+      rangeProbes = GraftPruning.rangeProbesOf(kinds, allFilters))
   }
 
   /** exact stats from the manifest: decoded size for join sizing, row count
@@ -844,7 +915,8 @@ case class GraftReaderFactory(conf: Bridge.HadoopConfBroadcast,
                               dicts: Option[org.apache.spark.broadcast.Broadcast[Map[Long, Codecs.DictTable]]],
                               limit: Int,
                               columnar: Boolean = GraftReaderFactory.columnarDefault,
-                              probes: Array[GraftPruning.BloomProbe] = Array.empty)
+                              probes: Array[GraftPruning.BloomProbe] = Array.empty,
+                              rangeProbes: Array[GraftPruning.RangeProbe] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], this)
@@ -855,8 +927,9 @@ case class GraftReaderFactory(conf: Bridge.HadoopConfBroadcast,
 }
 
 /** same-JVM diagnostic: blocks actually decoded by file readers (local-mode
-  * tests assert bloom skipping through it; one atomic add per ~4096 rows). */
-private[sources] object ReaderDiag {
+  * tests and the q_zone_skip/q_bloom oracle pins assert block skipping
+  * through it; one atomic add per ~4096 rows). */
+private[graft] object ReaderDiag {
   val blocksDecoded = new java.util.concurrent.atomic.AtomicLong()
 }
 
@@ -898,17 +971,24 @@ private[sources] abstract class GraftFileReaderBase(
     f.probes.collect {
       case pr if fileSchema.containsField("bm_" + pr.col) => ("bm_" + pr.col, pr.anyOf)
     }
+  // range probes check the e_<col> blob's header-derived bounds (zone maps
+  // at BLOCK grain — sorted tables make them selective on the sort key);
+  // the probe column is projected even when the query doesn't select it
+  private val activeRanges: Array[GraftPruning.RangeProbe] =
+    f.rangeProbes.filter(pr => fileSchema.containsField("e_" + pr.col))
   private val projection: MessageType = {
-    val wanted = Seq("__block", "__cnt") ++
+    val wanted = (Seq("__block", "__cnt") ++
       f.cols.filter(c => fileSchema.containsField("e_" + c.name)).map("e_" + _.name) ++
-      activeProbes.map(_._1)
+      activeProbes.map(_._1) ++ activeRanges.map("e_" + _.col)).distinct
     new MessageType("graft_projection",
       wanted.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))).asJava)
   }
   conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
 
-  /** false = the block's bloom filters PROVE some conjunct cannot match */
-  private def bloomAdmits(g: Group): Boolean = {
+  /** false = the block's bloom filters or zone bounds PROVE some pushed
+    * conjunct cannot match any row of the block (all-null blocks can't
+    * match a value predicate either — residual 3VL drops their rows). */
+  private def blockAdmits(g: Group): Boolean = {
     var i = 0
     while (i < activeProbes.length) {
       val (field, anyOf) = activeProbes(i)
@@ -924,6 +1004,31 @@ private[sources] abstract class GraftFileReaderBase(
       }
       i += 1
     }
+    i = 0
+    while (i < activeRanges.length) {
+      val pr = activeRanges(i)
+      if (g.getFieldRepetitionCount("e_" + pr.col) > 0) {
+        val blob = g.getBinary("e_" + pr.col, 0).getBytes
+        val inner = Codecs.innerCodecIdOf(blob)
+        if (inner == -1) return false // all-null block: value predicate is 3VL-null
+        // raw/FSST text bounds are excluded: their probe decodes the most
+        // expensive payloads in the suite and rejects ~nothing
+        if (Codecs.rangeIsCheap(inner)) {
+          if (pr.isLong) {
+            val r = Codecs.rangeOfLong(blob)
+            if (r == null || r._2 < pr.loL || r._1 > pr.hiL) return false
+          } else {
+            val r = Codecs.rangeOfStr(blob)
+            if (r == null) return false
+            val (lo, hi) = r // hi null = unbounded above
+            if (pr.hiB != null && java.util.Arrays.compareUnsigned(lo, pr.hiB) > 0) return false
+            if (pr.loB != null && hi != null &&
+                java.util.Arrays.compareUnsigned(hi, pr.loB) < 0) return false
+          }
+        }
+      }
+      i += 1
+    }
     true
   }
 
@@ -935,7 +1040,8 @@ private[sources] abstract class GraftFileReaderBase(
   /** decode the next block's projected blobs; null at end of file */
   protected def nextBlock(): DecodedBlock = {
     var g = reader.read()
-    while (g != null && activeProbes.nonEmpty && !bloomAdmits(g)) g = reader.read()
+    while (g != null && (activeProbes.nonEmpty || activeRanges.nonEmpty) && !blockAdmits(g))
+      g = reader.read()
     if (g == null) return null
     ReaderDiag.blocksDecoded.incrementAndGet()
     val n = g.getInteger("__cnt", 0)

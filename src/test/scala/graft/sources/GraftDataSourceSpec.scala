@@ -369,4 +369,93 @@ class GraftDataSourceSpec extends SparkTestBase {
       assert(ReaderDiag.blocksDecoded.get() < totalBlocks / 4)
     } finally System.setProperty("graft.columnar", "true")
   }
+
+  test("block zone maps in the V2 scan: pushed ranges skip blocks by blob bounds") {
+    // the did SORT KEY makes consecutive blocks cover disjoint value slices;
+    // mod-4 placement makes every PART span the whole domain, so plan-time
+    // zone pruning keeps all parts and only block bounds can skip. The key
+    // encodes as delta (sorted) — the decode-based bounds path.
+    import spark.implicits._
+    val d = spark.range(0, 1600)
+      .select((col("id") * 7 + 100000).as("did"),
+        concat(lit("https://h"), lpad(col("id").cast("string"), 6, "0"),
+          lit(".example.com/p")).as("url"),
+        (col("id") % 5).cast("string").as("lang"))
+    val out = tmpDir()
+    EncodePipeline.run(d.toDF(), "did", out, partitions = 4, blockSize = 64,
+      customPart = Some(pmod(col("did"), lit(4)).cast("int")))
+    val lo = 100000L + 7 * 1500L // top ~6% of the key domain
+    val expect = d.filter(col("did") >= lo).count()
+    assert(expect > 0)
+    ReaderDiag.blocksDecoded.set(0)
+    val got = spark.read.format("graft").load(out).filter(col("did") >= lo).collect()
+    assert(got.length.toLong === expect)
+    val rangeBlocks = ReaderDiag.blocksDecoded.get()
+    ReaderDiag.blocksDecoded.set(0)
+    assert(spark.read.format("graft").load(out).filter(col("lang").isNotNull)
+      .collect().length === 1600)
+    val totalBlocks = ReaderDiag.blocksDecoded.get()
+    assert(rangeBlocks < totalBlocks / 2, s"kept $rangeBlocks of $totalBlocks")
+    // a between probe composes two one-sided conjuncts into one block range
+    val (bLo, bHi) = (100000L + 7 * 400L, 100000L + 7 * 500L)
+    val expectB = d.filter(col("did") >= bLo && col("did") <= bHi).count()
+    ReaderDiag.blocksDecoded.set(0)
+    assert(spark.read.format("graft").load(out)
+      .filter(col("did") >= bLo && col("did") <= bHi).collect().length.toLong === expectB)
+    assert(ReaderDiag.blocksDecoded.get() < totalBlocks / 2)
+    // string bounds: sort the SAME data by url — prefix-coded sorted blocks
+    // answer a LIKE-prefix probe from their decoded bounds, skipping blocks
+    val out2 = tmpDir()
+    EncodePipeline.run(d.toDF(), "url", out2, partitions = 4, blockSize = 64,
+      customPart = Some(pmod(xxhash64(col("url")), lit(4)).cast("int")))
+    val somePrefix = "https://h0008" // ids 000800-000899: a narrow url slice
+    val expectP = d.filter(col("url").startsWith(somePrefix)).count()
+    assert(expectP > 0)
+    ReaderDiag.blocksDecoded.set(0)
+    val gotP = spark.read.format("graft").load(out2)
+      .filter(col("url").startsWith(somePrefix)).collect()
+    assert(gotP.length.toLong === expectP)
+    ReaderDiag.blocksDecoded.set(0)
+    assert(spark.read.format("graft").load(out2).filter(col("lang").isNotNull)
+      .collect().length === 1600)
+    val total2 = ReaderDiag.blocksDecoded.get()
+    // re-run the prefix probe AFTER measuring total (counter reuse)
+    ReaderDiag.blocksDecoded.set(0)
+    spark.read.format("graft").load(out2)
+      .filter(col("url").startsWith(somePrefix)).collect()
+    assert(ReaderDiag.blocksDecoded.get() < total2 / 2,
+      s"prefix kept ${ReaderDiag.blocksDecoded.get()} of $total2")
+  }
+
+  test("writer bloomCols option: format(\"graft\") table creation carries block blooms") {
+    val d = docs(800).select(col("url"), xxhash64(col("url")).as("fp"), col("lang"))
+    val out = tmpDir() + "/t"
+    d.write.format("graft").option("key", "url").option("partitions", "4")
+      .option("blockSize", "64").option("bloomCols", "fp").save(out)
+    val target = d.select("fp").head().getLong(0)
+    ReaderDiag.blocksDecoded.set(0)
+    assert(spark.read.format("graft").load(out)
+      .filter(col("fp") === target).count() === 1L)
+    val kept = ReaderDiag.blocksDecoded.get()
+    ReaderDiag.blocksDecoded.set(0)
+    assert(spark.read.format("graft").load(out)
+      .filter(col("lang").isNotNull).count() === 800L)
+    val total = ReaderDiag.blocksDecoded.get()
+    assert(kept < total / 4, s"decoded $kept of $total blocks")
+    // appends inherit the bm_fp convention from the committed data schema
+    EncodePipeline.appendCommit(d.limit(64), "url", out, partitions = 4,
+      blockSize = 64, batchId = 1L)
+    def walk(f: java.io.File): Array[java.io.File] =
+      if (f.isDirectory) f.listFiles().flatMap(walk) else Array(f)
+    val files = walk(new java.io.File(out + "/data"))
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val newest = files.maxBy(_.lastModified())
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(newest.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+    try assert(rdr.getFileMetaData.getSchema.containsField("bm_fp"))
+    finally rdr.close()
+  }
 }
