@@ -367,6 +367,43 @@ object SparkEntry {
           max(col("doc_id")).cast("long").as("max_id"))
         .orderBy(col("lang"))
     }),
+    "q_stream_sink" -> ((s, dir) => {
+      // the NATIVE V2 STREAMING SINK end-to-end: a file-source stream over
+      // the raw parquet table lands in a graft table via
+      // writeStream.format("graft") — executor-side law-placed block
+      // encoding, one atomic single-file manifest commit per epoch,
+      // exactly-once by epochId — then the streamed table reads back
+      // through the connector. Exactly-once is pinned by the aggregate
+      // equality itself (a duplicated or dropped epoch changes
+      // n_docs/sum_chars), and epochs_committed >= 1 pins that the rows
+      // actually travelled the streaming commit path.
+      val d = tbl(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_ssink_q").toFile
+      out.deleteOnExit()
+      val t = out.getAbsolutePath + "/t"
+      // the file stream source needs a DIRECTORY basePath; the testdata
+      // table is a single file — stage it into one (repartitioned so the
+      // stream sees several files, i.e. a real multi-epoch shape)
+      val in = out.getAbsolutePath + "/in"
+      d.repartition(4).write.parquet(in)
+      val q = s.readStream.schema(d.schema).option("maxFilesPerTrigger", "2")
+        .parquet(in)
+        .writeStream.format("graft")
+        .option("checkpointLocation", out.getAbsolutePath + "/ckpt")
+        .start(t)
+      q.processAllAvailable()
+      q.stop()
+      val epochs = s.read.option("mergeSchema", "true").parquet(t + "/meta")
+        .select(col("batch_id")).distinct().count()
+      s.read.format("graft").load(t)
+        .groupBy(col("lang")).agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("doc_id")).cast("long").as("min_id"),
+          max(col("doc_id")).cast("long").as("max_id"))
+        .withColumn("epochs_committed_ok", lit(epochs >= 1L))
+        .orderBy(col("lang"))
+    }),
     "q_v2_agg" -> ((s, dir) => {
       // manifest-served AGGREGATE PUSHDOWN pinned hard: after the table
       // commits, its data files are DELETED — the global aggregates below
@@ -1449,6 +1486,14 @@ object SparkEntry {
         "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id " +
         "FROM documents WHERE doc_id >= 100 AND lang >= 'a' " +
         "GROUP BY lang ORDER BY lang"),
+    // streaming-sink pin: the streamed table's grouped aggregate re-derived
+    // over the raw table (exactly-once: any dup/dropped epoch breaks it)
+    "q_stream_sink" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id, " +
+        "true AS epochs_committed_ok " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     "q_v2_agg" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(count(n_chars) AS BIGINT) AS n_chars_vals, " +

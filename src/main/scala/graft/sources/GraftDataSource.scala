@@ -154,7 +154,8 @@ class GraftTable(outDir: String, tableSchema: StructType) extends Table
       .map(s => Array(GraftPartFunction.transformOf(s))).getOrElse(Array.empty)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, outDir, tableSchema,
       Option(options.get("gen")).map(_.toInt),
@@ -195,6 +196,15 @@ class GraftTable(outDir: String, tableSchema: StructType) extends Table
                 }
               }
             }
+          /** `writeStream.format("graft")` — see [[GraftStreamingWrite]];
+            * Append output mode only (truncate-per-epoch refused) */
+          override def toStreaming:
+              org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            if (overwrite) throw new UnsupportedOperationException(
+              "graft streaming sink supports Append output mode only " +
+                "(Complete would truncate the table every epoch)")
+            new GraftStreamingWrite(outDir, tableSchema, info)
+          }
         }
     }
 
@@ -412,6 +422,24 @@ private[sources] object GraftPruning {
       case sources.StringStartsWith(c, pfx) if kinds.get(c).exists(_.kind != 'l') =>
         val pb = pfx.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         narrowStr(c, Some(pb), prefixSucc(pb)) // [p, succ(p)): succ is an inclusive-safe upper bound
+      case sources.In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        // an IN-list bounds to [min, max] of its values — sound (a block
+        // disjoint from the hull contains no element), complements the
+        // bloom probe on tables without bm_ columns. ALL values must map
+        // into the value-ordered canon or the probe is unsound — skip.
+        kinds.get(c).foreach { p =>
+          if (p.kind == 'l') {
+            val xs = vs.map(canonLong(p.sourceType, _))
+            if (xs.forall(_.isDefined))
+              narrowLong(c, Some(xs.map(_.get).min), Some(xs.map(_.get).max))
+          } else {
+            val bs = vs.map(strBytes)
+            if (bs.forall(_.isDefined)) {
+              val sorted = bs.map(_.get).sortWith(java.util.Arrays.compareUnsigned(_, _) < 0)
+              narrowStr(c, Some(sorted.head), Some(sorted.last))
+            }
+          }
+        }
       case _ => ()
     }
     cols.iterator.map { c =>
@@ -424,6 +452,17 @@ private[sources] object GraftPruning {
       if (pr.isLong) pr.loL != Long.MinValue || pr.hiL != Long.MaxValue
       else pr.loB != null || pr.hiB != null).toArray
   }
+
+  /** columns with a pushed IS NULL conjunct: a block whose null-wrapper
+    * popcount is ZERO provably contains no matching row and is skipped
+    * before any column decodes (the block-grain analog of the manifest's
+    * null_value_counts part pruning). IsNotNull is deliberately NOT probed:
+    * Spark pushes it for every predicate column, and paying a page unwrap
+    * per block to reject only the rare all-null block would cost more than
+    * it skips. */
+  def nullProbesOf(kinds: Map[String, EncodePipeline.ColPlan],
+                   filters: Array[Filter]): Array[String] =
+    filters.collect { case sources.IsNull(c) if kinds.contains(c) => c }.distinct
 
   def survivorsOf(spark: SparkSession, outDir: String,
                   kinds: Map[String, EncodePipeline.ColPlan],
@@ -789,7 +828,8 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
     GraftReaderFactory(Bridge.hadoopConfBroadcast(spark),
       GraftScan.planWithMeta(tableSchema, required), dictsBc, limit,
       probes = GraftPruning.bloomProbesOf(kinds, allFilters),
-      rangeProbes = GraftPruning.rangeProbesOf(kinds, allFilters))
+      rangeProbes = GraftPruning.rangeProbesOf(kinds, allFilters),
+      nullProbes = GraftPruning.nullProbesOf(kinds, allFilters))
   }
 
   /** exact stats from the manifest: decoded size for join sizing, row count
@@ -916,7 +956,8 @@ case class GraftReaderFactory(conf: Bridge.HadoopConfBroadcast,
                               limit: Int,
                               columnar: Boolean = GraftReaderFactory.columnarDefault,
                               probes: Array[GraftPruning.BloomProbe] = Array.empty,
-                              rangeProbes: Array[GraftPruning.RangeProbe] = Array.empty)
+                              rangeProbes: Array[GraftPruning.RangeProbe] = Array.empty,
+                              nullProbes: Array[String] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(partition.asInstanceOf[GraftInputPartition], this)
@@ -976,10 +1017,16 @@ private[sources] abstract class GraftFileReaderBase(
   // the probe column is projected even when the query doesn't select it
   private val activeRanges: Array[GraftPruning.RangeProbe] =
     f.rangeProbes.filter(pr => fileSchema.containsField("e_" + pr.col))
+  // IS NULL probes: only a PRESENT field can disprove the probe (a zero
+  // null-wrapper popcount); absent fields (pre-evolution parts) are all-null
+  // and trivially admit
+  private val activeNulls: Array[String] =
+    f.nullProbes.filter(c => fileSchema.containsField("e_" + c))
   private val projection: MessageType = {
     val wanted = (Seq("__block", "__cnt") ++
       f.cols.filter(c => fileSchema.containsField("e_" + c.name)).map("e_" + _.name) ++
-      activeProbes.map(_._1) ++ activeRanges.map("e_" + _.col)).distinct
+      activeProbes.map(_._1) ++ activeRanges.map("e_" + _.col) ++
+      activeNulls.map("e_" + _)).distinct
     new MessageType("graft_projection",
       wanted.map(n => fileSchema.getType(fileSchema.getFieldIndex(n))).asJava)
   }
@@ -1029,6 +1076,14 @@ private[sources] abstract class GraftFileReaderBase(
       }
       i += 1
     }
+    i = 0
+    while (i < activeNulls.length) {
+      val field = "e_" + activeNulls(i)
+      if (g.getFieldRepetitionCount(field) > 0 &&
+          Codecs.nullCountOf(g.getBinary(field, 0).getBytes) == 0L)
+        return false // zero nulls: IS NULL matches no row of this block
+      i += 1
+    }
     true
   }
 
@@ -1040,7 +1095,8 @@ private[sources] abstract class GraftFileReaderBase(
   /** decode the next block's projected blobs; null at end of file */
   protected def nextBlock(): DecodedBlock = {
     var g = reader.read()
-    while (g != null && (activeProbes.nonEmpty || activeRanges.nonEmpty) && !blockAdmits(g))
+    while (g != null && (activeProbes.nonEmpty || activeRanges.nonEmpty ||
+        activeNulls.nonEmpty) && !blockAdmits(g))
       g = reader.read()
     if (g == null) return null
     ReaderDiag.blocksDecoded.incrementAndGet()

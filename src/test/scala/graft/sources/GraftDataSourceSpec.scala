@@ -427,6 +427,44 @@ class GraftDataSourceSpec extends SparkTestBase {
       s"prefix kept ${ReaderDiag.blocksDecoded.get()} of $total2")
   }
 
+  test("IN-list and IS NULL block probes skip blocks in the V2 scan") {
+    import spark.implicits._
+    // key-sorted parts: nulls of `maybe` concentrate in the low-did blocks,
+    // IN-list values sit in a narrow did hull — both probes should reject
+    // most blocks of every part while full scans decode all of them
+    val d = spark.range(0, 1600)
+      .select((col("id") * 7 + 100000).as("did"),
+        when(col("id") < 64, lit(null).cast("long"))
+          .otherwise(col("id") * 3).as("maybe"),
+        (col("id") % 5).cast("string").as("lang"))
+    val out = tmpDir()
+    EncodePipeline.run(d.toDF(), "did", out, partitions = 4, blockSize = 64,
+      customPart = Some(pmod(col("did"), lit(4)).cast("int")))
+    ReaderDiag.blocksDecoded.set(0)
+    assert(spark.read.format("graft").load(out).filter(col("lang").isNotNull)
+      .collect().length === 1600)
+    val total = ReaderDiag.blocksDecoded.get()
+
+    // IN-list over the sorted key: [min,max] hull bounds reject disjoint blocks
+    val ins = Seq(100000L + 7 * 100, 100000L + 7 * 120, 100000L + 7 * 140)
+    val expectIn = d.filter(col("did").isin(ins: _*)).count()
+    assert(expectIn === 3L)
+    ReaderDiag.blocksDecoded.set(0)
+    assert(spark.read.format("graft").load(out).filter(col("did").isin(ins: _*))
+      .collect().length.toLong === expectIn)
+    assert(ReaderDiag.blocksDecoded.get() < total / 2,
+      s"IN kept ${ReaderDiag.blocksDecoded.get()} of $total")
+
+    // IS NULL: blocks whose null-wrapper popcount is zero are skipped
+    val expectNull = d.filter(col("maybe").isNull).count()
+    assert(expectNull === 64L)
+    ReaderDiag.blocksDecoded.set(0)
+    assert(spark.read.format("graft").load(out).filter(col("maybe").isNull)
+      .collect().length.toLong === expectNull)
+    assert(ReaderDiag.blocksDecoded.get() < total / 2,
+      s"IS NULL kept ${ReaderDiag.blocksDecoded.get()} of $total")
+  }
+
   test("writer bloomCols option: format(\"graft\") table creation carries block blooms") {
     val d = docs(800).select(col("url"), xxhash64(col("url")).as("fp"), col("lang"))
     val out = tmpDir() + "/t"
