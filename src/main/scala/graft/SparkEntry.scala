@@ -874,6 +874,87 @@ object SparkEntry {
         lit(zeroRewrite).as("zero_rewrite"),
         lit(matOk).as("mat_ok"))
     }),
+    "q_rollback" -> ((s, dir) => {
+      // snapshot rollback end-to-end (Iceberg rollback-to-snapshot): encode,
+      // COW-update (gen 1), MOR-delete (gen 2), then roll back to 1 (undoes
+      // the delete — vectors abandoned by the marker, zero bytes moved) and
+      // to 0 (undoes the update — old files re-listed). rb1_ok pins the
+      // intermediate state, vacuumed pins history expiry, and the final
+      // aggregate must equal the ORIGINAL table — the DuckDB oracle
+      // recomputes it from the raw parquet untouched by any DML.
+      // pmod-sampled ~1/8 subset (q_null_roundtrip's pattern).
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 6)
+      val out = java.nio.file.Files.createTempDirectory("graft_rollback_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath
+      EncodePipeline.run(d, "doc_id", path, partitions = 8, blockSize = 1024)
+      val predU = col("doc_id") % 5 === 4
+      val nUpd = EncodePipeline.updateWhere(s, path, d.schema, "doc_id", predU,
+        Map("lang" -> lit("rr"), "n_chars" -> (col("n_chars") + 100L)),
+        blockSize = 1024) // gen 1 (copy-on-write)
+      val nDel = EncodePipeline.deleteWhereLazy(s, path, d.schema,
+        col("doc_id") % 7 === 1) // gen 2 (merge-on-read vectors)
+      def state(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("n_chars")),
+          count(when(col("lang") === "rr", 1))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val updatedExp = d
+        .withColumn("lang", when(predU, lit("rr")).otherwise(col("lang")))
+        .withColumn("n_chars",
+          when(predU, col("n_chars") + 100L).otherwise(col("n_chars")))
+      EncodePipeline.rollbackTo(s, path, 1) // undo the delete only
+      val rb1Ok = state(EncodePipeline.decodeShared(s, path, d.schema)) ==
+        state(updatedExp)
+      EncodePipeline.rollbackTo(s, path, 0) // undo everything
+      val vacuumed = EncodePipeline.vacuum(s, path) > 0
+      EncodePipeline.decodeShared(s, path, d.schema).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).cast("long").as("min_id"),
+        max(col("doc_id")).cast("long").as("max_id"),
+        lit(nUpd).cast("long").as("n_updated"),
+        lit(nDel).cast("long").as("n_deleted"),
+        lit(rb1Ok).as("rb1_ok"),
+        lit(vacuumed).as("vacuumed"))
+    }),
+    "q_cdc" -> ((s, dir) => {
+      // change-data-capture end-to-end: base table (gen 0), append a batch
+      // (gen 1 — every commit is its own snapshot), MOR-delete (gen 2),
+      // then readChangesBetween(0, 2) must emit exactly the NET changes:
+      // inserts = the appended rows not deleted inside the window, deletes
+      // = base rows the window's vectors masked. fast_ok pins that the
+      // append/MOR window took the file-delta fast path (no Except in the
+      // optimized plan — only the added files and vector-hit blocks are
+      // read). The oracle recomputes both sides from the raw parquet.
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 2)
+      val out = java.nio.file.Files.createTempDirectory("graft_cdc_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath
+      val base = d.filter(col("doc_id") % 3 =!= 0)
+      val added = d.filter(col("doc_id") % 3 === 0)
+      EncodePipeline.run(base, "doc_id", path, partitions = 8, blockSize = 1024)
+      EncodePipeline.appendCommit(added, "doc_id", path, partitions = 8,
+        blockSize = 1024, batchId = 1L) // gen 1
+      EncodePipeline.deleteWhereLazy(s, path, d.schema,
+        col("doc_id") % 10 === 4) // gen 2
+      val ch = EncodePipeline.readChangesBetween(s, path, d.schema, 0, 2)
+      val fastOk = !ch.queryExecution.optimizedPlan.toString.contains("Except")
+      ch.agg(
+        sum(when(col("_change_type") === "insert", 1).otherwise(0))
+          .cast("long").as("n_ins"),
+        sum(when(col("_change_type") === "delete", 1).otherwise(0))
+          .cast("long").as("n_del"),
+        sum(when(col("_change_type") === "insert", col("n_chars")))
+          .cast("long").as("ins_chars"),
+        sum(when(col("_change_type") === "delete", col("n_chars")))
+          .cast("long").as("del_chars"),
+        sum(when(col("_change_type") === "insert", col("doc_id")))
+          .cast("long").as("ins_ids"),
+        sum(when(col("_change_type") === "delete", col("doc_id")))
+          .cast("long").as("del_ids"),
+        lit(fastOk).as("fast_ok"))
+    }),
     "q_update" -> ((s, dir) => {
       // copy-on-write row-level UPDATE end-to-end: encode documents, UPDATE
       // a slice (doc_id%13==0 rows get a NULL pred and must stay UNCHANGED
@@ -1614,6 +1695,26 @@ object SparkEntry {
         "WHERE doc_id % 9 <> 0 AND doc_id % 6 = 3) AS n_deleted, " +
         "TRUE AS zero_rewrite, TRUE AS mat_ok FROM s " +
         "WHERE NOT (doc_id % 9 <> 0 AND doc_id % 6 = 3)"),
+    "q_rollback" ->
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 6) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, " +
+        "CAST(max(doc_id) AS BIGINT) AS max_id, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 5 = 4) AS n_updated, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 7 = 1) AS n_deleted, " +
+        "TRUE AS rb1_ok, TRUE AS vacuumed FROM s"),
+    "q_cdc" ->
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 2), " +
+        "ins AS (SELECT * FROM s WHERE doc_id % 3 = 0 AND doc_id % 10 <> 4), " +
+        "del AS (SELECT * FROM s WHERE doc_id % 3 <> 0 AND doc_id % 10 = 4) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM ins) AS n_ins, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM del) AS n_del, " +
+        "(SELECT CAST(sum(n_chars) AS BIGINT) FROM ins) AS ins_chars, " +
+        "(SELECT CAST(sum(n_chars) AS BIGINT) FROM del) AS del_chars, " +
+        "(SELECT CAST(sum(doc_id) AS BIGINT) FROM ins) AS ins_ids, " +
+        "(SELECT CAST(sum(doc_id) AS BIGINT) FROM del) AS del_ids, " +
+        "TRUE AS fast_ok"),
     "q_update" ->
       ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
         "u AS (SELECT doc_id, " +

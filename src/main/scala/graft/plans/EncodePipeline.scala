@@ -852,14 +852,20 @@ object EncodePipeline {
       .withColumn("wall_millis", lit(System.currentTimeMillis() - t0))
       .withColumn("attempt", lit(1))
       .withColumn("batch_id", lit(batchId))
-    // join the CURRENT generation per part so a past compaction does not
-    // supersede this append (tables never compacted carry no gen at all)
-    rawMeta.filter(_.columns.contains("gen")).foreach { m =>
-      val cur = m.groupBy(col("__part"))
-        .agg(max(coalesce(col("gen"), lit(0))).as("__curgen"))
-      rows = rows.join(broadcast(cur), Seq("__part"), "left")
-        .withColumn("gen", coalesce(col("__curgen"), lit(0)))
-        .drop("__curgen")
+    // every append is its own SNAPSHOT: the batch commits at the table's
+    // next generation tagged additive=true, so [[readMetaAt]] keeps it
+    // visible above the part's replacing floor (a past compaction cannot
+    // supersede it) AND time travel below its generation excludes it —
+    // decodeSharedAt(g) now cuts exactly between commits. When the batch
+    // rides with a delete marker (updateWhereLazy / commitDelta atomic
+    // snapshots) both sides computed 1+max from the same pre-commit
+    // manifest and share one generation. A table CREATED by this commit
+    // (rawMeta empty) stays the gen-less base, exactly as run() writes it.
+    rawMeta.foreach { m =>
+      val nextGen = 1 + (if (m.columns.contains("gen"))
+        m.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+      rows = rows.withColumn("gen", lit(nextGen))
+        .withColumn("additive", lit(true))
     }
     extraMeta.map(m => rows.unionByName(m, allowMissingColumns = true))
       .getOrElse(rows)
@@ -1587,17 +1593,21 @@ object EncodePipeline {
     * Cached per (outDir, manifest listing signature): the manifest is
     * append-only, so a new commit changes the listing and invalidates —
     * one cheap listStatus replaces a parquet read on every loadDeletes. */
-  private val txnCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, Int])]()
+  private val txnCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Map[String, Int], Seq[(Int, Int)]))]()
 
-  private def committedTxnGens(spark: SparkSession, outDir: String): Map[String, Int] = {
+  /** manifest FACTS read raw (generation supersede does not apply to them),
+    * cached per manifest listing signature: committed-txn → gen map, and
+    * rollback markers as (marker gen N, rollback target T). */
+  private def manifestFacts(spark: SparkSession,
+                            outDir: String): (Map[String, Int], Seq[(Int, Int)]) = {
     val p = new org.apache.hadoop.fs.Path(s"$outDir/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // no manifest at all = a table that has never committed = no committed
     // txns — the ONLY case that legitimately answers empty. Any other
     // failure must PROPAGATE: swallowing a transient manifest-read error
     // into Map.empty would silently resurrect every txn-tagged deleted row.
-    if (!fs.exists(p)) return Map.empty
+    if (!fs.exists(p)) return (Map.empty, Nil)
     val sig = fs.listStatus(p).filter(_.isFile)
       .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .sorted.mkString("|")
@@ -1610,9 +1620,27 @@ object EncodePipeline {
         .select(col("txn"),
           if (meta.columns.contains("gen")) coalesce(col("gen"), lit(0)) else lit(0))
         .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-    txnCache.put(outDir, (sig, txns))
-    txns
+    val markers: Seq[(Int, Int)] =
+      if (!meta.columns.contains("rollback_to")) Nil
+      else meta.filter(col("rollback_to").isNotNull)
+        .select(coalesce(col("gen"), lit(0)), col("rollback_to"))
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sortBy(_._1)
+    val facts = (txns, markers)
+    txnCache.put(outDir, (sig, facts))
+    facts
   }
+
+  private def committedTxnGens(spark: SparkSession, outDir: String): Map[String, Int] =
+    manifestFacts(spark, outDir)._1
+
+  /** rollback markers (marker gen N, target T) in commit order — a marker
+    * abandons every merge-on-read delete vector committed strictly inside
+    * (T, N). Markers compose conjunctively: once abandoned, a vector stays
+    * abandoned (rolling forward into a previously abandoned range does not
+    * resurrect its deletes — the same one-way street as Iceberg after
+    * snapshot expiration). */
+  private def rollbackMarkers(spark: SparkSession, outDir: String): Seq[(Int, Int)] =
+    manifestFacts(spark, outDir)._2
 
   private def committedTxns(spark: SparkSession, outDir: String,
                             maxGen: Int): Set[String] =
@@ -1639,9 +1667,21 @@ object EncodePipeline {
         s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith(".")))
       return Map.empty
     val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/deletes")
-    val genScoped =
+    val genScoped0 =
       if (!raw.columns.contains("gen")) raw
       else raw.filter(coalesce(col("gen"), lit(0)) <= maxGen)
+    // rollback abandonment: a marker (N → T) visible at this read (N ≤
+    // maxGen) abandons every vector committed strictly inside (T, N) —
+    // [[rollbackTo]] undid those deletes. Reads BELOW the marker (time
+    // travel) ignore it and still see the pre-rollback history.
+    val rbMarkers = rollbackMarkers(spark, outDir).filter(_._1 <= maxGen)
+    val genScoped =
+      if (rbMarkers.isEmpty || !genScoped0.columns.contains("gen")) genScoped0
+      else {
+        val g = coalesce(col("gen"), lit(0))
+        val abandoned = rbMarkers.map { case (n, t) => g > t && g < n }.reduce(_ || _)
+        genScoped0.filter(!abandoned)
+      }
     // transaction gate: a txn-tagged vector applies ONLY once its snapshot
     // marker is committed in the manifest — vectors staged by an atomic
     // delta commit that crashed before its single manifest append are
@@ -1796,28 +1836,46 @@ object EncodePipeline {
           dvFiles.filter(_.getModificationTime <= cutoff).map(_.getPath.getName).toSet
         }
         val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/deletes")
-        if (raw.columns.contains("txn") && oldEnough.nonEmpty) {
-          val committed = committedTxns(spark, outDir, Int.MaxValue)
-          val committedCol =
-            if (committed.isEmpty) lit(false) else col("txn").isin(committed.toSeq: _*)
-          val orphan = raw.withColumn("__f", input_file_name())
-            .groupBy(col("__f"))
-            .agg(max(col("txn").isNull.cast("int")).as("any_legacy"),
-                 max(committedCol.cast("int")).as("any_committed"))
-            .filter(col("any_legacy") === 0 && col("any_committed") === 0)
-            .select("__f").collect().map(_.getString(0))
-            .filter(uri => oldEnough.contains(
-              new org.apache.hadoop.fs.Path(new java.net.URI(uri)).getName))
-          orphan.foreach { uri =>
-            if (fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(uri)), false))
-              deleted += 1
+        val orphan: Seq[String] =
+          if (!raw.columns.contains("txn") || oldEnough.isEmpty) Nil
+          else {
+            val committed = committedTxns(spark, outDir, Int.MaxValue)
+            val committedCol =
+              if (committed.isEmpty) lit(false) else col("txn").isin(committed.toSeq: _*)
+            raw.withColumn("__f", input_file_name())
+              .groupBy(col("__f"))
+              .agg(max(col("txn").isNull.cast("int")).as("any_legacy"),
+                   max(committedCol.cast("int")).as("any_committed"))
+              .filter(col("any_legacy") === 0 && col("any_committed") === 0)
+              .select("__f").collect().map(_.getString(0)).toSeq
+              .filter(uri => oldEnough.contains(
+                new org.apache.hadoop.fs.Path(new java.net.URI(uri)).getName))
           }
-          // reclaiming the LAST vector file leaves a parquet-less directory
-          // that would fail schema inference on the next read — remove it
-          val left = fs.listStatus(delPath).exists(s => s.isFile &&
-            s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("."))
-          if (!left) fs.delete(delPath, true)
+        // vector files EVERY row of which a committed rollback marker
+        // abandoned can never apply again — reclaim without an age gate
+        // (this expires sub-marker time travel, exactly like reclaiming
+        // superseded data files above)
+        val rbM = rollbackMarkers(spark, outDir)
+        val abandonedFiles: Seq[String] =
+          if (rbM.isEmpty || !raw.columns.contains("gen")) Nil
+          else {
+            val g = coalesce(col("gen"), lit(0))
+            val abandonedCol = rbM.map { case (n, t) => g > t && g < n }.reduce(_ || _)
+            raw.withColumn("__f", input_file_name())
+              .groupBy(col("__f"))
+              .agg(max((!abandonedCol).cast("int")).as("any_live"))
+              .filter(col("any_live") === 0)
+              .select("__f").collect().map(_.getString(0)).toSeq
+          }
+        (orphan ++ abandonedFiles).distinct.foreach { uri =>
+          if (fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(uri)), false))
+            deleted += 1
         }
+        // reclaiming the LAST vector file leaves a parquet-less directory
+        // that would fail schema inference on the next read — remove it
+        val left = fs.listStatus(delPath).exists(s => s.isFile &&
+          s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith("."))
+        if (!left) fs.delete(delPath, true)
       } else {
         fs.delete(delPath, true) // already parquet-less: never serve it to a reader
       }
@@ -1830,6 +1888,178 @@ object EncodePipeline {
     * stage-to-marker window. Tests set -Dgraft.vacuum.dvMinAgeMs=0. */
   private def orphanDvMinAgeMs: Long =
     sys.props.getOrElse("graft.vacuum.dvMinAgeMs", "900000").toLong
+
+  // ---------------- snapshot rollback + change capture ----------------
+
+  /** roll the table back to its state as of generation `gen` — the Iceberg
+    * rollback-to-snapshot operation, kept append-only and METADATA-ONLY
+    * (zero data bytes move):
+    *
+    *   - the manifest rows visible at `gen` re-commit verbatim under a
+    *     fresh generation, flagged REPLACING (additive = false), so they
+    *     re-establish each part's complete file list as the new floor;
+    *   - parts born after `gen` tombstone at the same generation;
+    *   - one rollback-marker row (part −1, `rollback_to` = gen) rides in
+    *     the SAME single-file manifest append — [[loadDeletes]] reads it
+    *     and abandons every merge-on-read delete vector committed strictly
+    *     inside (gen, marker gen): those deletes are undone without
+    *     touching the vector files (they stay for time travel BELOW the
+    *     marker; a later [[vacuum]] reclaims the fully-abandoned ones).
+    *
+    * The whole rollback is ONE manifest append = one atomic rename; a crash
+    * before it leaves the table unchanged. Abandoned generations' data
+    * files become unreferenced and are reclaimed by [[vacuum]]; until then
+    * `readDataAt`/`decodeSharedAt` below `gen` keep working. Fails if a
+    * data file current at `gen` was already vacuumed (history expired).
+    * Granularity is the table's snapshot granularity: every commit —
+    * append, MOR/COW DML, compaction — advances the generation. Batch
+    * replay detection is NOT rolled back: a batchId ingested inside the
+    * abandoned range stays ingested (the stream saw it once). Returns the
+    * new current generation (the input `gen` if already current). Single
+    * maintenance writer assumed, like [[compact]]. */
+  def rollbackTo(spark: SparkSession, outDir: String, gen: Int): Int = {
+    require(gen >= 0, s"rollbackTo: generation must be >= 0, got $gen")
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    if (!raw.columns.contains("gen")) return 0 // single-generation table
+    require(raw.columns.contains("data_files"),
+      "rollbackTo needs file-tracked metadata; this table predates data_files")
+    val maxG = raw.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0)
+    if (gen >= maxG) return maxG
+    val t0 = System.currentTimeMillis()
+    val target = readMetaAt(spark, outDir, Some(gen)).filter(col("__part") >= 0)
+    // every data file current at `gen` must still exist — vacuum expires
+    // history, and a rollback onto missing files would commit a lie
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val needed = target.filter(col("data_files").isNotNull)
+      .select(explode(col("data_files")).as("f")).distinct()
+      .collect().map(r => fileSuffix(r.getString(0)))
+    val missing = needed.filterNot(sfx =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/data/$sfx")))
+    require(missing.isEmpty, s"rollbackTo($gen): ${missing.length} data files " +
+      s"of that generation were vacuumed (first: ${missing.headOption.getOrElse("")})")
+    val nextGen = maxG + 1
+    // parts that exist now but not at `gen` empty out at the new generation
+    val born = readMeta(spark, outDir).filter(col("__part") >= 0)
+      .select("__part").distinct()
+      .join(target.select("__part").distinct(), Seq("__part"), "left_anti")
+      .collect().map(_.getInt(0)).toSeq
+    val rows = target.withColumn("gen", lit(nextGen))
+      .withColumn("additive", lit(false))
+    val tomb = tombstoneRows(readMeta(spark, outDir), born, nextGen, t0)
+    val marker = genMarker(spark, nextGen)
+      .withColumn("column", lit("__rb_marker"))
+      .withColumn("rollback_to", lit(gen))
+    Seq(tomb, Some(marker)).flatten
+      .foldLeft(rows)((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .repartition(1).write.mode("append").parquet(s"$outDir/meta")
+    nextGen
+  }
+
+  /** positions set in `now` and not in `before` (a shorter `before` reads
+    * as zeros past its end) — the rows a delete-vector commit newly masked */
+  private def diffPositions(now: Array[Byte], before: Array[Byte]): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < now.length) {
+      val b = (now(i) & 0xff) & ~(if (i < before.length) before(i) & 0xff else 0)
+      var j = 0
+      while (j < 8) { if ((b & (1 << j)) != 0) out += i * 8 + j; j += 1 }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** row-level change-data-capture between two snapshots: the NET changes
+    * from the table as of `fromGen` to the table as of `toGen`, as the
+    * source rows plus a `_change_type` column ("insert" / "delete"; an
+    * update surfaces as its delete + insert pair, the Iceberg
+    * changelog-scan representation). A row inserted and deleted inside the
+    * window is no net change and does not appear.
+    *
+    * Scale path: when the window is append/merge-on-read-shaped — every
+    * file present at `fromGen` is still present at `toGen` and no rollback
+    * landed inside the window — the scan touches ONLY the delta: rows of
+    * files added in the window (with the window's own delete vectors
+    * applied), plus rows of pre-existing files whose positions the
+    * window's vectors newly masked (decoded via lineage and semi-joined on
+    * the exact (file, block, pos) diff — only affected files open). Any
+    * rewrite in the window (compaction, COW DML, materialize, rollback)
+    * falls back to the semantically-equivalent full snapshot diff
+    * (`exceptAll` both ways). */
+  def readChangesBetween(spark: SparkSession, outDir: String,
+                         sourceSchema: StructType,
+                         fromGen: Int, toGen: Int): DataFrame = {
+    require(fromGen >= 0 && fromGen <= toGen,
+      s"readChangesBetween: need 0 <= fromGen <= toGen, got ($fromGen, $toGen)")
+    val dicts = try loadDicts(spark, outDir)
+                catch { case _: Exception => Map.empty[Long, Codecs.DictTable] }
+    val dictsOpt = if (dicts.isEmpty) None else Some(dicts)
+    def empty(): DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sourceSchema)
+    // file inventory (suffix → absolute path) at a generation; None when any
+    // visible part predates file tracking — those cannot be diffed by file
+    def filesAt(g: Int): Option[Map[String, String]] = {
+      val m = readMetaAt(spark, outDir, Some(g)).filter(col("__part") >= 0)
+      if (!m.columns.contains("data_files")) return None
+      if (!m.filter(col("data_files").isNull).isEmpty) return None
+      Some(m.filter(col("data_files").isNotNull)
+        .select(explode(col("data_files")).as("f")).distinct()
+        .collect().map(r => fileSuffix(r.getString(0)) -> r.getString(0)).toMap)
+    }
+    def readFiles(paths: Seq[String]): DataFrame =
+      spark.read.option("basePath", s"$outDir/data")
+        .option("mergeSchema", "true").parquet(paths: _*)
+        .withColumn("__fname", regexp_extract(input_file_name(), "[^/]+/[^/]+$", 0))
+    val rbInWindow = rollbackMarkers(spark, outDir)
+      .exists { case (n, _) => n > fromGen && n <= toGen }
+    val fast =
+      if (rbInWindow) None
+      else for { ff <- filesAt(fromGen); ft <- filesAt(toGen)
+                 if ff.keySet.subsetOf(ft.keySet) } yield (ff, ft)
+    fast match {
+      case Some((ff, ft)) =>
+        val dvFrom = loadDeletes(spark, outDir, fromGen)
+        val dvTo = loadDeletes(spark, outDir, toGen)
+        val newSfx = (ft.keySet -- ff.keySet).toSeq.sorted
+        val ins =
+          if (newSfx.isEmpty) empty()
+          else {
+            val sfxSet = newSfx.toSet
+            decodeEx(readFiles(newSfx.map(ft)), sourceSchema, dictsOpt,
+              keepPart = false, lineage = false,
+              dvTo.filter { case ((f, _), _) => sfxSet.contains(f) })
+          }
+        val diff = dvTo.toSeq.collect {
+          case ((f, b), bm) if ff.contains(f) =>
+            (f, b, diffPositions(bm, dvFrom.getOrElse((f, b), Array.emptyByteArray)))
+        }.filter(_._3.nonEmpty)
+        val del =
+          if (diff.isEmpty) empty()
+          else {
+            val affected = diff.map(_._1).toSet
+            // decode the affected files at their FROM state (old vectors
+            // applied; the bit diff already excludes re-deletes) and keep
+            // exactly the newly-masked coordinates
+            val dec = decodeEx(readFiles(affected.toSeq.sorted.map(ff)),
+              sourceSchema, dictsOpt, keepPart = false, lineage = true,
+              dvFrom.filter { case ((f, _), _) => affected.contains(f) })
+            val spark2 = spark
+            import spark2.implicits._
+            val coords = diff.flatMap { case (f, b, ps) => ps.map(p => (f, b, p)) }
+              .toDF("__file", "__block", "__pos")
+            dec.join(broadcast(coords), Seq("__file", "__block", "__pos"), "left_semi")
+              .drop("__file", "__block", "__pos")
+          }
+        ins.withColumn("_change_type", lit("insert"))
+          .unionByName(del.withColumn("_change_type", lit("delete")))
+      case None =>
+        val from = decodeSharedAt(spark, outDir, sourceSchema, fromGen)
+        val to = decodeSharedAt(spark, outDir, sourceSchema, toGen)
+        to.exceptAll(from).withColumn("_change_type", lit("insert"))
+          .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
+    }
+  }
 
   /** "__part=3/part-xyz.parquet" suffix of a recorded file URI/path — the
     * normalization that survives file:/ vs file:/// scheme differences
@@ -2099,15 +2329,33 @@ object EncodePipeline {
                          upTo: Option[Int]): DataFrame = {
     val m = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
     if (!m.columns.contains("gen")) return m // never compacted: zero overhead
-    // generation resolution (compaction supersede): per part, only the
-    // rows of the highest generation (≤ upTo for time travel) are current;
-    // pre-gen rows read as 0. Multiple SAME-gen rows per part (multi-wave /
-    // streaming appends) all stay current, exactly as before compaction
-    // existed.
+    // generation resolution. Commits come in two kinds:
+    //   REPLACING (compaction, COW DML, tombstones, rollback — no
+    //   `additive` column or additive=false): the commit re-lists the
+    //   part's ENTIRE file set, so per part only the highest replacing
+    //   generation ≤ upTo (the part's "floor") is current;
+    //   ADDITIVE (appendCommit / commitDelta inserts, additive=true): the
+    //   commit adds files on top of whatever is current, so its rows stay
+    //   visible at every read generation in [its gen, the next replacing
+    //   commit). Pre-gen rows read as gen 0 replacing; legacy appends
+    //   (written before the additive flag, sharing the floor's gen) read
+    //   as replacing AT the floor, which is the same visible set — the
+    //   rule degrades to the old per-part-max-gen resolution on legacy
+    //   tables. Multiple SAME-gen rows per part (multi-wave runs) all
+    //   stay current, exactly as before generations existed.
     val withGen = m.withColumn("gen", coalesce(col("gen"), lit(0)))
-    val visible = upTo.map(g => withGen.filter(col("gen") <= g)).getOrElse(withGen)
-    val cur = visible.groupBy(col("__part")).agg(max(col("gen")).as("gen"))
-    visible.join(broadcast(cur), Seq("__part", "gen"), "left_semi")
+      .withColumn("__add",
+        if (m.columns.contains("additive")) coalesce(col("additive"), lit(false))
+        else lit(false))
+    val visible0 = upTo.map(g => withGen.filter(col("gen") <= g)).getOrElse(withGen)
+    // the part's floor: its highest replacing generation ≤ upTo (a part
+    // born from appends alone has none — floor 0 via the left-join null)
+    val floor = visible0.filter(!col("__add"))
+      .groupBy(col("__part")).agg(max(col("gen")).as("__floor"))
+    visible0.join(broadcast(floor), Seq("__part"), "left")
+      .filter(col("gen") >= coalesce(col("__floor"), lit(0)) &&
+              (col("__add") || col("gen") === coalesce(col("__floor"), lit(0))))
+      .drop("__add", "__floor")
   }
 
   /** manifest-level pruning: read only committed parts whose metadata value
