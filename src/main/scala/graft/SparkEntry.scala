@@ -1118,6 +1118,36 @@ object SparkEntry {
         lit(nAll).as("n_all"),
         lit(rangeBlocks * 2 < totalBlocks).as("zone_pruned"))
     }),
+    "q_cluster" -> ((s, dir) => {
+      // sort-order maintenance (Iceberg rewrite-with-sort-order): the table
+      // is keyed and key-sorted by did, so sid — a pseudorandom permutation
+      // of doc_id — spans every block and a pushed range probe on it can
+      // skip NOTHING. rewriteSorted(sid) re-clusters each part; the same
+      // probe then decodes a contiguous band. cluster_pruned pins
+      // post-rewrite block decodes strictly under half of pre-rewrite;
+      // n_rows/sum_ids are re-derived by DuckDB from the same affine sid
+      // definition; same_result pins pre/post scan agreement.
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") * 7 + 100000).as("did"),
+          pmod(col("doc_id") * 2654435761L, lit(1000003L)).as("sid"), col("lang"))
+      val out = java.nio.file.Files.createTempDirectory("graft_cluster_q").toFile
+      out.deleteOnExit()
+      val dir0 = out.getAbsolutePath + "/t"
+      EncodePipeline.run(d, "did", dir0, partitions = 4, blockSize = 32)
+      def probe(): (Long, Long, Long) = {
+        graft.sources.ReaderDiag.blocksDecoded.set(0)
+        val r = s.read.format("graft").load(dir0).filter(col("sid") >= 900000L)
+          .agg(count(lit(1)).cast("long"), sum(col("doc_id")).cast("long")).head
+        (r.getLong(0), r.getLong(1), graft.sources.ReaderDiag.blocksDecoded.get())
+      }
+      val (n0, s0, pre) = probe()
+      EncodePipeline.rewriteSorted(s, dir0, d.schema, "did",
+        Seq(col("sid")), blockSize = 32)
+      val (n1, s1, post) = probe()
+      s.range(1).select(lit(n1).as("n_rows"), lit(s1).as("sum_ids"),
+        lit(post * 2 < pre).as("cluster_pruned"),
+        lit(n0 == n1 && s0 == s1).as("same_result"))
+    }),
     "q_codec_plan" -> ((s, dir) => {
       val e = tbl(s, dir, "events")
       val blocks = e.select(unix_micros(col("ts").cast("timestamp")).as("ts_us"),
@@ -1509,6 +1539,10 @@ object SparkEntry {
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids, " +
         "(SELECT CAST(count(lang) AS BIGINT) FROM documents) AS n_all, true AS zone_pruned " +
         "FROM documents WHERE doc_id >= (SELECT (max(doc_id)*9)//10 FROM documents)"),
+    "q_cluster" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS sum_ids, " +
+        "TRUE AS cluster_pruned, TRUE AS same_result " +
+        "FROM documents WHERE (doc_id * 2654435761) % 1000003 >= 900000"),
     // codec-selection pin: the auto-selector's choice per events block is
     // deterministic on the seeded fixture — every 4096-id block picks
     // delta(ts)/bitpack(user)/dict(type)/dict(props); the block count is

@@ -55,6 +55,12 @@ package object functions {
   /** FALSE proves absence; wrap with coalesce(.., lit(true)) when the filter
     * column may be null (mixed-era files). Probe doubles via double_bits. */
   def bloom_maybe(bm: Column, v: Column): Column = toCol(BloomMaybe(toExpr(bm), toExpr(v)))
+  /** Morton clustering key over 1–8 bigint columns, normalized against the
+    * supplied per-column [lo, hi] value bounds — sort by it
+    * (EncodePipeline.rewriteSorted / rewriteZOrdered, which derives the
+    * bounds) to give every participating column zone-map locality at once. */
+  def zorder_key(cols: Seq[Column], los: Seq[Long], his: Seq[Long]): Column =
+    toCol(ZOrderKey(cols.map(toExpr), los, his))
   def bits_needed(c: Column): Column = toCol(BitsNeeded(toExpr(c)))
   def double_bits(c: Column): Column = toCol(DoubleBits(toExpr(c)))
   def bits_double(c: Column): Column = toCol(BitsDouble(toExpr(c)))

@@ -242,16 +242,20 @@ object EncodePipeline {
     * per-column bitmaps (Codecs.encodeLongsN/encodeStrsN). */
   def encode(df: DataFrame, key: String, partitions: Int, blockSize: Int = 4096,
              partExpr: Option[Column] = None,
-             sharedDicts: Option[SharedDicts] = None): DataFrame = {
+             sharedDicts: Option[SharedDicts] = None,
+             sortCols: Seq[Column] = Nil): DataFrame = {
     // a pre-existing __part column is a placement directive (rewrite paths
     // like deleteWhere preserve the original assignment via
     // partExpr = col("__part")), never a data column to encode
     val plans = plan(StructType(df.schema.filterNot(_.name == "__part")))
     val part = partExpr.getOrElse(hashPart(key, partitions))
+    // default in-part order is the key (PREFIX/delta effectiveness);
+    // rewriteSorted overrides it with a clustering order
+    val ord = if (sortCols.isEmpty) Seq(col(key)) else sortCols
     val canon = df
       .withColumn("__part", part)
       .repartition(partitions, col("__part"))
-      .sortWithinPartitions(col("__part"), col(key))
+      .sortWithinPartitions(col("__part") +: ord: _*)
       .select(col("__part") +: plans.map(canonCol): _*)
 
     val outFields = Seq(
@@ -1279,6 +1283,72 @@ object EncodePipeline {
       .withColumn("gen", lit(nextGen))
       .repartition(1).write.mode("append").parquet(s"$outDir/meta")
     byPart.map(_._2).sum
+  }
+
+  /** re-cluster the table: copy-on-write rewrite of every file-tracked part
+    * with rows re-sorted by `sortCols` before re-encoding — the Iceberg
+    * rewrite-with-sort-order maintenance. Clustering is what makes the
+    * block zone maps, Bloom filters, and manifest bounds SELECTIVE on
+    * non-key columns: after `rewriteSorted(Seq(col("n_chars")))` a range
+    * probe on n_chars opens a contiguous band of blocks instead of all of
+    * them; `rewriteSorted(Seq(zorder_key(a, b)))` gives two columns
+    * locality at once (Morton order). Commits exactly like [[compact]]:
+    * one replacing manifest append at the next generation — time travel,
+    * vacuum, and every reader behave identically. Refuses live delete
+    * vectors ([[materializeDeletes]] first) and part-level (pre-tracking)
+    * parts. Returns the rewritten part ids. */
+  def rewriteSorted(spark: SparkSession, outDir: String,
+                    sourceSchema: StructType, key: String,
+                    sortCols: Seq[Column], blockSize: Int = 4096): Seq[Int] = {
+    require(sortCols.nonEmpty, "rewriteSorted needs at least one sort column")
+    requireNoLiveDeletes(spark, outDir, "rewriteSorted")
+    val t0 = System.currentTimeMillis()
+    val meta = readMeta(spark, outDir)
+    val hasGen = meta.columns.contains("gen")
+    val cands = meta.filter(col("__part") >= 0).select("__part").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (cands.isEmpty) return Nil
+    requireFileTracked(meta, cands, "rewriteSorted")
+    val nextGen = 1 + (if (hasGen)
+      meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+    val dicts = (try loadDicts(spark, outDir)
+                 catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
+    val dec = decode(readData(spark, outDir), sourceSchema,
+      if (dicts.isEmpty) None else Some(dicts), keepPart = true)
+    val encOut = encode(dec, key, math.max(1, cands.length), blockSize,
+      partExpr = Some(col("__part")), sortCols = sortCols)
+    landAndDescribe(spark, outDir, sourceSchema, encOut, cands, t0)
+      .withColumn("gen", lit(nextGen))
+      .repartition(1).write.mode("append").parquet(s"$outDir/meta")
+    cands
+  }
+
+  /** z-order clustering rewrite: [[rewriteSorted]] by a Morton key over
+    * `zCols` (long-typed columns), giving EVERY listed column zone-map
+    * locality at once — the Iceberg z-order rewrite strategy. The key
+    * normalizes each column against its attained [min, max] (derived here
+    * with one aggregate scan, the way Iceberg computes bounds before
+    * interleaving); an all-null or constant column contributes a constant
+    * lane. Returns the rewritten part ids. */
+  def rewriteZOrdered(spark: SparkSession, outDir: String,
+                      sourceSchema: StructType, key: String,
+                      zCols: Seq[String], blockSize: Int = 4096): Seq[Int] = {
+    require(zCols.nonEmpty && zCols.size <= 8, "rewriteZOrdered takes 1..8 columns")
+    val badType = zCols.filterNot(c => sourceSchema.fields
+      .exists(f => f.name == c && (f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == TimestampType)))
+    require(badType.isEmpty,
+      s"rewriteZOrdered needs bigint/int/timestamp columns, bad: ${badType.mkString(", ")}")
+    def asLong(c: String): Column = col(c).cast(LongType)
+    val aggs = zCols.flatMap(c => Seq(min(asLong(c)), max(asLong(c))))
+    val bounds = decodeShared(spark, outDir, sourceSchema)
+      .agg(aggs.head, aggs.tail: _*).head()
+    val los = zCols.indices.map(i =>
+      if (bounds.isNullAt(2 * i)) 0L else bounds.getLong(2 * i))
+    val his = zCols.indices.map(i =>
+      if (bounds.isNullAt(2 * i + 1)) 0L else bounds.getLong(2 * i + 1))
+    rewriteSorted(spark, outDir, sourceSchema, key,
+      Seq(graft.functions.zorder_key(zCols.map(asLong), los, his)), blockSize)
   }
 
   /** part-level (null data_files) parts are read as whole directories and
