@@ -1305,7 +1305,11 @@ object EncodePipeline {
     val t0 = System.currentTimeMillis()
     val meta = readMeta(spark, outDir)
     val hasGen = meta.columns.contains("gen")
-    val cands = meta.filter(col("__part") >= 0).select("__part").distinct()
+    // tombstoned (empty-file-list) parts have nothing to re-cluster and
+    // would make the rewrite 'wrote no files' — skip them, like compact
+    val cands = meta.filter(col("__part") >= 0 &&
+        col("data_files").isNotNull && size(col("data_files")) > 0)
+      .select("__part").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (cands.isEmpty) return Nil
     requireFileTracked(meta, cands, "rewriteSorted")
@@ -1315,8 +1319,18 @@ object EncodePipeline {
                  catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
     val dec = decode(readData(spark, outDir), sourceSchema,
       if (dicts.isEmpty) None else Some(dicts), keepPart = true)
-    val encOut = encode(dec, key, math.max(1, cands.length), blockSize,
+    val enc0 = encode(dec, key, math.max(1, cands.length), blockSize,
       partExpr = Some(col("__part")), sortCols = sortCols)
+    // inherit the table's Bloom-filter convention (appendCommit's rule):
+    // clustering exists to IMPROVE block skipping — silently dropping the
+    // bm_ columns would trade range pruning for point-lookup pruning
+    val inheritedBloom: Seq[String] = try {
+      spark.read.parquet(s"$outDir/data").columns.toSeq.collect {
+        case c if c.startsWith("bm_") => c.stripPrefix("bm_")
+      }
+    } catch { case _: Exception => Nil }
+    val encOut = inheritedBloom.filter(c => enc0.columns.contains(s"e_$c"))
+      .foldLeft(enc0)((d, c) => d.withColumn(s"bm_$c", blob_bloom(col(s"e_$c"))))
     landAndDescribe(spark, outDir, sourceSchema, encOut, cands, t0)
       .withColumn("gen", lit(nextGen))
       .repartition(1).write.mode("append").parquet(s"$outDir/meta")
@@ -1339,14 +1353,39 @@ object EncodePipeline {
         f.dataType == TimestampType)))
     require(badType.isEmpty,
       s"rewriteZOrdered needs bigint/int/timestamp columns, bad: ${badType.mkString(", ")}")
-    def asLong(c: String): Column = col(c).cast(LongType)
-    val aggs = zCols.flatMap(c => Seq(min(asLong(c)), max(asLong(c))))
-    val bounds = decodeShared(spark, outDir, sourceSchema)
-      .agg(aggs.head, aggs.tail: _*).head()
-    val los = zCols.indices.map(i =>
-      if (bounds.isNullAt(2 * i)) 0L else bounds.getLong(2 * i))
-    val his = zCols.indices.map(i =>
-      if (bounds.isNullAt(2 * i + 1)) 0L else bounds.getLong(2 * i + 1))
+    // timestamps canonicalize to micros in the pipeline — the sort key and
+    // the manifest stats must agree on that unit
+    def asLong(c: String): Column =
+      if (sourceSchema.fields.exists(f => f.name == c && f.dataType == TimestampType))
+        unix_micros(col(c))
+      else col(c).cast(LongType)
+    // bounds only need to be SUPERSETS of the attained values (clamping is
+    // edge-saturation, never wrong order) — take them from the manifest's
+    // exact attained stats without opening a data file, the tableStats
+    // pattern; fall back to one aggregate scan for pre-stats-era rows
+    val meta0 = readMeta(spark, outDir).filter(col("__part") >= 0)
+    val manifestBounds: Option[(Seq[Long], Seq[Long])] =
+      if (!meta0.columns.contains("value_min")) None
+      else {
+        val rows = meta0.filter(col("column").isin(zCols: _*) && col("rows") > 0)
+          .groupBy(col("column")).agg(
+            min(col("value_min")).as("lo"), max(col("value_max")).as("hi"),
+            sum(when(col("value_min").isNull &&
+              coalesce(col("null_value_count"), lit(0)) < col("rows"), 1)
+              .otherwise(0)).as("statless"))
+          .collect().map(r => r.getString(0) -> r).toMap
+        val ok = zCols.forall(c => rows.get(c).exists(r =>
+          r.getLong(3) == 0L && !r.isNullAt(1) && !r.isNullAt(2)))
+        if (!ok) None
+        else Some((zCols.map(c => rows(c).getLong(1)), zCols.map(c => rows(c).getLong(2))))
+      }
+    val (los, his) = manifestBounds.getOrElse {
+      val aggs = zCols.flatMap(c => Seq(min(asLong(c)), max(asLong(c))))
+      val bounds = decodeShared(spark, outDir, sourceSchema)
+        .agg(aggs.head, aggs.tail: _*).head()
+      (zCols.indices.map(i => if (bounds.isNullAt(2 * i)) 0L else bounds.getLong(2 * i)),
+       zCols.indices.map(i => if (bounds.isNullAt(2 * i + 1)) 0L else bounds.getLong(2 * i + 1)))
+    }
     rewriteSorted(spark, outDir, sourceSchema, key,
       Seq(graft.functions.zorder_key(zCols.map(asLong), los, his)), blockSize)
   }
@@ -1664,20 +1703,22 @@ object EncodePipeline {
     * append-only, so a new commit changes the listing and invalidates —
     * one cheap listStatus replaces a parquet read on every loadDeletes. */
   private val txnCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, (Map[String, Int], Seq[(Int, Int)]))]()
+    String, (String, (Map[String, Int], Seq[(Int, Int)], Seq[Int]))]()
 
   /** manifest FACTS read raw (generation supersede does not apply to them),
-    * cached per manifest listing signature: committed-txn → gen map, and
-    * rollback markers as (marker gen N, rollback target T). */
-  private def manifestFacts(spark: SparkSession,
-                            outDir: String): (Map[String, Int], Seq[(Int, Int)]) = {
+    * cached per manifest listing signature: committed-txn → gen map,
+    * rollback markers as (marker gen N, rollback target T), and the
+    * generations at which [[materializeDeletes]] folded/expired vector
+    * history (fold markers). */
+  private def manifestFacts(spark: SparkSession, outDir: String)
+      : (Map[String, Int], Seq[(Int, Int)], Seq[Int]) = {
     val p = new org.apache.hadoop.fs.Path(s"$outDir/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // no manifest at all = a table that has never committed = no committed
     // txns — the ONLY case that legitimately answers empty. Any other
     // failure must PROPAGATE: swallowing a transient manifest-read error
     // into Map.empty would silently resurrect every txn-tagged deleted row.
-    if (!fs.exists(p)) return (Map.empty, Nil)
+    if (!fs.exists(p)) return (Map.empty, Nil, Nil)
     val sig = fs.listStatus(p).filter(_.isFile)
       .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .sorted.mkString("|")
@@ -1695,7 +1736,12 @@ object EncodePipeline {
       else meta.filter(col("rollback_to").isNotNull)
         .select(coalesce(col("gen"), lit(0)), col("rollback_to"))
         .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq.sortBy(_._1)
-    val facts = (txns, markers)
+    val folds: Seq[Int] =
+      if (!meta.columns.contains("dv_folded")) Nil
+      else meta.filter(col("dv_folded") === true)
+        .select(coalesce(col("gen"), lit(0)))
+        .collect().map(_.getInt(0)).toSeq.sorted
+    val facts = (txns, markers, folds)
     txnCache.put(outDir, (sig, facts))
     facts
   }
@@ -1814,7 +1860,23 @@ object EncodePipeline {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dv = liveDeletes(spark, outDir)
     if (dv.isEmpty) {
-      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/deletes"), true)
+      // nothing live to fold, but the dir may hold INERT committed vectors
+      // whose target files a future rollback would make current again —
+      // record the expiry so that rollback refuses instead of resurrecting
+      val delPath = new org.apache.hadoop.fs.Path(s"$outDir/deletes")
+      val hadVectors = fs.exists(delPath) && fs.listStatus(delPath).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet") &&
+          !s.getPath.getName.startsWith("."))
+      if (hadVectors) {
+        val meta0 = readMeta(spark, outDir)
+        val ng = 1 + (if (meta0.columns.contains("gen"))
+          meta0.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+        genMarker(spark, ng)
+          .withColumn("column", lit("__fold_marker"))
+          .withColumn("dv_folded", lit(true))
+          .coalesce(1).write.mode("append").parquet(s"$outDir/meta")
+      }
+      fs.delete(delPath, true)
       return 0L
     }
     val nFolded = dv.valuesIterator
@@ -1849,13 +1911,21 @@ object EncodePipeline {
     }
     val tombstones = tombstoneRows(meta, fullParts, nextGen, t0)
     survivors.unpersist()
+    // fold marker: records that vector history at-or-below this generation
+    // was expired here — [[rollbackTo]] reads it to refuse rolling back
+    // INTO the folded range (the vectors a faithful restore would need are
+    // gone), while targets at or above this generation stay rollbackable.
+    val foldMarker = genMarker(spark, nextGen)
+      .withColumn("column", lit("__fold_marker"))
+      .withColumn("dv_folded", lit(true))
     val manifest = (newRows, tombstones) match {
       case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
       case (Some(a), None)    => a
       case (None, Some(b))    => b
       case _                  => return 0L
     }
-    manifest.repartition(1).write.mode("append").parquet(s"$outDir/meta")
+    manifest.unionByName(foldMarker, allowMissingColumns = true)
+      .repartition(1).write.mode("append").parquet(s"$outDir/meta")
     fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/deletes"), true)
     nFolded
   }
@@ -1998,16 +2068,47 @@ object EncodePipeline {
     val t0 = System.currentTimeMillis()
     val target = readMetaAt(spark, outDir, Some(gen)).filter(col("__part") >= 0)
     // every data file current at `gen` must still exist — vacuum expires
-    // history, and a rollback onto missing files would commit a lie
+    // history, and a rollback onto missing files would commit a lie. One
+    // listStatus per part directory (vacuum's pattern), not one exists()
+    // RPC per file.
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val needed = target.filter(col("data_files").isNotNull)
       .select(explode(col("data_files")).as("f")).distinct()
       .collect().map(r => fileSuffix(r.getString(0)))
-    val missing = needed.filterNot(sfx =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/data/$sfx")))
+    val onDisk: Set[String] = needed.map(_.takeWhile(_ != '/')).distinct.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/data/$d")
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).filter(_.isFile).map(s => s"$d/${s.getPath.getName}")
+    }.toSet
+    val missing = needed.filterNot(onDisk)
     require(missing.isEmpty, s"rollbackTo($gen): ${missing.length} data files " +
       s"of that generation were vacuumed (first: ${missing.headOption.getOrElse("")})")
+    // ...and so must the merge-on-read vector history a faithful restore of
+    // `gen` applies: a committed delete txn at g ≤ gen whose vector rows
+    // are gone (materializeDeletes fold, vacuum of rollback-abandoned
+    // files) cannot be re-applied — refuse loudly instead of silently
+    // resurrecting its rows. Exceptions: txns a fold at f ∈ (g, gen] baked
+    // into the files current at `gen`, and txns a rollback marker visible
+    // at `gen` abandons anyway (their absence cannot change the result).
+    val (txns, rbM, folds) = manifestFacts(spark, outDir)
+    if (txns.nonEmpty) {
+      val delPath = new org.apache.hadoop.fs.Path(s"$outDir/deletes")
+      val present: Set[String] =
+        if (!fs.exists(delPath) || !fs.listStatus(delPath).exists(s => s.isFile &&
+            s.getPath.getName.endsWith(".parquet") && !s.getPath.getName.startsWith(".")))
+          Set.empty
+        else spark.read.option("mergeSchema", "true").parquet(s"$outDir/deletes")
+          .select("txn").filter(col("txn").isNotNull).distinct()
+          .collect().map(_.getString(0)).toSet
+      val lost = txns.collect { case (t, g)
+        if g <= gen && !present.contains(t) &&
+          !rbM.exists { case (n, tt) => n <= gen && g > tt && g < n } &&
+          !folds.exists(f => f > g && f <= gen) => t }
+      require(lost.isEmpty, s"rollbackTo($gen): the delete-vector history of " +
+        s"${lost.size} snapshot(s) at or below that generation was expired " +
+        "(materializeDeletes/vacuum) — a faithful restore is impossible")
+    }
     val nextGen = maxG + 1
     // parts that exist now but not at `gen` empty out at the new generation
     val born = readMeta(spark, outDir).filter(col("__part") >= 0)

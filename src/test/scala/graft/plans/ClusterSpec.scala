@@ -89,6 +89,32 @@ class ClusterSpec extends SparkTestBase {
     assert(probeBlocks()._1 === expectN)
   }
 
+  test("rewriteSorted keeps Bloom filters and skips tombstoned/empty tables") {
+    import spark.implicits._
+    val n = 1024
+    val d = spark.range(n).select(col("id"),
+      pmod(col("id") * 2654435761L, lit(1000003L)).as("sid")).toDF()
+    val out = tmpDir() + "/t"
+    EncodePipeline.run(d, "id", out, partitions = 4, blockSize = 64,
+      bloomCols = Seq("sid"))
+    assert(spark.read.parquet(s"$out/data").columns.contains("bm_sid"))
+    assert(EncodePipeline.rewriteSorted(spark, out, d.schema, "id",
+      Seq(col("sid")), blockSize = 64).nonEmpty)
+    // the clustering rewrite INHERITS the bloom convention (appendCommit's
+    // rule) — every current file carries a non-null rebuilt filter
+    val cur = EncodePipeline.readData(spark, out)
+    assert(cur.columns.contains("bm_sid"))
+    assert(cur.filter(col("bm_sid").isNull).count() === 0L)
+    assert(EncodePipeline.decodeShared(spark, out, d.schema).count() === n.toLong)
+    // a fully-tombstoned table re-clusters to a no-op, not a crash
+    val out2 = tmpDir() + "/t2"
+    EncodePipeline.run(d, "id", out2, partitions = 4, blockSize = 64)
+    assert(EncodePipeline.deleteWhere(spark, out2, d.schema, "id",
+      lit(true), blockSize = 64) === n.toLong)
+    assert(EncodePipeline.rewriteSorted(spark, out2, d.schema, "id",
+      Seq(col("sid")), blockSize = 64) === Nil)
+  }
+
   test("z-order rewrite: BOTH interleaved columns prune; webdoc content survives") {
     // top-quarter probes cut the z-space at prefix depth 2, so the second
     // dimension fragments into only 2^2 curve intervals per part — blocks

@@ -116,6 +116,25 @@ class SnapshotSpec extends SparkTestBase {
     }
   }
 
+  test("rollbackTo refuses targets whose vector history was expired by a fold") {
+    val docs = WebDocGen.dataset(spark, 300, 4).toDF()
+    val out = tmpDir()
+    EncodePipeline.run(docs, "url", out, partitions = 4, blockSize = 64) // gen 0
+    val pred = length(col("text")) % 3 === 1
+    assert(EncodePipeline.deleteWhereLazy(spark, out, docs.schema, pred) > 0) // gen 1
+    // the fold expires gen-1's vector history (and records it)
+    assert(EncodePipeline.materializeDeletes(spark, out, docs.schema, "url",
+      blockSize = 64) > 0) // gen 2 + fold marker
+    // a faithful restore of gen 1 would need the folded vectors — refuse
+    intercept[IllegalArgumentException] {
+      EncodePipeline.rollbackTo(spark, out, 1)
+    }
+    // gen 0 needs no vectors and its files still exist — allowed
+    EncodePipeline.rollbackTo(spark, out, 0)
+    assert(sortedRows(EncodePipeline.decodeShared(spark, out, docs.schema)) ===
+      sortedRows(docs))
+  }
+
   test("readChangesBetween: append + MOR window takes the file-delta fast path") {
     val all = WebDocGen.dataset(spark, 500, 4).toDF()
     val base = all.filter(pmod(xxhash64(col("url")), lit(2)) === 0)
