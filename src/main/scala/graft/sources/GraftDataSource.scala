@@ -126,17 +126,62 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     }
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    EncodePipeline.readSchemaFile(SparkSession.active, pathOf(options)).getOrElse(
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = EncodePipeline.readSchemaFile(SparkSession.active, pathOf(options)).getOrElse(
       throw new IllegalArgumentException(
         s"graft table ${pathOf(options)} has no schema.json (written before schema " +
         "persistence existed?) — pass an explicit .schema(...)"))
+    // change-data-capture read: the table's net row-level changes between
+    // two generations, with a _change_type discriminator appended
+    if (options.containsKey("changesFrom"))
+      base.add(StructField("_change_type", StringType, nullable = false))
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftTable(pathOf(opts), schema)
+    if (opts.containsKey("changesFrom"))
+      new GraftChangesTable(pathOf(opts), schema,
+        opts.get("changesFrom").toInt,
+        Option(opts.get("changesTo")).map(_.toInt).getOrElse(Int.MaxValue))
+    else new GraftTable(pathOf(opts), schema)
   }
+}
+
+/** `spark.read.format("graft").option("changesFrom", g)[.option("changesTo",
+  * h)]` — net row-level change capture between two snapshots as a readable
+  * table: the source rows plus `_change_type` ("insert" / "delete"; an
+  * update is its delete + insert pair). Backed by
+  * [[EncodePipeline.readChangesBetween]], so append/merge-on-read windows
+  * read only the delta files and vector-diff blocks; rewrite windows fall
+  * back to a snapshot diff. Served through the V1Scan bridge (a CDC feed is
+  * a change stream, not a pushdown target — filters/limits apply above). */
+class GraftChangesTable(outDir: String, fullSchema: StructType,
+                        fromGen: Int, toGen: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_changes.`$outDir`@[$fromGen,$toGen]"
+  override def schema(): StructType = fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = fullSchema
+        override def toV1TableScan[T <: sources.BaseRelation with sources.TableScan](
+            context: org.apache.spark.sql.SQLContext): T =
+          (new sources.BaseRelation with sources.TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext = context
+            override def schema: StructType = fullSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val spark = context.sparkSession
+              val src = StructType(fullSchema.filterNot(_.name == "_change_type"))
+              EncodePipeline.readChangesBetween(spark, outDir, src, fromGen, toGen)
+                .select(fullSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+                .rdd
+            }
+          }).asInstanceOf[T]
+      }
+    }
 }
 
 class GraftTable(outDir: String, tableSchema: StructType) extends Table

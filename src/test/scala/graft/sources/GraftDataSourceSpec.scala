@@ -255,6 +255,30 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(spark.read.format("graft").load(out).count() === 100L)
   }
 
+  test("changesFrom option: CDC reads through the connector") {
+    val all = docs(600)
+    val base = all.filter(pmod(xxhash64(col("url")), lit(2)) === 0)
+    val added = all.filter(pmod(xxhash64(col("url")), lit(2)) === 1)
+    val out = tmpDir() + "/cdc"
+    EncodePipeline.run(base, "url", out, partitions = 3, blockSize = 64) // gen 0
+    assert(EncodePipeline.appendCommit(added, "url", out, 3, 64, batchId = 1L)) // gen 1
+    val pred = col("lang") === "fr"
+    assert(EncodePipeline.deleteWhereLazy(spark, out, all.schema, pred) > 0) // gen 2
+    val ch = spark.read.format("graft").option("changesFrom", "0").load(out)
+    assert(ch.columns.last === "_change_type")
+    // SQL filters compose above the CDC feed
+    assert(ch.filter(col("_change_type") === "insert").count() ===
+      added.filter(!pred).count())
+    assert(ch.filter(col("_change_type") === "delete").count() ===
+      base.filter(pred).count())
+    // bounded window: just the delete
+    val ch12 = spark.read.format("graft")
+      .option("changesFrom", "1").option("changesTo", "2").load(out)
+    assert(ch12.filter(col("_change_type") === "insert").count() === 0L)
+    assert(ch12.filter(col("_change_type") === "delete").count() ===
+      all.filter(pred).count())
+  }
+
   test("streaming source: every committed append streams exactly once") {
     val d = docs(400)
     val out = tmpDir() + "/st"
