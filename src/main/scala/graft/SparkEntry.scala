@@ -955,6 +955,27 @@ object SparkEntry {
           .cast("long").as("del_ids"),
         lit(fastOk).as("fast_ok"))
     }),
+    "q_history" -> ((s, dir) => {
+      // snapshot-history metadata surface: a base run, a tracked append,
+      // and an atomic MOR update produce three generations whose kinds and
+      // per-commit row counts snapshots() reports; DuckDB re-derives every
+      // count from the same pmod splits. (Iceberg history/snapshots
+      // metadata-table parity.)
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 4)
+      val out = java.nio.file.Files.createTempDirectory("graft_hist_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath
+      val base = d.filter(col("doc_id") % 16 === 4)
+      val added = d.filter(col("doc_id") % 16 === 12)
+      EncodePipeline.run(base, "doc_id", path, partitions = 8, blockSize = 1024)
+      EncodePipeline.appendCommit(added, "doc_id", path, partitions = 8,
+        blockSize = 1024, batchId = 3L)
+      EncodePipeline.updateWhereLazy(s, path, d.schema, "doc_id",
+        col("doc_id") % 5 === 1, Map("lang" -> lit("hh")),
+        partitions = 8, blockSize = 1024)
+      EncodePipeline.snapshots(s, path)
+        .select(col("gen"), col("kind"), col("n_rows"))
+    }),
     "q_update" -> ((s, dir) => {
       // copy-on-write row-level UPDATE end-to-end: encode documents, UPDATE
       // a slice (doc_id%13==0 rows get a NULL pred and must stay UNCHANGED
@@ -1749,6 +1770,15 @@ object SparkEntry {
         "(SELECT CAST(sum(doc_id) AS BIGINT) FROM ins) AS ins_ids, " +
         "(SELECT CAST(sum(doc_id) AS BIGINT) FROM del) AS del_ids, " +
         "TRUE AS fast_ok"),
+    "q_history" ->
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 4) " +
+        "SELECT CAST(0 AS INTEGER) AS gen, 'base' AS kind, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 16 = 4) AS n_rows " +
+        "UNION ALL SELECT CAST(1 AS INTEGER), 'append', " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 16 = 12) " +
+        "UNION ALL SELECT CAST(2 AS INTEGER), 'update', " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 5 = 1) " +
+        "ORDER BY gen"),
     "q_update" ->
       ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
         "u AS (SELECT doc_id, " +

@@ -2286,6 +2286,65 @@ object EncodePipeline {
     else m.agg(max(coalesce(col("batch_id"), lit(-1L)))).head().getLong(0) + 1L
   }
 
+  /** the table's commit history, one row per generation — the Iceberg
+    * `history`/`snapshots` metadata-table surface, derived entirely from
+    * the raw manifest: `(gen, kind, n_parts, n_files, n_rows, batch_id)`.
+    * `kind` classifies the commit: `base` (the gen-0 bulk run), `append`
+    * (additive batch), `update` (atomic MOR snapshot: additive inserts +
+    * delete marker in one append), `delete` (MOR vector snapshot),
+    * `rewrite` (compaction / COW DML / clustering / restore — any
+    * replacing commit), `fold` (materializeDeletes), `rollback`. n_rows
+    * sums the generation's own data rows (what the commit LISTED, not the
+    * table total); n_files its data-file count; batch_id the tracked-batch
+    * id when the commit was one. Works on any table era (legacy columns
+    * read as absent). */
+  def snapshots(spark: SparkSession, outDir: String): DataFrame = {
+    val m = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    def has(c: String) = m.columns.contains(c)
+    val g = if (has("gen")) coalesce(col("gen"), lit(0)) else lit(0)
+    val addC = if (has("additive")) coalesce(col("additive"), lit(false)) else lit(false)
+    val rbC = if (has("rollback_to")) col("rollback_to").isNotNull else lit(false)
+    val foldC = if (has("dv_folded")) coalesce(col("dv_folded"), lit(false)) else lit(false)
+    val dvC = if (has("txn")) col("txn").isNotNull && !rbC && !foldC else lit(false)
+    val bidC = if (has("batch_id")) col("batch_id") else lit(null).cast("long")
+    val filesC = if (has("data_files")) size(coalesce(col("data_files"),
+      array().cast("array<string>"))) else lit(0)
+    val flags = m.withColumn("__g", g)
+      .groupBy(col("__g"))
+      .agg(
+        max(rbC.cast("int")).as("rb"),
+        max(foldC.cast("int")).as("fold"),
+        max(dvC.cast("int")).as("dv"),
+        max(addC.cast("int")).as("add"),
+        max(bidC).as("batch_id"))
+    // sizes come from ONE representative column per generation — every
+    // column of a commit's part carries the same `rows` and file list, so
+    // summing across columns would multiply by the schema width
+    val data = m.withColumn("__g", g).filter(col("__part") >= 0)
+    val firstCol = data.groupBy(col("__g")).agg(min(col("column")).as("__c0"))
+    val sizes = data.join(broadcast(firstCol), Seq("__g"))
+      .filter(col("column") === col("__c0"))
+      .groupBy(col("__g"))
+      .agg(countDistinct(col("__part")).as("n_parts"),
+        sum(filesC).cast("long").as("n_files"),
+        sum(col("rows")).cast("long").as("n_rows"))
+    flags.join(sizes, Seq("__g"), "left")
+      .withColumn("kind",
+        when(col("rb") === 1, lit("rollback"))
+          .when(col("fold") === 1, lit("fold"))
+          .when(col("dv") === 1 && col("add") === 1, lit("update"))
+          .when(col("dv") === 1, lit("delete"))
+          .when(col("add") === 1, lit("append"))
+          .when(col("__g") === 0, lit("base"))
+          .otherwise(lit("rewrite")))
+      .select(col("__g").as("gen"), col("kind"),
+        coalesce(col("n_parts"), lit(0L)).as("n_parts"),
+        coalesce(col("n_files"), lit(0L)).as("n_files"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("batch_id"))
+      .orderBy(col("gen"))
+  }
+
   /** persist the decoded (source) schema at the table root so
     * `format("graft")` reads are self-describing. Idempotent; the LAST
     * writer's schema wins (by-name decode handles both directions of

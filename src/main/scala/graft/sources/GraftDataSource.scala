@@ -127,6 +127,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // metadata tables describe the table, not its rows — their schemas are
+    // their own (Iceberg's db.t.history / .files / .manifests surface)
+    val metaOpt = Option(options.get("meta"))
+    if (metaOpt.isDefined) return GraftMetaTable.schemaOf(metaOpt.get, pathOf(options))
     val base = EncodePipeline.readSchemaFile(SparkSession.active, pathOf(options)).getOrElse(
       throw new IllegalArgumentException(
         s"graft table ${pathOf(options)} has no schema.json (written before schema " +
@@ -141,12 +145,74 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    if (opts.containsKey("changesFrom"))
+    if (opts.containsKey("meta"))
+      new GraftMetaTable(pathOf(opts), opts.get("meta"), schema)
+    else if (opts.containsKey("changesFrom"))
       new GraftChangesTable(pathOf(opts), schema,
         opts.get("changesFrom").toInt,
         Option(opts.get("changesTo")).map(_.toInt).getOrElse(Int.MaxValue))
     else new GraftTable(pathOf(opts), schema)
   }
+}
+
+/** `spark.read.format("graft").option("meta", which)` — the table's own
+  * metadata as readable tables (Iceberg's metadata-table surface):
+  * `snapshots` = one row per generation with its commit kind and sizes
+  * ([[EncodePipeline.snapshots]]), `files` = the generation-current data
+  * files per part, `manifest` = the raw manifest rows (every era column,
+  * supersede NOT applied — the audit view). V1Scan-bridged like the CDC
+  * feed: metadata is small, filters apply above. */
+object GraftMetaTable {
+  private[sources] def schemaOf(which: String, outDir: String): StructType = which match {
+    case "snapshots" => StructType(Seq(
+      StructField("gen", IntegerType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("n_parts", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("batch_id", LongType, nullable = true)))
+    case "files" => StructType(Seq(
+      StructField("part", IntegerType, nullable = false),
+      StructField("file", StringType, nullable = false)))
+    case "manifest" =>
+      SparkSession.active.read.option("mergeSchema", "true").parquet(s"$outDir/meta").schema
+    case other => throw new IllegalArgumentException(
+      s"""unknown metadata table "$other" — one of snapshots, files, manifest""")
+  }
+}
+
+class GraftMetaTable(outDir: String, which: String, metaSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft.`$outDir`.$which"
+  override def schema(): StructType = metaSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = metaSchema
+        override def toV1TableScan[T <: sources.BaseRelation with sources.TableScan](
+            context: org.apache.spark.sql.SQLContext): T =
+          (new sources.BaseRelation with sources.TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext = context
+            override def schema: StructType = metaSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val spark = context.sparkSession
+              val df = which match {
+                case "snapshots" => EncodePipeline.snapshots(spark, outDir)
+                case "files" =>
+                  val fs = EncodePipeline.currentFiles(spark, outDir)
+                  import spark.implicits._
+                  fs.toDF("part", "file")
+                case "manifest" =>
+                  spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+              }
+              df.select(metaSchema.fieldNames
+                .map(org.apache.spark.sql.functions.col).toSeq: _*).rdd
+            }
+          }).asInstanceOf[T]
+      }
+    }
 }
 
 /** `spark.read.format("graft").option("changesFrom", g)[.option("changesTo",

@@ -279,6 +279,46 @@ class GraftDataSourceSpec extends SparkTestBase {
       all.filter(pred).count())
   }
 
+  test("meta option: snapshots/files/manifest metadata tables") {
+    val all = docs(500)
+    val base = all.filter(pmod(xxhash64(col("url")), lit(2)) === 0)
+    val added = all.filter(pmod(xxhash64(col("url")), lit(2)) === 1)
+    val out = tmpDir() + "/meta"
+    EncodePipeline.run(base, "url", out, partitions = 3, blockSize = 64)   // gen 0 base
+    assert(EncodePipeline.appendCommit(added, "url", out, 3, 64, batchId = 7L)) // gen 1 append
+    assert(EncodePipeline.updateWhereLazy(spark, out, all.schema, "url",
+      col("lang") === "de", Map("lang" -> lit("zz")), partitions = 3,
+      blockSize = 64) > 0)                                                 // gen 2 update
+    assert(EncodePipeline.materializeDeletes(spark, out, all.schema, "url",
+      blockSize = 64) > 0)                                                 // gen 3 fold
+    EncodePipeline.rollbackTo(spark, out, 3)                               // no-op (current)
+    val snapRows = spark.read.format("graft").option("meta", "snapshots").load(out)
+      .collect()
+    val snaps = snapRows.map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(snaps === Map(0 -> "base", 1 -> "append", 2 -> "update", 3 -> "fold"))
+    // n_rows counts each commit's rows ONCE, not once per column
+    val nRows = snapRows.map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(nRows(0) === base.count())
+    assert(nRows(1) === added.count())
+    // batch ids travel: the append's row carries 7
+    val bid = spark.read.format("graft").option("meta", "snapshots").load(out)
+      .filter(col("gen") === 1).select("batch_id").head().getLong(0)
+    assert(bid === 7L)
+    // files = the generation-current set; every listed file exists on disk
+    val files = spark.read.format("graft").option("meta", "files").load(out).collect()
+    assert(files.nonEmpty)
+    files.foreach(r => assert(new java.io.File(
+      new java.net.URI(r.getString(1)).getPath).exists(), r.getString(1)))
+    // manifest = the raw audit view, supersede NOT applied
+    val manifest = spark.read.format("graft").option("meta", "manifest").load(out)
+    assert(manifest.filter(col("column") === "__fold_marker").count() === 1L)
+    assert(manifest.count() > files.length.toLong)
+    // unknown metadata table fails loudly
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("meta", "nope").load(out).collect()
+    }
+  }
+
   test("streaming source: every committed append streams exactly once") {
     val d = docs(400)
     val out = tmpDir() + "/st"
