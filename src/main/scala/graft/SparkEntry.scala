@@ -976,6 +976,39 @@ object SparkEntry {
       EncodePipeline.snapshots(s, path)
         .select(col("gen"), col("kind"), col("n_rows"))
     }),
+    "q_overwrite" -> ((s, dir) => {
+      // INSERT OVERWRITE as a snapshot (replaceCommit): base table (gen 0),
+      // overwrite with a disjoint transformed slice (gen 1 — REPLACING, zero
+      // old bytes touched). Current reads see only the new contents, time
+      // travel below the overwrite sees the base, and rollbackTo(0) restores
+      // it metadata-only; kind_ok pins the snapshots() classification. The
+      // oracle recomputes every aggregate from the raw parquet.
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 7)
+      val out = java.nio.file.Files.createTempDirectory("graft_ow_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath
+      val base = d.filter(col("doc_id") % 3 =!= 0)
+      val neu = d.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      EncodePipeline.run(base, "doc_id", path, partitions = 8, blockSize = 1024)
+      EncodePipeline.replaceCommit(neu, "doc_id", path, partitions = 8,
+        blockSize = 1024) // gen 1
+      val cur = EncodePipeline.decodeShared(s, path, d.schema)
+        .agg(count(lit(1)).cast("long"), sum(col("n_chars")).cast("long")).head()
+      val old = EncodePipeline.decodeSharedAt(s, path, d.schema, 0)
+        .agg(count(lit(1)).cast("long"), sum(col("n_chars")).cast("long")).head()
+      val kindOk = EncodePipeline.snapshots(s, path)
+        .filter(col("gen") === 1).head().getString(1) == "overwrite"
+      EncodePipeline.rollbackTo(s, path, 0)
+      EncodePipeline.decodeShared(s, path, d.schema).agg(
+        count(lit(1)).cast("long").as("n_rb"),
+        sum(col("n_chars")).cast("long").as("chars_rb"),
+        lit(cur.getLong(0)).cast("long").as("n_cur"),
+        lit(cur.getLong(1)).cast("long").as("chars_cur"),
+        lit(old.getLong(0)).cast("long").as("n_old"),
+        lit(old.getLong(1)).cast("long").as("chars_old"),
+        lit(kindOk).as("kind_ok"))
+    }),
     "q_update" -> ((s, dir) => {
       // copy-on-write row-level UPDATE end-to-end: encode documents, UPDATE
       // a slice (doc_id%13==0 rows get a NULL pred and must stay UNCHANGED
@@ -1779,6 +1812,17 @@ object SparkEntry {
         "UNION ALL SELECT CAST(2 AS INTEGER), 'update', " +
         "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 5 = 1) " +
         "ORDER BY gen"),
+    "q_overwrite" ->
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 7), " +
+        "b AS (SELECT * FROM s WHERE doc_id % 3 <> 0), " +
+        "n AS (SELECT n_chars + 1000 AS n_chars FROM s WHERE doc_id % 3 = 0) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_rb, " +
+        "(SELECT CAST(sum(n_chars) AS BIGINT) FROM b) AS chars_rb, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM n) AS n_cur, " +
+        "(SELECT CAST(sum(n_chars) AS BIGINT) FROM n) AS chars_cur, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM b) AS n_old, " +
+        "(SELECT CAST(sum(n_chars) AS BIGINT) FROM b) AS chars_old, " +
+        "TRUE AS kind_ok"),
     "q_update" ->
       ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
         "u AS (SELECT doc_id, " +

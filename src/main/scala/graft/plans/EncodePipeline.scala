@@ -919,6 +919,89 @@ object EncodePipeline {
     }
   }
 
+  /** OVERWRITE as a snapshot (Iceberg INSERT OVERWRITE parity): replace the
+    * table's entire visible contents with `df` WITHOUT touching the existing
+    * bytes. New data files land beside the old ones under `data/`, then ONE
+    * single-file manifest append commits them as a REPLACING generation
+    * (additive = false) plus tombstones for parts that received no new rows
+    * — so everything older becomes invisible-but-present: `readDataAt` /
+    * `decodeSharedAt` below the overwrite still read the old table,
+    * [[rollbackTo]] a pre-overwrite generation restores it metadata-only,
+    * and [[vacuum]] reclaims the superseded files only when history is
+    * expired deliberately. Crash before the manifest append leaves the
+    * table unchanged (the new files are invisible orphans).
+    *
+    * Live merge-on-read delete vectors need no abandonment: they key on
+    * data files the new generation no longer lists, so they are inert for
+    * current reads and still apply to time travel below. An EMPTY `df`
+    * degrades to TRUNCATE-as-snapshot (every part tombstones; the schema
+    * stays readable). The input schema may differ from the previous era —
+    * schema.json is re-stamped and old generations read through the by-name
+    * null-fill evolution path. If `key` differs from the persisted placement
+    * law the law is re-stamped too: the table is new content, only its
+    * history is shared. Requires file-tracked metadata (tables that predate
+    * `data_files` fall back to the legacy delete+re-run overwrite at the
+    * connector layer). Returns the new current generation. */
+  def replaceCommit(df: DataFrame, key: String, outDir: String, partitions: Int,
+                    blockSize: Int = 4096, bloomCols: Seq[String] = Nil): Int = {
+    val spark = df.sparkSession
+    val t0 = System.currentTimeMillis()
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    require(raw.columns.contains("data_files"),
+      s"replaceCommit($outDir): this table predates file-tracked metadata " +
+        "(no data_files column) — overwrite it with the legacy delete+run path")
+    val maxG = if (raw.columns.contains("gen"))
+      raw.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0
+    val nextGen = maxG + 1
+    val partsBefore = readMeta(spark, outDir).filter(col("__part") >= 0)
+      .select("__part").distinct().collect().map(_.getInt(0)).toSeq
+
+    // placement: reuse the persisted law when the key matches (keeps the
+    // co-partitioning invariant); a re-keyed overwrite derives a fresh hash
+    // law and re-stamps it below — every current byte is new content.
+    val spec = readPartSpec(spark, outDir).filter(_.key == key)
+    val newRows: Option[DataFrame] =
+      if (df.isEmpty) None
+      else {
+        val (enc0, p) = spec match {
+          case Some(ps) => (encode(df, key, ps.partitions, blockSize,
+            Some(ps.expr)), ps.partitions)
+          case None => (encode(df, key, partitions, blockSize), partitions)
+        }
+        // bloom convention: explicit request unioned with the table's
+        // existing bm_<col> convention (appendCommit's inheritance rule)
+        val inherited: Seq[String] = try {
+          spark.read.parquet(s"$outDir/data").columns.toSeq.collect {
+            case c if c.startsWith("bm_") => c.stripPrefix("bm_")
+          }
+        } catch { case _: Exception => Nil }
+        val enc = (inherited ++ bloomCols).distinct
+          .filter(c => enc0.columns.contains(s"e_$c"))
+          .foldLeft(enc0)((d, c) => d.withColumn(s"bm_$c", blob_bloom(col(s"e_$c"))))
+        Some(landAndDescribe(spark, outDir, df.schema, enc, 0 until p, t0)
+          .withColumn("gen", lit(nextGen))
+          .withColumn("additive", lit(false))
+          .withColumn("overwrite", lit(true)))
+      }
+    val newParts: Set[Int] = newRows.map(_.select("__part").distinct()
+      .collect().map(_.getInt(0)).toSet).getOrElse(Set.empty)
+    val tombs = tombstoneRows(readMeta(spark, outDir),
+        partsBefore.filterNot(newParts), nextGen, t0)
+      .map(_.withColumn("overwrite", lit(true)))
+    // overwrite of an already-empty table by an empty df: still advance the
+    // generation (the user asked for a snapshot) via a zero-file marker
+    val marker = if (newRows.isEmpty && tombs.isEmpty)
+      Some(genMarker(spark, nextGen).withColumn("overwrite", lit(true)))
+    else None
+    Seq(newRows, tombs, marker).flatten
+      .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .repartition(1).write.mode("append").parquet(s"$outDir/meta")
+    writeSchemaFile(spark, outDir, df.schema)
+    if (spec.isEmpty && newRows.nonEmpty)
+      writePartSpec(spark, outDir, PartSpec("hash", key, partitions, salts = 4))
+    nextGen
+  }
+
   // ---------------- compaction (manifest generations) ----------------
 
   /** re-block fragmented committed parts into full blocks and SUPERSEDE
@@ -2292,6 +2375,7 @@ object EncodePipeline {
     * `kind` classifies the commit: `base` (the gen-0 bulk run), `append`
     * (additive batch), `update` (atomic MOR snapshot: additive inserts +
     * delete marker in one append), `delete` (MOR vector snapshot),
+    * `overwrite` ([[replaceCommit]] — INSERT OVERWRITE as a snapshot),
     * `rewrite` (compaction / COW DML / clustering / restore — any
     * replacing commit), `fold` (materializeDeletes), `rollback`. n_rows
     * sums the generation's own data rows (what the commit LISTED, not the
@@ -2306,6 +2390,7 @@ object EncodePipeline {
     val rbC = if (has("rollback_to")) col("rollback_to").isNotNull else lit(false)
     val foldC = if (has("dv_folded")) coalesce(col("dv_folded"), lit(false)) else lit(false)
     val dvC = if (has("txn")) col("txn").isNotNull && !rbC && !foldC else lit(false)
+    val owC = if (has("overwrite")) coalesce(col("overwrite"), lit(false)) else lit(false)
     val bidC = if (has("batch_id")) col("batch_id") else lit(null).cast("long")
     val filesC = if (has("data_files")) size(coalesce(col("data_files"),
       array().cast("array<string>"))) else lit(0)
@@ -2316,6 +2401,7 @@ object EncodePipeline {
         max(foldC.cast("int")).as("fold"),
         max(dvC.cast("int")).as("dv"),
         max(addC.cast("int")).as("add"),
+        max(owC.cast("int")).as("ow"),
         max(bidC).as("batch_id"))
     // sizes come from ONE representative column per generation — every
     // column of a commit's part carries the same `rows` and file list, so
@@ -2334,6 +2420,7 @@ object EncodePipeline {
           .when(col("fold") === 1, lit("fold"))
           .when(col("dv") === 1 && col("add") === 1, lit("update"))
           .when(col("dv") === 1, lit("delete"))
+          .when(col("ow") === 1, lit("overwrite"))
           .when(col("add") === 1, lit("append"))
           .when(col("__g") === 0, lit("base"))
           .otherwise(lit("rewrite")))

@@ -60,6 +60,16 @@ import graft.plans.EncodePipeline
   * files are ordinary parquet of block rows); each input partition is one
   * data file — the natural split grain, since blocks are self-contained.
   */
+object GraftDataSource {
+  /** whether the table's manifest is file-tracked (carries `data_files`) —
+    * the prerequisite for snapshot-preserving overwrite; pre-tracking
+    * tables overwrite by physical replace */
+  private[sources] def fileTracked(spark: SparkSession, outDir: String): Boolean =
+    try spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+      .columns.contains("data_files")
+    catch { case _: Exception => false }
+}
+
 class GraftDataSource extends TableProvider with DataSourceRegister
     with sources.CreatableRelationProvider {
   override def shortName(): String = "graft"
@@ -79,7 +89,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     * `sharedDictCols` (comma-separated). SaveMode semantics are the file-
     * source ones: Append lands an exactly-once tracked commit (batchId =
     * max committed + 1, or the `batchId` option for replay-keyed callers);
-    * Overwrite replaces the table directory; ErrorIfExists/Ignore check the
+    * Overwrite commits a REPLACING snapshot on file-tracked tables (old
+    * generations stay time-travelable until vacuum; see
+    * [[EncodePipeline.replaceCommit]]) and physically replaces the
+    * directory only on pre-tracking tables; ErrorIfExists/Ignore check the
     * manifest. */
   override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
                               mode: org.apache.spark.sql.SaveMode,
@@ -111,7 +124,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         val batchId = parameters.get("batchId").map(_.toLong)
           .getOrElse(EncodePipeline.nextBatchId(spark, outDir))
         EncodePipeline.appendCommit(data, key, outDir, partitions, blockSize, batchId)
+      case Overwrite if exists && GraftDataSource.fileTracked(spark, outDir) =>
+        // overwrite as a SNAPSHOT (Iceberg INSERT OVERWRITE parity): the
+        // old generations stay readable via option("gen") / rollbackTo;
+        // vacuum reclaims them when history is expired deliberately
+        EncodePipeline.replaceCommit(data, key, outDir, partitions, blockSize,
+          bloomCols = bloomCols)
       case Overwrite =>
+        // pre-file-tracking table (or half-created dir): the legacy
+        // physical replace — no history survives
         fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
         EncodePipeline.run(data, key, outDir, partitions, blockSize,
           sharedDictCols = sharedDictCols, bloomCols = bloomCols)
@@ -277,7 +298,8 @@ class GraftTable(outDir: String, tableSchema: StructType) extends Table
     * (V1Write → InsertableRelation — the driver receives the whole input
     * DataFrame and the encode pipeline keeps its own pinned single-shuffle
     * plan). Append = exactly-once tracked commit at batchId = max
-    * committed + 1; Overwrite = fresh table under the same directory.
+    * committed + 1; Overwrite = a REPLACING snapshot (history stays
+    * time-travelable — [[EncodePipeline.replaceCommit]]).
     * The partitioning key is the first column (the same default as
     * df.write.format("graft")). */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
@@ -298,9 +320,14 @@ class GraftTable(outDir: String, tableSchema: StructType) extends Table
                 val key = tableSchema.fieldNames.head
                 val partitions = spark.sessionState.conf.numShufflePartitions
                 if (overwrite || legacyOverwrite) {
-                  val p = new Path(outDir)
-                  p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-                  EncodePipeline.run(data, key, outDir, partitions)
+                  if (GraftDataSource.fileTracked(spark, outDir))
+                    // INSERT OVERWRITE as a snapshot — history stays readable
+                    EncodePipeline.replaceCommit(data, key, outDir, partitions)
+                  else {
+                    val p = new Path(outDir)
+                    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+                    EncodePipeline.run(data, key, outDir, partitions)
+                  }
                 } else {
                   EncodePipeline.appendCommit(data, key, outDir, partitions,
                     batchId = EncodePipeline.nextBatchId(spark, outDir))

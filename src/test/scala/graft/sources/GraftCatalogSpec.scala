@@ -59,9 +59,14 @@ class GraftCatalogSpec extends SparkTestBase {
     // a second identical INSERT is a NEW batch (SQL INSERT is not replay-keyed)
     spark.sql("INSERT INTO gcat.db3.t3 SELECT * FROM ins_src")
     assert(spark.sql("SELECT count(*) FROM gcat.db3.t3").head().getLong(0) === 280L)
-    // INSERT OVERWRITE replaces the table contents
+    // INSERT OVERWRITE replaces the table contents — as a SNAPSHOT: the
+    // pre-overwrite generation stays one option("gen") away
+    val genBefore = EncodePipeline.snapshots(spark, s"$warehouse/db3/t3")
+      .agg(org.apache.spark.sql.functions.max(col("gen"))).head().getInt(0)
     spark.sql("INSERT OVERWRITE gcat.db3.t3 SELECT * FROM ins_src")
     assert(spark.sql("SELECT count(*) FROM gcat.db3.t3").head().getLong(0) === 40L)
+    assert(spark.read.format("graft").option("gen", genBefore.toString)
+      .load(s"$warehouse/db3/t3").count() === 280L)
   }
 
   test("DELETE FROM routes to merge-on-read vectors; zero data rewrite") {
