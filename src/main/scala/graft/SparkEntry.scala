@@ -1009,6 +1009,42 @@ object SparkEntry {
         lit(old.getLong(1)).cast("long").as("chars_old"),
         lit(kindOk).as("kind_ok"))
     }),
+    "q_procedures" -> ((s, dir) => {
+      // the SQL maintenance lifecycle in one flow: a graft catalog, INSERT
+      // INTO (tracked append), CALL system.compact (re-blocks the two
+      // commits per part), DELETE FROM (MOR vectors), CALL
+      // system.materialize_deletes (folds them), CALL system.vacuum
+      // (reclaims superseded files). The oracle recomputes the final table
+      // from the raw parquet; n_folded pins the fold count and the flags
+      // pin that each procedure did real work.
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 1)
+      val wh = java.nio.file.Files.createTempDirectory("graft_proc_q").toFile
+      wh.deleteOnExit()
+      s.conf.set("spark.sql.catalog.qcat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.qcat.root", wh.getAbsolutePath)
+      val base = d.filter(col("doc_id") % 16 === 1)
+      val added = d.filter(col("doc_id") % 16 === 9)
+      EncodePipeline.run(base, "doc_id", s"${wh.getAbsolutePath}/db/t",
+        partitions = 8, blockSize = 1024)
+      added.createOrReplaceTempView("proc_q_src")
+      s.sql("INSERT INTO qcat.db.t SELECT * FROM proc_q_src")
+      val packed = s.sql(
+        "CALL qcat.system.compact(table => 'db.t', block_size => 1024)")
+        .head().getInt(0)
+      s.sql("DELETE FROM qcat.db.t WHERE doc_id % 6 = 3")
+      val folded = s.sql(
+        "CALL qcat.system.materialize_deletes(table => 'db.t')").head().getLong(0)
+      val vacuumed = s.sql("CALL qcat.system.vacuum(table => 'db.t')")
+        .head().getInt(0)
+      s.sql("SELECT * FROM qcat.db.t").agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).cast("long").as("min_id"),
+        max(col("doc_id")).cast("long").as("max_id"),
+        lit(folded).cast("long").as("n_folded"),
+        lit(packed > 0).as("compact_ok"),
+        lit(vacuumed > 0).as("vacuum_ok"))
+    }),
     "q_update" -> ((s, dir) => {
       // copy-on-write row-level UPDATE end-to-end: encode documents, UPDATE
       // a slice (doc_id%13==0 rows get a NULL pred and must stay UNCHANGED
@@ -1823,6 +1859,16 @@ object SparkEntry {
         "(SELECT CAST(count(*) AS BIGINT) FROM b) AS n_old, " +
         "(SELECT CAST(sum(n_chars) AS BIGINT) FROM b) AS chars_old, " +
         "TRUE AS kind_ok"),
+    "q_procedures" ->
+      ("WITH s AS (SELECT * FROM documents " +
+        "WHERE doc_id % 16 = 1 OR doc_id % 16 = 9), " +
+        "kept AS (SELECT * FROM s WHERE doc_id % 6 <> 3) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, " +
+        "CAST(max(doc_id) AS BIGINT) AS max_id, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 6 = 3) AS n_folded, " +
+        "TRUE AS compact_ok, TRUE AS vacuum_ok FROM kept"),
     "q_update" ->
       ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
         "u AS (SELECT doc_id, " +

@@ -1941,6 +1941,27 @@ object EncodePipeline {
     val t0 = System.currentTimeMillis()
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the fold removes EVERY vector file; a tag at or above a committed
+    // vector's generation still applies that vector at its tagged read, so
+    // folding would silently resurrect rows there — refuse loudly instead
+    // (drop the tag, or don't fold). Tags strictly below all vector
+    // generations see no vectors and are unaffected.
+    val tagged = readTags(spark, outDir)
+    if (tagged.nonEmpty) {
+      val delPath = new org.apache.hadoop.fs.Path(s"$outDir/deletes")
+      val hasVecs = fs.exists(delPath) && fs.listStatus(delPath).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet") &&
+          !s.getPath.getName.startsWith("."))
+      if (hasVecs) {
+        val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/deletes")
+        val minVecGen = if (!raw.columns.contains("gen")) 0
+          else raw.agg(min(coalesce(col("gen"), lit(0)))).head().getInt(0)
+        val blocking = tagged.filter(_._2 >= minVecGen)
+        require(blocking.isEmpty, "materializeDeletes would expire delete-vector " +
+          s"history that tagged snapshot(s) ${blocking.keys.toSeq.sorted.mkString(", ")} " +
+          "still apply — drop the tag(s) first")
+      }
+    }
     val dv = liveDeletes(spark, outDir)
     if (dv.isEmpty) {
       // nothing live to fold, but the dir may hold INERT committed vectors
@@ -2013,18 +2034,101 @@ object EncodePipeline {
     nFolded
   }
 
-  /** delete data files no current manifest row references — superseded
-    * generations and crashed-attempt orphans. Part-level-tracked parts
-    * (null data_files) are untouched: their whole directory IS the table.
-    * Returns the number of files deleted. Single maintenance writer
-    * assumed, like [[compact]]. */
+  // ---------------- named snapshot references (Iceberg tags) ----------------
+
+  /** the tag registry: `outDir/refs.json` — {"<name>": <generation>}.
+    * Names are restricted to [A-Za-z0-9._-] at write time, so the regex
+    * parse below is faithful (no JSON escapes can occur). Atomic rewrite;
+    * single maintenance writer assumed ([[compact]]'s contract). */
+  def readTags(spark: SparkSession, outDir: String): Map[String, Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/refs.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toInt).toMap
+  }
+
+  private def writeTags(spark: SparkSession, outDir: String,
+                        tags: Map[String, Int]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/refs.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tags.isEmpty) { fs.delete(p, false); return }
+    val o = fs.create(p, true)
+    o.write(tags.toSeq.sortBy(_._1)
+      .map { case (n, g) => s""""$n": $g""" }.mkString("{", ", ", "}")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    o.close()
+  }
+
+  /** pin a generation under a name — the Iceberg TAG: `option("tag", name)`
+    * reads resolve it, and [[vacuum]] PROTECTS every data file the tagged
+    * snapshot references (tagged history cannot be expired; drop the tag to
+    * release it). `gen` < 0 tags the current generation. Requires the
+    * snapshot to still be materializable (same guard as [[rollbackTo]] —
+    * tagging already-vacuumed history would pin a lie). Returns the pinned
+    * generation. Reference analog: Iceberg branch/tag refs. */
+  def createTag(spark: SparkSession, outDir: String, name: String,
+                gen: Int = -1): Int = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"tag names are [A-Za-z0-9._-]+, got: $name")
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    val maxG = if (raw.columns.contains("gen"))
+      raw.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0
+    val g = if (gen < 0) maxG else gen
+    require(g <= maxG, s"createTag($name): generation $g does not exist (max $maxG)")
+    if (raw.columns.contains("data_files")) {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val needed = readMetaAt(spark, outDir, Some(g))
+        .filter(col("__part") >= 0 && col("data_files").isNotNull)
+        .select(explode(col("data_files")).as("f")).distinct()
+        .collect().map(r => fileSuffix(r.getString(0)))
+      val onDisk: Set[String] = needed.map(_.takeWhile(_ != '/')).distinct.flatMap { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$outDir/data/$d")
+        if (!fs.exists(p)) Array.empty[String]
+        else fs.listStatus(p).filter(_.isFile).map(s => s"$d/${s.getPath.getName}")
+      }.toSet
+      val missing = needed.filterNot(onDisk)
+      require(missing.isEmpty, s"createTag($name): ${missing.length} data files of " +
+        s"generation $g were vacuumed (first: ${missing.headOption.getOrElse("")})")
+    }
+    writeTags(spark, outDir, readTags(spark, outDir) + (name -> g))
+    g
+  }
+
+  /** drop a tag; its generation becomes expirable again. Returns whether
+    * the tag existed. */
+  def dropTag(spark: SparkSession, outDir: String, name: String): Boolean = {
+    val t = readTags(spark, outDir)
+    if (!t.contains(name)) false
+    else { writeTags(spark, outDir, t - name); true }
+  }
+
+  /** the generation a tag pins, failing loudly on unknown names */
+  def tagGen(spark: SparkSession, outDir: String, name: String): Int =
+    readTags(spark, outDir).getOrElse(name, throw new IllegalArgumentException(
+      s"unknown tag \"$name\" on $outDir — known: " +
+        readTags(spark, outDir).keys.toSeq.sorted.mkString(", ")))
+
+  /** delete data files no current manifest row — and no TAGGED snapshot —
+    * references: superseded generations and crashed-attempt orphans.
+    * Part-level-tracked parts (null data_files) are untouched: their whole
+    * directory IS the table. Returns the number of files deleted. Single
+    * maintenance writer assumed, like [[compact]]. */
   def vacuum(spark: SparkSession, outDir: String): Int = {
     val meta = readMeta(spark, outDir)
     if (!meta.columns.contains("data_files")) return 0
     val untracked = meta.filter(col("data_files").isNull)
       .select("__part").distinct().collect().map(_.getInt(0)).toSet
-    val referenced = meta.filter(col("data_files").isNotNull)
-      .select(explode(col("data_files")).as("f")).distinct()
+    // tagged snapshots pin their file sets (Iceberg: refs block expiry)
+    val tagGens = readTags(spark, outDir).values.toSeq.distinct.sorted
+    val referenced = (Seq(meta) ++ tagGens.map(g => readMetaAt(spark, outDir, Some(g))))
+      .map(_.filter(col("data_files").isNotNull)
+        .select(explode(col("data_files")).as("f")))
+      .reduce(_.unionByName(_)).distinct()
       .collect().map(r => fileSuffix(r.getString(0))).toSet
     val dataPath = new org.apache.hadoop.fs.Path(s"$outDir/data")
     val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2077,13 +2181,19 @@ object EncodePipeline {
         // vector files EVERY row of which a committed rollback marker
         // abandoned can never apply again — reclaim without an age gate
         // (this expires sub-marker time travel, exactly like reclaiming
-        // superseded data files above)
+        // superseded data files above). EXCEPT rows at or below a tagged
+        // generation: a tagged read below the marker still applies them
+        // (conservative — rows ≤ maxTag are kept even when every tag's own
+        // marker view abandons them; dropping the tag releases them)
         val rbM = rollbackMarkers(spark, outDir)
+        val maxTag = tagGens.lastOption.getOrElse(-1)
         val abandonedFiles: Seq[String] =
           if (rbM.isEmpty || !raw.columns.contains("gen")) Nil
           else {
             val g = coalesce(col("gen"), lit(0))
-            val abandonedCol = rbM.map { case (n, t) => g > t && g < n }.reduce(_ || _)
+            val abandonedCol =
+              rbM.map { case (n, t) => g > t && g < n }.reduce(_ || _) &&
+                g > maxTag
             raw.withColumn("__f", input_file_name())
               .groupBy(col("__f"))
               .agg(max((!abandonedCol).cast("int")).as("any_live"))

@@ -3,8 +3,9 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -26,7 +27,13 @@ import graft.plans.EncodePipeline
   * are created by writing (`df.write.format("graft").save(dir)` or the
   * pipeline API) — SQL CREATE TABLE has nothing to materialize for an
   * encode-on-write format, so it is unsupported by design. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+object GraftCatalog {
+  /** the metadata views resolvable as `db.t.<name>` identifiers */
+  private[sources] val metaTableNames = Set("snapshots", "files", "manifest")
+}
+
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -49,7 +56,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dir = dirOf(ident)
     EncodePipeline.readSchemaFile(spark, dir) match {
       case Some(schema) => new GraftTable(dir, schema)
-      case None => throw new NoSuchTableException(ident)
+      case None =>
+        // Iceberg's metadata-table identifiers: `db.t.snapshots` / `.files`
+        // / `.manifest` resolve when `db.t` is a table and the extra name
+        // part names a metadata view — plain SQL over the commit history
+        if (ident.namespace().nonEmpty &&
+            GraftCatalog.metaTableNames.contains(ident.name())) {
+          val parent = (root +: ident.namespace().toSeq).mkString("/")
+          if (isTableDir(new Path(parent)))
+            return new GraftMetaTable(parent, ident.name(),
+              GraftMetaTable.schemaOf(ident.name(), parent))
+        }
+        throw new NoSuchTableException(ident)
     }
   }
 
@@ -104,6 +122,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * for discovery UIs only, so list none rather than a fake sample */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array.empty
+
+  // ---- procedures: the maintenance lifecycle as CALL statements ----
+  // `CALL <cat>.system.compact/vacuum/rollback/...` — see [[GraftProcedures]]
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(root, ident).getOrElse(throw new IllegalArgumentException(
+      s"unknown procedure ${ident.namespace().mkString(".")}.${ident.name()} — " +
+        s"graft procedures live in `system`: ${GraftProcedures.names.mkString(", ")}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // ---- namespaces are directories ----
   override def listNamespaces(): Array[Array[String]] = {

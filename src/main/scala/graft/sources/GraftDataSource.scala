@@ -290,7 +290,11 @@ class GraftTable(outDir: String, tableSchema: StructType) extends Table
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, outDir, tableSchema,
-      Option(options.get("gen")).map(_.toInt),
+      // time travel by generation or by named tag (Iceberg refs); an
+      // explicit gen wins when both are passed
+      Option(options.get("gen")).map(_.toInt).orElse(
+        Option(options.get("tag")).map(t =>
+          EncodePipeline.tagGen(SparkSession.active, outDir, t))),
       ignoreChanges = Option(options.get("ignoreChanges")).exists(_.toBoolean))
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` over catalog identifiers,

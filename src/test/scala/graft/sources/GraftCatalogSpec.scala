@@ -113,4 +113,22 @@ class GraftCatalogSpec extends SparkTestBase {
       ex.getCause != null && ex.getCause.getMessage.contains("created by writing"))
     intercept[AnalysisException] { spark.sql("SELECT * FROM gcat.db1.nope").collect() }
   }
+
+  test("metadata tables resolve as db.t.snapshots / .files identifiers") {
+    val d = WebDocGen.dataset(spark, 120, 4).toDF()
+    val dir = s"$warehouse/db5/t5"
+    EncodePipeline.run(d, "url", dir, partitions = 2, blockSize = 64)
+    EncodePipeline.appendCommit(d.limit(20), "url", dir, 2, 64, batchId = 1L)
+    val snaps = spark.sql(
+      "SELECT gen, kind, n_rows FROM gcat.db5.t5.snapshots ORDER BY gen").collect()
+    assert(snaps.map(_.getString(1)).toSeq === Seq("base", "append"))
+    assert(snaps.map(_.getLong(2)).sum === 140L)
+    // .files lists exactly the generation-current data files
+    val nFiles = spark.sql("SELECT count(*) FROM gcat.db5.t5.files").head().getLong(0)
+    assert(nFiles === EncodePipeline.currentFiles(spark, dir).size)
+    // a metadata suffix under a NON-table parent still raises cleanly
+    intercept[AnalysisException] {
+      spark.sql("SELECT * FROM gcat.db5.nope.snapshots").collect()
+    }
+  }
 }
