@@ -955,6 +955,54 @@ object SparkEntry {
           .cast("long").as("del_ids"),
         lit(fastOk).as("fast_ok"))
     }),
+    "q_cdc_stream" -> ((s, dir) => {
+      // the STREAMING CHANGE FEED end-to-end (Delta CDF parity):
+      // readStream.format("graft").option("readChangeFeed") over a table
+      // that commits base (gen 0) + append (gen 1) before the stream
+      // starts and a MOR delete (gen 2) mid-stream. startingGen 0 replays
+      // the full history as inserts in the first window; the delete's
+      // window then streams the newly-masked rows as _change_type=delete
+      // with their pre-delete values — each planned at file grain
+      // (window-added files + vector-diff blocks only). exactly_once pins
+      // that no (doc_id, change) pair streams twice across windows.
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 6)
+      val out = java.nio.file.Files.createTempDirectory("graft_cdcs_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath + "/t"
+      val base = d.filter(col("doc_id") % 3 =!= 0)
+      val added = d.filter(col("doc_id") % 3 === 0)
+      EncodePipeline.run(base, "doc_id", path, partitions = 8, blockSize = 1024)
+      EncodePipeline.appendCommit(added, "doc_id", path, partitions = 8,
+        blockSize = 1024, batchId = 1L) // gen 1
+      val q = s.readStream.format("graft")
+        .option("readChangeFeed", "true").option("startingGen", "0").load(path)
+        .writeStream.format("memory").queryName("graft_cdcs_q")
+        .option("checkpointLocation", out.getAbsolutePath + "/ckpt")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // window (-1, 1]: full history as inserts
+        EncodePipeline.deleteWhereLazy(s, path, d.schema,
+          col("doc_id") % 10 === 4) // gen 2
+        q.processAllAvailable() // window (1, 2]: the masked rows as deletes
+      } finally q.stop()
+      val ch = s.table("graft_cdcs_q")
+      val once = ch.select(col("doc_id"), col("_change_type")).distinct().count() ==
+        ch.count()
+      ch.agg(
+        sum(when(col("_change_type") === "insert", 1).otherwise(0))
+          .cast("long").as("n_ins"),
+        sum(when(col("_change_type") === "delete", 1).otherwise(0))
+          .cast("long").as("n_del"),
+        sum(when(col("_change_type") === "insert", col("n_chars")))
+          .cast("long").as("ins_chars"),
+        sum(when(col("_change_type") === "delete", col("n_chars")))
+          .cast("long").as("del_chars"),
+        sum(when(col("_change_type") === "insert", col("doc_id")))
+          .cast("long").as("ins_ids"),
+        sum(when(col("_change_type") === "delete", col("doc_id")))
+          .cast("long").as("del_ids"),
+        lit(once).as("exactly_once"))
+    }),
     "q_history" -> ((s, dir) => {
       // snapshot-history metadata surface: a base run, a tracked append,
       // and an atomic MOR update produce three generations whose kinds and
@@ -1839,6 +1887,16 @@ object SparkEntry {
         "(SELECT CAST(sum(doc_id) AS BIGINT) FROM ins) AS ins_ids, " +
         "(SELECT CAST(sum(doc_id) AS BIGINT) FROM del) AS del_ids, " +
         "TRUE AS fast_ok"),
+    "q_cdc_stream" ->
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 6), " +
+        "del AS (SELECT * FROM s WHERE doc_id % 10 = 4) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_ins, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM del) AS n_del, " +
+        "(SELECT CAST(sum(n_chars) AS BIGINT) FROM s) AS ins_chars, " +
+        "(SELECT CAST(sum(n_chars) AS BIGINT) FROM del) AS del_chars, " +
+        "(SELECT CAST(sum(doc_id) AS BIGINT) FROM s) AS ins_ids, " +
+        "(SELECT CAST(sum(doc_id) AS BIGINT) FROM del) AS del_ids, " +
+        "TRUE AS exactly_once"),
     "q_history" ->
       ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 4) " +
         "SELECT CAST(0 AS INTEGER) AS gen, 'base' AS kind, " +

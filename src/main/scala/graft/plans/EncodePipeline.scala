@@ -2350,27 +2350,23 @@ object EncodePipeline {
     * the exact (file, block, pos) diff — only affected files open). Any
     * rewrite in the window (compaction, COW DML, materialize, rollback)
     * falls back to the semantically-equivalent full snapshot diff
-    * (`exceptAll` both ways). */
+    * (`exceptAll` both ways).
+    *
+    * `fromGen = -1` reads "since before the table existed": the window's
+    * changes include the base snapshot itself as inserts (full-history
+    * replay — the batch analog of the streaming feed's startingGen 0). */
   def readChangesBetween(spark: SparkSession, outDir: String,
                          sourceSchema: StructType,
                          fromGen: Int, toGen: Int): DataFrame = {
-    require(fromGen >= 0 && fromGen <= toGen,
-      s"readChangesBetween: need 0 <= fromGen <= toGen, got ($fromGen, $toGen)")
+    require(fromGen >= -1 && fromGen <= toGen,
+      s"readChangesBetween: need -1 <= fromGen <= toGen, got ($fromGen, $toGen)")
     val dicts = try loadDicts(spark, outDir)
                 catch { case _: Exception => Map.empty[Long, Codecs.DictTable] }
     val dictsOpt = if (dicts.isEmpty) None else Some(dicts)
     def empty(): DataFrame = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sourceSchema)
-    // file inventory (suffix → absolute path) at a generation; None when any
-    // visible part predates file tracking — those cannot be diffed by file
-    def filesAt(g: Int): Option[Map[String, String]] = {
-      val m = readMetaAt(spark, outDir, Some(g)).filter(col("__part") >= 0)
-      if (!m.columns.contains("data_files")) return None
-      if (!m.filter(col("data_files").isNull).isEmpty) return None
-      Some(m.filter(col("data_files").isNotNull)
-        .select(explode(col("data_files")).as("f")).distinct()
-        .collect().map(r => fileSuffix(r.getString(0)) -> r.getString(0)).toMap)
-    }
+    def filesAt(g: Int): Option[Map[String, String]] =
+      fileInventoryAt(spark, outDir, g)
     def readFiles(paths: Seq[String]): DataFrame =
       spark.read.option("basePath", s"$outDir/data")
         .option("mergeSchema", "true").parquet(paths: _*)
@@ -2418,11 +2414,109 @@ object EncodePipeline {
         ins.withColumn("_change_type", lit("insert"))
           .unionByName(del.withColumn("_change_type", lit("delete")))
       case None =>
-        val from = decodeSharedAt(spark, outDir, sourceSchema, fromGen)
+        val from = if (fromGen < 0) empty()
+                   else decodeSharedAt(spark, outDir, sourceSchema, fromGen)
         val to = decodeSharedAt(spark, outDir, sourceSchema, toGen)
         to.exceptAll(from).withColumn("_change_type", lit("insert"))
           .unionByName(from.exceptAll(to).withColumn("_change_type", lit("delete")))
     }
+  }
+
+  /** file inventory (suffix → absolute path) at a generation; None when any
+    * visible part predates file tracking — those cannot be diffed by file.
+    * g = -1 reads as "before the table existed" (empty inventory). */
+  private[graft] def fileInventoryAt(spark: SparkSession, outDir: String,
+                                     g: Int): Option[Map[String, String]] = {
+    if (g < 0) return Some(Map.empty)
+    val m = readMetaAt(spark, outDir, Some(g)).filter(col("__part") >= 0)
+    if (!m.columns.contains("data_files")) return None
+    if (!m.filter(col("data_files").isNull).isEmpty) return None
+    Some(m.filter(col("data_files").isNotNull)
+      .select(explode(col("data_files")).as("f")).distinct()
+      .collect().map(r => fileSuffix(r.getString(0)) -> r.getString(0)).toMap)
+  }
+
+  /** the table's current (maximum committed) generation — 0 on tables that
+    * predate generation tagging. One manifest aggregate; the streaming
+    * change feed polls this as its latest offset. */
+  def currentGen(spark: SparkSession, outDir: String): Int = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    if (!raw.columns.contains("gen")) 0
+    else raw.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0)
+  }
+
+  /** one data file's slice of a streaming change-feed micro-batch:
+    * `deletes` = position bitmaps to EXCLUDE (insert files read at the
+    * window end), `keepOnly` = the ONLY positions to emit per block
+    * (delete files read at their pre-window state; null when unused). */
+  final case class ChangeFeedFile(part: Int, path: String,
+                                  deletes: Map[Int, Array[Byte]],
+                                  keepOnly: Map[Int, Array[Int]])
+
+  final case class ChangeFeedWindow(inserts: Seq[ChangeFeedFile],
+                                    deletes: Seq[ChangeFeedFile])
+
+  /** driver-side file-grain plan of the net row-level changes in generation
+    * window (fromGen, toGen] — the streaming analog of
+    * [[readChangesBetween]]'s fast path, as explicit per-file work units a
+    * MicroBatchStream can plan: `inserts` = files added in the window, read
+    * with the window-end delete vectors applied (a row inserted and deleted
+    * inside the window is no net change and never streams); `deletes` =
+    * pre-existing files whose positions the window's vectors newly masked,
+    * read keeping ONLY those positions (the bit diff excludes re-deletes,
+    * so every kept position was live at the window start). fromGen = -1
+    * plans the whole table as inserts (full-history stream start). Windows
+    * containing a rollback or a file rewrite (compaction, copy-on-write
+    * DML, overwrite) cannot be planned at file grain and throw — the batch
+    * [[readChangesBetween]] snapshot diff covers those windows; a stream
+    * must restart past them, Delta CDF's semantics for rewritten history. */
+  def planChangeFeedWindow(spark: SparkSession, outDir: String,
+                           fromGen: Int, toGen: Int): ChangeFeedWindow = {
+    require(fromGen >= -1 && fromGen <= toGen,
+      s"planChangeFeedWindow: need -1 <= fromGen <= toGen, got ($fromGen, $toGen)")
+    if (fromGen == toGen) return ChangeFeedWindow(Nil, Nil)
+    if (rollbackMarkers(spark, outDir).exists { case (n, _) => n > fromGen && n <= toGen })
+      throw new IllegalStateException(
+        s"change feed window ($fromGen, $toGen] contains a rollback — file-grain CDC " +
+        "cannot cross it; read the window with batch readChangesBetween (snapshot " +
+        "diff) and restart the stream at the rollback generation or later")
+    def inv(g: Int): Map[String, String] = fileInventoryAt(spark, outDir, g).getOrElse(
+      throw new IllegalStateException(
+        s"change feed: generation $g has parts that predate data-file tracking — " +
+        "only file-tracked tables can stream changes"))
+    val ff = inv(fromGen)
+    val ft = inv(toGen)
+    if (!ff.keySet.subsetOf(ft.keySet))
+      throw new IllegalStateException(
+        s"change feed window ($fromGen, $toGen] rewrote ${(ff.keySet -- ft.keySet).size} " +
+        "already-streamed data files (compaction / copy-on-write DML / overwrite) — " +
+        "rows would reprocess; read the window with batch readChangesBetween and " +
+        "restart the stream at a later generation")
+    // fromGen = -1 scopes to "no vectors yet" (gen <= -1 matches none)
+    val dvFrom = loadDeletes(spark, outDir, fromGen)
+    val dvTo = loadDeletes(spark, outDir, toGen)
+    val newSfx = (ft.keySet -- ff.keySet).toSeq.sorted
+    val inserts = newSfx.map { s =>
+      ChangeFeedFile(partOfSuffix(s), ft(s),
+        dvTo.collect { case ((f, b), bm) if f == s => b -> bm }, null)
+    }
+    val diff = dvTo.toSeq.collect {
+      case ((f, b), bm) if ff.contains(f) =>
+        (f, b, diffPositions(bm, dvFrom.getOrElse((f, b), Array.emptyByteArray)))
+    }.filter(_._3.nonEmpty)
+    val deletes = diff.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, items) =>
+      ChangeFeedFile(partOfSuffix(f), ff(f), Map.empty,
+        items.map { case (_, b, ps) => b -> ps }.toMap)
+    }
+    ChangeFeedWindow(inserts, deletes)
+  }
+
+  /** "__part=3/part-xyz.parquet" → 3 */
+  private[graft] def partOfSuffix(s: String): Int = {
+    val i = s.indexOf('=')
+    val j = s.indexOf('/')
+    require(i >= 0 && j > i, s"not a part-qualified data-file id: $s")
+    s.substring(i + 1, j).toInt
   }
 
   /** "__part=3/part-xyz.parquet" suffix of a recorded file URI/path — the

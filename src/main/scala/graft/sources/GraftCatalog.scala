@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Name
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.plans.EncodePipeline
@@ -66,6 +66,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           if (isTableDir(new Path(parent)))
             return new GraftMetaTable(parent, ident.name(),
               GraftMetaTable.schemaOf(ident.name(), parent))
+        }
+        // Iceberg changelog-table parity: `db.t.changes` reads the table's
+        // full PER-COMMIT change history (each generation diffed against
+        // its predecessor; the base snapshot appears as gen-0 inserts)
+        // with _change_type and _change_gen appended — plain SQL over the
+        // CDC feed; windowed NET reads stay on
+        // option("changesFrom"/"changesTo")
+        if (ident.namespace().nonEmpty && ident.name() == "changes") {
+          val parent = (root +: ident.namespace().toSeq).mkString("/")
+          if (isTableDir(new Path(parent))) {
+            val base = EncodePipeline.readSchemaFile(spark, parent).get
+            return new GraftChangelogTable(parent,
+              base.add(StructField("_change_type", StringType, nullable = false))
+                  .add(StructField("_change_gen", IntegerType, nullable = false)))
+          }
         }
         throw new NoSuchTableException(ident)
     }

@@ -157,8 +157,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         s"graft table ${pathOf(options)} has no schema.json (written before schema " +
         "persistence existed?) — pass an explicit .schema(...)"))
     // change-data-capture read: the table's net row-level changes between
-    // two generations, with a _change_type discriminator appended
-    if (options.containsKey("changesFrom"))
+    // two generations (batch) or per commit (streaming change feed), with
+    // a _change_type discriminator appended
+    if (options.containsKey("changesFrom") ||
+        Option(options.get("readChangeFeed")).exists(_.toBoolean))
       base.add(StructField("_change_type", StringType, nullable = false))
     else base
   }
@@ -172,6 +174,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       new GraftChangesTable(pathOf(opts), schema,
         opts.get("changesFrom").toInt,
         Option(opts.get("changesTo")).map(_.toInt).getOrElse(Int.MaxValue))
+    else if (Option(opts.get("readChangeFeed")).exists(_.toBoolean))
+      new GraftChangeFeedTable(pathOf(opts), schema,
+        Option(opts.get("startingGen")).map(_.toInt))
     else new GraftTable(pathOf(opts), schema)
   }
 }
@@ -269,6 +274,128 @@ class GraftChangesTable(outDir: String, fullSchema: StructType,
           }).asInstanceOf[T]
       }
     }
+}
+
+/** `SELECT * FROM cat.db.t.changes` — the table's full CHANGELOG as a SQL
+  * identifier (Iceberg changelog-table parity): one row per row-level
+  * change PER COMMIT, `_change_type` ("insert"/"delete"; an update is its
+  * delete + insert pair) and `_change_gen` (the committing generation —
+  * Iceberg's `_change_ordinal`). Unlike the windowed net diff
+  * (option("changesFrom")), a row inserted and later deleted appears
+  * TWICE — once per commit — because each generation diffs against its
+  * immediate predecessor; rewrite-only generations (compaction,
+  * clustering) contribute nothing, data being identical. Append and MOR
+  * windows plan at file grain; generation 0 streams the base snapshot as
+  * inserts. */
+class GraftChangelogTable(outDir: String, fullSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_changelog.`$outDir`"
+  override def schema(): StructType = fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = fullSchema
+        override def toV1TableScan[T <: sources.BaseRelation with sources.TableScan](
+            context: org.apache.spark.sql.SQLContext): T =
+          (new sources.BaseRelation with sources.TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext = context
+            override def schema: StructType = fullSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              val spark = context.sparkSession
+              val src = StructType(fullSchema.filterNot(f =>
+                f.name == "_change_type" || f.name == "_change_gen"))
+              val cur = EncodePipeline.currentGen(spark, outDir)
+              (0 to cur).map { g =>
+                EncodePipeline.readChangesBetween(spark, outDir, src, g - 1, g)
+                  .withColumn("_change_gen", org.apache.spark.sql.functions.lit(g))
+              }.reduce(_ unionByName _)
+                .select(fullSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+                .rdd
+            }
+          }).asInstanceOf[T]
+      }
+    }
+}
+
+/** `readStream.format("graft").option("readChangeFeed", "true")` — the table
+  * as a STREAMING CHANGE FEED (Delta CDF / Iceberg changelog parity): each
+  * micro-batch is a generation window emitting the window's NET row-level
+  * changes with `_change_type` ("insert" / "delete"; an update is its
+  * delete + insert pair). `option("startingGen", g)` replays changes from
+  * generation g onward (0 = full history — the base snapshot streams as
+  * inserts); the default starts at the CURRENT generation, so only future
+  * commits stream. Offsets are generation numbers: a checkpoint restart
+  * re-plans identical windows as long as the referenced history has not
+  * been vacuumed. Append and merge-on-read windows plan at file grain
+  * (only window-added files and vector-diff blocks are ever opened); a
+  * rollback or file rewrite inside a window fails the stream loudly —
+  * file-grain CDC cannot cross it, use batch `option("changesFrom", …)`
+  * for that window and restart. */
+class GraftChangeFeedTable(outDir: String, fullSchema: StructType,
+                           startingGen: Option[Int]) extends Table with SupportsRead {
+  override def name(): String = s"graft_cdf.`$outDir`"
+  override def schema(): StructType = fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = fullSchema
+        override def toMicroBatchStream(checkpointLocation: String):
+            org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new GraftCdcMicroBatchStream(SparkSession.active, outDir, fullSchema,
+            startingGen)
+        override def description(): String = s"GraftChangeFeedScan $outDir"
+      }
+    }
+}
+
+/** change-feed offset = the highest generation whose changes have streamed */
+case class GraftCdcOffset(gen: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = gen.toString
+}
+
+class GraftCdcMicroBatchStream(spark: SparkSession, outDir: String,
+                               fullSchema: StructType, startingGen: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val srcSchema = StructType(fullSchema.filterNot(_.name == "_change_type"))
+
+  /** default = stream from NOW (startingGen g streams g's own changes too,
+    * hence the -1: windows are exclusive at the start) */
+  override def initialOffset(): Offset = GraftCdcOffset(
+    startingGen.map(_ - 1).getOrElse(EncodePipeline.currentGen(spark, outDir)))
+  override def latestOffset(): Offset =
+    GraftCdcOffset(EncodePipeline.currentGen(spark, outDir))
+  override def deserializeOffset(json: String): Offset =
+    GraftCdcOffset(json.trim.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val g0 = start.asInstanceOf[GraftCdcOffset].gen
+    val g1 = end.asInstanceOf[GraftCdcOffset].gen
+    val w = EncodePipeline.planChangeFeedWindow(spark, outDir, g0, g1)
+    (w.inserts.map(f => GraftInputPartition(f.path, f.part, f.deletes,
+        keepOnly = null, changeType = "insert")) ++
+     w.deletes.map(f => GraftInputPartition(f.path, f.part, Map.empty,
+        keepOnly = f.keepOnly, changeType = "delete")))
+      .toArray[InputPartition]
+  }
+
+  /** per micro-batch, so shared dictionaries committed by later appends are
+    * re-broadcast each batch (same contract as the plain streaming source) */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dicts = try EncodePipeline.loadDicts(spark, outDir)
+                catch { case _: Exception => Map.empty[Long, Codecs.DictTable] }
+    val dictsBc = if (dicts.isEmpty) None else Some(spark.sparkContext.broadcast(dicts))
+    GraftReaderFactory(Bridge.hadoopConfBroadcast(spark),
+      GraftScan.planWithMeta(srcSchema, fullSchema), dictsBc, -1)
+  }
 }
 
 class GraftTable(outDir: String, tableSchema: StructType) extends Table
@@ -817,7 +944,8 @@ object GraftScan {
     * canRenameConflictingMetadataColumns=false semantics). */
   def planWithMeta(tableSchema: StructType, required: StructType):
       Array[EncodePipeline.ColPlan] = {
-    val metaNames = Set("_file", "_block", "_pos") -- tableSchema.fieldNames.toSet
+    val metaNames =
+      Set("_file", "_block", "_pos", "_change_type") -- tableSchema.fieldNames.toSet
     required.fields.map { fl =>
       if (metaNames.contains(fl.name)) EncodePipeline.ColPlan(fl.name, 'm', fl.dataType)
       else EncodePipeline.plan(StructType(Seq(fl))).head
@@ -839,7 +967,13 @@ class GraftAggScan(outDir: String, aggSchema: StructType, row: InternalRow)
   * placement transform — so Spark can group co-part files and line two
   * graft scans up for a storage-partitioned join. */
 case class GraftInputPartition(path: String, part: Int,
-                               deletes: Map[Int, Array[Byte]])
+                               deletes: Map[Int, Array[Byte]],
+                               // change-feed DELETE partitions: emit ONLY
+                               // these block positions (null elsewhere)
+                               keepOnly: Map[Int, Array[Int]] = null,
+                               // "insert" / "delete" constant for the
+                               // _change_type column (null on normal scans)
+                               changeType: String = null)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](part))
@@ -1146,6 +1280,9 @@ private[sources] abstract class GraftFileReaderBase(
   // vectors key on), computed once per file
   protected val fileSuffixU8: UTF8String =
     UTF8String.fromString(EncodePipeline.fileSuffix(p.path))
+  // change-feed reads: the partition-constant _change_type value
+  protected val changeTypeU8: UTF8String =
+    if (p.changeType == null) null else UTF8String.fromString(p.changeType)
   // bloom block probes active for THIS file: pushed equality/In conjuncts
   // whose bm_<col> filter column exists in the file's era. A block is read
   // only if every probe finds a possibly-present hash (no false negatives,
@@ -1236,9 +1373,13 @@ private[sources] abstract class GraftFileReaderBase(
 
   /** decode the next block's projected blobs; null at end of file */
   protected def nextBlock(): DecodedBlock = {
+    // change-feed delete partitions touch only their diff blocks
+    def wanted(g: Group): Boolean =
+      p.keepOnly == null || p.keepOnly.contains(g.getInteger("__block", 0))
     var g = reader.read()
-    while (g != null && (activeProbes.nonEmpty || activeRanges.nonEmpty ||
-        activeNulls.nonEmpty) && !blockAdmits(g))
+    while (g != null && (!wanted(g) ||
+        ((activeProbes.nonEmpty || activeRanges.nonEmpty ||
+          activeNulls.nonEmpty) && !blockAdmits(g))))
       g = reader.read()
     if (g == null) return null
     ReaderDiag.blocksDecoded.incrementAndGet()
@@ -1281,6 +1422,11 @@ private[sources] abstract class GraftFileReaderBase(
     * null = no vector for this block, every position survives (callers
     * treat null as identity — no per-block allocation on the common path) */
   protected def liveIdx(db: DecodedBlock): Array[Int] = {
+    if (p.keepOnly != null)
+      // change-feed delete partitions: emit ONLY the newly-masked positions
+      // (the window's bit diff excludes re-deletes, so every kept position
+      // was live at the window start — no vector to subtract)
+      return p.keepOnly.getOrElse(db.block, Array.empty[Int])
     val bm = p.deletes.getOrElse(db.block, null)
     if (bm == null) null
     else {
@@ -1334,6 +1480,7 @@ class GraftPartitionReader(p: GraftInputPartition, f: GraftReaderFactory)
               case "_file" => fileSuffixU8
               case "_block" => db.block
               case "_pos" => i
+              case "_change_type" => changeTypeU8
             }
             case 'l' =>
               if (db.longNulls(c2) != null && db.longNulls(c2)(i)) null
@@ -1411,6 +1558,7 @@ class GraftColumnarReader(p: GraftInputPartition, f: GraftReaderFactory)
             case "_file" => new GraftConstStringVector(fileSuffixU8)
             case "_block" => new GraftConstIntVector(db.block)
             case "_pos" => new GraftPosVector(live)
+            case "_change_type" => new GraftConstStringVector(changeTypeU8)
           }
           case 'l' =>
             new GraftLongsVector(f.cols(c).sourceType, db.longVals(c), db.longNulls(c), live)

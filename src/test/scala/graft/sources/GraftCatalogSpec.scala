@@ -131,4 +131,39 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql("SELECT * FROM gcat.db5.nope.snapshots").collect()
     }
   }
+
+  test("db.t.changes reads the per-commit changelog as a SQL identifier") {
+    val d = WebDocGen.dataset(spark, 200, 4).toDF()
+    val dir = s"$warehouse/db6/t6"
+    EncodePipeline.run(d, "url", dir, partitions = 2, blockSize = 64) // gen 0
+    val more = d.limit(30).withColumn("url", concat(col("url"), lit("#c")))
+    assert(EncodePipeline.appendCommit(more, "url", dir, 2, 64, batchId = 1L))
+    val pred = col("lang") === "fr"
+    val nDel = EncodePipeline.deleteWhereLazy(spark, dir, d.schema, pred) // gen 2
+    assert(nDel > 0)
+    // per-commit history: EVERY row ever inserted appears as an insert in
+    // its committing generation; the MOR delete's masked rows appear again
+    // as gen-2 deletes (not netted away — Iceberg changelog semantics)
+    val byType = spark.sql(
+      "SELECT _change_type, count(*) AS n FROM gcat.db6.t6.changes GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("insert") === d.count() + more.count())
+    assert(byType("delete") === nDel)
+    // _change_gen attributes each change to its commit
+    val byGen = spark.sql(
+      "SELECT _change_gen, _change_type, count(*) AS n FROM gcat.db6.t6.changes " +
+      "GROUP BY 1, 2").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byGen((0, "insert")) === d.count())
+    assert(byGen((1, "insert")) === more.count())
+    assert(byGen((2, "delete")) === nDel)
+    // SQL predicates compose above the feed
+    assert(spark.sql(
+      "SELECT count(*) FROM gcat.db6.t6.changes WHERE _change_type = 'delete'")
+      .head().getLong(0) === nDel)
+    // a .changes suffix under a NON-table parent raises cleanly
+    intercept[AnalysisException] {
+      spark.sql("SELECT * FROM gcat.db6.nope.changes").collect()
+    }
+  }
 }
