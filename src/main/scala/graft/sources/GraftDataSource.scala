@@ -176,7 +176,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         Option(opts.get("changesTo")).map(_.toInt).getOrElse(Int.MaxValue))
     else if (Option(opts.get("readChangeFeed")).exists(_.toBoolean))
       new GraftChangeFeedTable(pathOf(opts), schema,
-        Option(opts.get("startingGen")).map(_.toInt))
+        Option(opts.get("startingGen")).map(_.toInt),
+        Option(opts.get("maxGensPerTrigger")).map(_.toInt))
     else new GraftTable(pathOf(opts), schema)
   }
 }
@@ -334,7 +335,9 @@ class GraftChangelogTable(outDir: String, fullSchema: StructType)
   * file-grain CDC cannot cross it, use batch `option("changesFrom", …)`
   * for that window and restart. */
 class GraftChangeFeedTable(outDir: String, fullSchema: StructType,
-                           startingGen: Option[Int]) extends Table with SupportsRead {
+                           startingGen: Option[Int],
+                           maxGensPerTrigger: Option[Int] = None)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_cdf.`$outDir`"
   override def schema(): StructType = fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
@@ -346,7 +349,7 @@ class GraftChangeFeedTable(outDir: String, fullSchema: StructType,
         override def toMicroBatchStream(checkpointLocation: String):
             org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
           new GraftCdcMicroBatchStream(SparkSession.active, outDir, fullSchema,
-            startingGen)
+            startingGen, maxGensPerTrigger)
         override def description(): String = s"GraftChangeFeedScan $outDir"
       }
     }
@@ -358,10 +361,23 @@ case class GraftCdcOffset(gen: Int)
   override def json(): String = gen.toString
 }
 
+/** ReadLimit for the change feed: at most `maxGens` generation windows per
+  * micro-batch (the per-trigger unit the CDC offsets advance in — each
+  * window is one commit's worth of changes, already file-grain-planned).
+  * Returned by getDefaultReadLimit and interpreted only by
+  * [[GraftCdcMicroBatchStream.latestOffset]]; the engine passes it through
+  * opaquely, same as Delta's composite file/byte limits. */
+case class GraftMaxGens(maxGens: Int)
+    extends org.apache.spark.sql.connector.read.streaming.ReadLimit {
+  require(maxGens > 0, s"maxGensPerTrigger must be positive, got $maxGens")
+}
+
 class GraftCdcMicroBatchStream(spark: SparkSession, outDir: String,
-                               fullSchema: StructType, startingGen: Option[Int])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+                               fullSchema: StructType, startingGen: Option[Int],
+                               maxGensPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private val srcSchema = StructType(fullSchema.filterNot(_.name == "_change_type"))
 
@@ -375,6 +391,29 @@ class GraftCdcMicroBatchStream(spark: SparkSession, outDir: String,
     GraftCdcOffset(json.trim.toInt)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  // ---- admission control: option("maxGensPerTrigger", n) paces a history
+  // replay (startingGen 0 over a long-lived table) as n commits per
+  // micro-batch instead of one giant first batch; Trigger.AvailableNow
+  // pins the end generation at stream start, so a bounded catch-up
+  // terminates even while writers keep committing ----
+  @volatile private var availableNowTargetGen: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTargetGen = Some(EncodePipeline.currentGen(spark, outDir))
+  override def getDefaultReadLimit: ReadLimit =
+    maxGensPerTrigger.map(GraftMaxGens(_)).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftCdcOffset].gen
+    val cur0 = EncodePipeline.currentGen(spark, outDir)
+    val cur = availableNowTargetGen.fold(cur0)(math.min(cur0, _))
+    val end = limit match {
+      case GraftMaxGens(n) => math.min(cur, from + n)
+      case _ => cur
+    }
+    GraftCdcOffset(math.max(from, end))
+  }
+  override def reportLatestOffset(): Offset =
+    GraftCdcOffset(EncodePipeline.currentGen(spark, outDir))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val g0 = start.asInstanceOf[GraftCdcOffset].gen
@@ -422,7 +461,8 @@ class GraftTable(outDir: String, tableSchema: StructType) extends Table
       Option(options.get("gen")).map(_.toInt).orElse(
         Option(options.get("tag")).map(t =>
           EncodePipeline.tagGen(SparkSession.active, outDir, t))),
-      ignoreChanges = Option(options.get("ignoreChanges")).exists(_.toBoolean))
+      ignoreChanges = Option(options.get("ignoreChanges")).exists(_.toBoolean),
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` over catalog identifiers,
     * bridged to the pipeline's commit protocol via the V2→V1 write hook
@@ -783,7 +823,8 @@ private[sources] object GraftPruning {
 }
 
 class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructType,
-                       gen: Option[Int], ignoreChanges: Boolean = false)
+                       gen: Option[Int], ignoreChanges: Boolean = false,
+                       maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -927,7 +968,7 @@ class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructT
     case Some((schema, row)) => new GraftAggScan(outDir, schema, row)
     case None =>
       new GraftScan(spark, outDir, tableSchema, required, gen, survivors, pushed, limit,
-        ignoreChanges, allFilters)
+        ignoreChanges, allFilters, maxFilesPerTrigger)
   }
 }
 
@@ -982,7 +1023,8 @@ case class GraftInputPartition(path: String, part: Int,
 class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
                 required: StructType, gen: Option[Int], survivors: Option[Set[Int]],
                 pushed: Array[Filter], limit: Int, ignoreChanges: Boolean = false,
-                allFilters: Array[Filter] = Array.empty)
+                allFilters: Array[Filter] = Array.empty,
+                maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -1065,7 +1107,8 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
     * reprocessing, mirroring Delta's semantics. */
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(spark, outDir, tableSchema, required, ignoreChanges)
+    new GraftMicroBatchStream(spark, outDir, tableSchema, required, ignoreChanges,
+      maxFilesPerTrigger)
   override def description(): String = {
     val f = if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]"
     val l = if (limit < 0) "" else s" PushedLimit: $limit"
@@ -1170,15 +1213,43 @@ object GraftSourceOffset {
 
 class GraftMicroBatchStream(spark: SparkSession, outDir: String,
                             tableSchema: StructType,
-                            required: StructType, ignoreChanges: Boolean)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+                            required: StructType, ignoreChanges: Boolean,
+                            maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   /** current (suffix → (part, absolute path)); resolved fresh per call */
   private def current(): Map[String, (Int, String)] =
     EncodePipeline.currentFiles(spark, outDir).map { case (p, f) =>
       EncodePipeline.fileSuffix(f) -> (p, f)
     }.toMap
+
+  // ---- admission control (Delta maxFilesPerTrigger parity): at 100 TB a
+  // backfill start must not plan the whole table into ONE micro-batch —
+  // option("maxFilesPerTrigger", n) caps each batch at n data files
+  // (deterministic: unseen suffixes in sorted order), and
+  // Trigger.AvailableNow pins the end target at stream start so a bounded
+  // backfill terminates even while writers keep committing ----
+  @volatile private var availableNowTarget: Option[Set[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(current().keySet)
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[GraftSourceOffset].files.toSet
+    val avail0 = current().keySet
+    // under AvailableNow, files committed after stream start are NOT part
+    // of this run (they stream on the next start from the checkpoint)
+    val avail = availableNowTarget.fold(avail0)(avail0 intersect _)
+    val fresh = (avail -- seen).toSeq.sorted
+    val take = limit match {
+      case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    GraftSourceOffset((seen ++ take).toSeq)
+  }
+  override def reportLatestOffset(): Offset = GraftSourceOffset(current().keys.toSeq)
 
   override def initialOffset(): Offset = GraftSourceOffset(Nil) // whole table
   override def latestOffset(): Offset = GraftSourceOffset(current().keys.toSeq)
