@@ -1003,6 +1003,45 @@ object SparkEntry {
           .cast("long").as("del_ids"),
         lit(once).as("exactly_once"))
     }),
+    "q_stream_throttle" -> ((s, dir) => {
+      // streaming ADMISSION CONTROL end-to-end (Delta rate-limit parity):
+      // a change-feed history replay over base + 2 appends, paced at ONE
+      // generation window per micro-batch (maxGensPerTrigger=1) under
+      // Trigger.AvailableNow — the bounded-backfill shape: the stream
+      // drains the pinned target across >= 3 paced batches and TERMINATES
+      // on its own. paced_ok pins >= 3 non-empty batches (an uncapped
+      // source replays everything in one); exactly_once pins no row
+      // streaming twice across the paced windows.
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 5)
+      val out = java.nio.file.Files.createTempDirectory("graft_thr_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath + "/t"
+      EncodePipeline.run(d.filter(col("doc_id") % 3 === 1), "doc_id", path,
+        partitions = 8, blockSize = 1024) // gen 0
+      EncodePipeline.appendCommit(d.filter(col("doc_id") % 3 === 2), "doc_id",
+        path, partitions = 8, blockSize = 1024, batchId = 1L) // gen 1
+      EncodePipeline.appendCommit(d.filter(col("doc_id") % 3 === 0), "doc_id",
+        path, partitions = 8, blockSize = 1024, batchId = 2L) // gen 2
+      val q = s.readStream.format("graft")
+        .option("readChangeFeed", "true").option("startingGen", "0")
+        .option("maxGensPerTrigger", "1").load(path)
+        .writeStream.format("memory").queryName("graft_thr_q")
+        .option("checkpointLocation", out.getAbsolutePath + "/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      val terminated = q.awaitTermination(180000L)
+      val paced = q.recentProgress.count(_.numInputRows > 0) >= 3
+      q.stop()
+      val t = s.table("graft_thr_q")
+      val once = t.select("doc_id").distinct().count() == t.count()
+      t.agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("doc_id")).cast("long").as("sum_ids"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        lit(terminated).as("terminated"),
+        lit(paced).as("paced_ok"),
+        lit(once).as("exactly_once"))
+    }),
     "q_history" -> ((s, dir) => {
       // snapshot-history metadata surface: a base run, a tracked append,
       // and an atomic MOR update produce three generations whose kinds and
@@ -1897,6 +1936,12 @@ object SparkEntry {
         "(SELECT CAST(sum(doc_id) AS BIGINT) FROM s) AS ins_ids, " +
         "(SELECT CAST(sum(doc_id) AS BIGINT) FROM del) AS del_ids, " +
         "TRUE AS exactly_once"),
+    "q_stream_throttle" ->
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 5) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(doc_id) AS BIGINT) AS sum_ids, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "TRUE AS terminated, TRUE AS paced_ok, TRUE AS exactly_once FROM s"),
     "q_history" ->
       ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 4) " +
         "SELECT CAST(0 AS INTEGER) AS gen, 'base' AS kind, " +
