@@ -471,6 +471,75 @@ object SparkEntry {
           s"FROM $cat.dbq.docs GROUP BY lang ORDER BY lang")
         .withColumn("sql_mor", lit(sqlMor))
     }),
+    "q_ctas" -> ((s, dir) => {
+      // SQL CREATE TABLE AS SELECT: the catalog is a StagingTableCatalog,
+      // so CTAS encodes the query result into a brand-new pipeline table
+      // (TBLPROPERTIES steer key/partitions/blockSize) and REPLACE TABLE
+      // AS SELECT commits a REPLACING SNAPSHOT whose predecessor stays one
+      // option("gen") away. time_travel_ok pins the pre-replace generation
+      // still reading the full original rowset; the final SELECT groups
+      // through the connector. Oracle replays CTAS + REPLACE in DuckDB.
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 6)
+      val wh = java.nio.file.Files.createTempDirectory("graft_ctas_q").toFile
+      wh.deleteOnExit()
+      val cat = s"gsql_${catalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.getAbsolutePath)
+      d.createOrReplaceTempView("ctas_src_q")
+      s.sql(s"CREATE TABLE $cat.dbq.ct TBLPROPERTIES('key'='doc_id', " +
+        "'partitions'='8', 'blockSize'='1024') " +
+        "AS SELECT doc_id, lang, n_chars FROM ctas_src_q")
+      val tdir = s"${wh.getAbsolutePath}/dbq/ct"
+      val genBefore = EncodePipeline.snapshots(s, tdir)
+        .agg(max(col("gen"))).head().getInt(0)
+      s.sql(s"REPLACE TABLE $cat.dbq.ct " +
+        "AS SELECT doc_id, lang, n_chars FROM ctas_src_q WHERE doc_id % 2 = 0")
+      val travelOk = s.read.format("graft").option("gen", genBefore.toString)
+        .load(tdir).count() == d.count()
+      s.sql(s"SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+          "CAST(min(doc_id) AS BIGINT) AS min_id, " +
+          "CAST(max(doc_id) AS BIGINT) AS max_id " +
+          s"FROM $cat.dbq.ct GROUP BY lang ORDER BY lang")
+        .withColumn("time_travel_ok", lit(travelOk))
+    }),
+    "q_asof" -> ((s, dir) => {
+      // SQL time travel: VERSION AS OF pins a generation (or an Iceberg-
+      // style named tag), TIMESTAMP AS OF resolves a wall-clock instant
+      // against the manifest files' own commit times (every commit is one
+      // atomic manifest append — its file mtime IS the snapshot instant,
+      // derived retroactively with zero write-path changes). An instant
+      // captured between two commits must see exactly the first.
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(8)) === 7)
+      val wh = java.nio.file.Files.createTempDirectory("graft_asof_q").toFile
+      wh.deleteOnExit()
+      val cat = s"gsql_${catalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.getAbsolutePath)
+      val path = s"${wh.getAbsolutePath}/dbq/tt"
+      EncodePipeline.run(d.filter(col("doc_id") % 3 === 1), "doc_id", path,
+        partitions = 8, blockSize = 1024) // gen 0
+      val tMid = System.currentTimeMillis()
+      Thread.sleep(30) // separate the commits' manifest mtimes
+      EncodePipeline.appendCommit(d.filter(col("doc_id") % 3 =!= 1), "doc_id",
+        path, partitions = 8, blockSize = 1024, batchId = 1L) // gen 1
+      EncodePipeline.createTag(s, path, "first", gen = 0)
+      def one(q: String): Long = s.sql(q).head().getLong(0)
+      val nV0 = one(s"SELECT count(*) FROM $cat.dbq.tt VERSION AS OF 0")
+      val nTag = one(s"SELECT count(*) FROM $cat.dbq.tt VERSION AS OF 'first'")
+      val nTs = one(s"SELECT count(*) FROM $cat.dbq.tt " +
+        s"TIMESTAMP AS OF timestamp_millis(${tMid}L)")
+      val tsOk = s.sql(s"SELECT * FROM $cat.dbq.tt.snapshots ORDER BY gen")
+        .select("committed_at").collect().map(_.getTimestamp(0))
+        .sliding(2).forall(w => w.forall(_ != null) &&
+          (w.length < 2 || !w(0).after(w(1))))
+      s.sql("SELECT CAST(count(*) AS BIGINT) AS n_cur, " +
+          s"CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM $cat.dbq.tt")
+        .withColumn("n_v0", lit(nV0).cast("long"))
+        .withColumn("n_tag", lit(nTag).cast("long"))
+        .withColumn("n_ts", lit(nTs).cast("long"))
+        .withColumn("ts_ordered", lit(tsOk))
+    }),
     "q_spj" -> ((s, dir) => {
       // STORAGE-PARTITIONED JOIN end-to-end: two tables written under the
       // same placement spec (hash(doc_id) into 8 parts) join through the
@@ -1838,6 +1907,22 @@ object SparkEntry {
         "CAST(max(doc_id) AS BIGINT) AS max_id, TRUE AS sql_mor " +
         "FROM t WHERE NOT (doc_id >= 100 AND doc_id < 300) " +
         "GROUP BY lang ORDER BY lang"),
+    "q_ctas" ->
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 6 AND doc_id % 2 = 0) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, " +
+        "CAST(max(doc_id) AS BIGINT) AS max_id, TRUE AS time_travel_ok " +
+        "FROM s GROUP BY lang ORDER BY lang"),
+    "q_asof" ->
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 7), " +
+        "v0 AS (SELECT * FROM s WHERE doc_id % 3 = 1) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_cur, " +
+        "CAST(sum(doc_id) AS BIGINT) AS sum_ids, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM v0) AS n_v0, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM v0) AS n_tag, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM v0) AS n_ts, " +
+        "TRUE AS ts_ordered FROM s"),
     "q_compact" ->
       ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +

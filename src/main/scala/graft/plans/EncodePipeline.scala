@@ -2618,6 +2618,9 @@ object EncodePipeline {
       .agg(countDistinct(col("__part")).as("n_parts"),
         sum(filesC).cast("long").as("n_files"),
         sum(col("rows")).cast("long").as("n_rows"))
+    val times = commitTimes(spark, outDir)
+    val whenC = udf((g: Int) =>
+      times.get(g).map(ms => new java.sql.Timestamp(ms)).orNull)
     flags.join(sizes, Seq("__g"), "left")
       .withColumn("kind",
         when(col("rb") === 1, lit("rollback"))
@@ -2632,8 +2635,50 @@ object EncodePipeline {
         coalesce(col("n_parts"), lit(0L)).as("n_parts"),
         coalesce(col("n_files"), lit(0L)).as("n_files"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
-        col("batch_id"))
+        col("batch_id"),
+        whenC(col("__g")).as("committed_at"))
       .orderBy(col("gen"))
+  }
+
+  /** per-generation commit wall-clock, derived from the manifest FILES
+    * themselves (Iceberg reads snapshot timestamps off its metadata the
+    * same way): every commit is ONE manifest file under the atomic-append
+    * protocol, so a generation's commit instant is its file's mtime —
+    * multi-file legacy commits (multi-wave base runs) resolve to their
+    * LAST file, the moment the commit completed. Metadata-only, zero
+    * write-path changes, retroactive on every existing table. Caveat: a
+    * filesystem that rewrites mtimes (copy-based restore) shifts history;
+    * generation pins and tags stay exact. */
+  def commitTimes(spark: SparkSession, outDir: String): Map[Int, Long] = {
+    val m = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    val g = if (m.columns.contains("gen")) coalesce(col("gen"), lit(0)) else lit(0)
+    val genOfFile = m.withColumn("__f", input_file_name())
+      .groupBy(col("__f")).agg(max(g).as("__g"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val metaDir = new org.apache.hadoop.fs.Path(s"$outDir/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // normalize both sides to bare paths: input_file_name says
+    // file:///x/y, FileStatus says file:/x/y
+    val mtime: Map[String, Long] = fs.listStatus(metaDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.toUri.getPath -> s.getModificationTime).toMap
+    genOfFile.groupBy(_._2).map { case (gen, files) =>
+      gen -> files.flatMap { case (f, _) =>
+        mtime.get(new org.apache.hadoop.fs.Path(f).toUri.getPath)
+      }.foldLeft(0L)(math.max)
+    }
+  }
+
+  /** the generation current as of wall-clock `millis` — Delta/Iceberg
+    * TIMESTAMP AS OF resolution: the highest generation whose commit
+    * completed at or before the instant. Loud below the first commit. */
+  def genAsOf(spark: SparkSession, outDir: String, millis: Long): Int = {
+    val times = commitTimes(spark, outDir)
+    val at = times.filter(_._2 <= millis)
+    require(at.nonEmpty,
+      s"no commit of $outDir at or before ${new java.sql.Timestamp(millis)} — " +
+      s"the earliest is ${new java.sql.Timestamp(times.values.min)}")
+    at.keys.max
   }
 
   /** persist the decoded (source) schema at the table root so

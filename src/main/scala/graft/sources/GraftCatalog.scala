@@ -2,8 +2,8 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange, Column => V2Column}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
@@ -24,16 +24,20 @@ import graft.plans.EncodePipeline
   * manifest-served aggregates, reported statistics. A table IS its
   * directory: SHOW TABLES lists child directories carrying a schema.json,
   * DROP TABLE removes the directory, namespaces are directories. Tables
-  * are created by writing (`df.write.format("graft").save(dir)` or the
-  * pipeline API) — SQL CREATE TABLE has nothing to materialize for an
-  * encode-on-write format, so it is unsupported by design. */
+  * are created by writing (`df.write.format("graft").save(dir)`, the
+  * pipeline API, or SQL `CREATE TABLE ... AS SELECT` — the catalog is a
+  * StagingTableCatalog, so CTAS / REPLACE TABLE AS SELECT encode the
+  * query result straight into the table directory and commit through the
+  * pipeline's atomic manifest protocol). Schema-only CREATE TABLE stays
+  * unsupported by design: an encode-on-write format has nothing to
+  * materialize until rows exist. */
 object GraftCatalog {
   /** the metadata views resolvable as `db.t.<name>` identifiers */
   private[sources] val metaTableNames = Set("snapshots", "files", "manifest")
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -86,6 +90,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
   }
 
+  /** SQL `SELECT ... FROM t VERSION AS OF v` — v is a generation number or
+    * a named tag (Iceberg refs); the returned table pins every scan to it */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    val schema = EncodePipeline.readSchemaFile(spark, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val gen = if (version.forall(_.isDigit)) version.toInt
+              else EncodePipeline.tagGen(spark, dir, version)
+    new GraftTable(dir, schema, genPin = Some(gen))
+  }
+
+  /** SQL `SELECT ... FROM t TIMESTAMP AS OF ts` — Spark hands the instant
+    * as MICROseconds since epoch; resolved against the manifest commit
+    * times ([[EncodePipeline.genAsOf]]) */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    val schema = EncodePipeline.readSchemaFile(spark, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftTable(dir, schema,
+      genPin = Some(EncodePipeline.genAsOf(spark, dir, timestampMicros / 1000L)))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     isTableDir(new Path(dirOf(ident)))
 
@@ -101,12 +127,117 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
-      "graft tables are created by writing: df.write.format(\"graft\").save(<dir>) " +
-      "or EncodePipeline.run — SQL CREATE TABLE has nothing to materialize")
+      "graft tables are created by writing: CREATE TABLE ... AS SELECT, " +
+      "df.write.format(\"graft\").save(<dir>), or EncodePipeline.run — " +
+      "schema-only CREATE TABLE has nothing to materialize")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "alter via the pipeline API (schema evolution is by-name on write)")
+  // ---- CTAS / RTAS: tables created by writing, now in SQL ----
+  // `CREATE TABLE cat.db.t AS SELECT ...` stages a table whose V1-bridged
+  // write routes the query result through the pipeline's commit protocol —
+  // the same pinned single-shuffle encode plan as every other write.
+  // TBLPROPERTIES steer the encode exactly like df.write options: 'key'
+  // (placement key; default first column), 'partitions', 'blockSize',
+  // 'sharedDictCols', 'bloomCols'. PARTITIONED BY accepts the placement law
+  // as a transform — `graft_part_hash_<P>(col)` / `graft_part_host_<P>_<S>
+  // (col)` (the same name-encoded functions the scan reports for
+  // storage-partitioned joins) — and wins over the properties.
+  // REPLACE TABLE AS SELECT commits a REPLACING SNAPSHOT on file-tracked
+  // tables (replaceCommit — old generations stay time-travelable until
+  // vacuum), physical replace only on pre-tracking dirs.
+
+  override def stageCreate(ident: Identifier, columns: Array[V2Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    staged(ident, columns, partitions, properties, replaceExisting = false)
+  }
+
+  override def stageReplace(ident: Identifier, columns: Array[V2Column],
+                            partitions: Array[Transform],
+                            properties: java.util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    staged(ident, columns, partitions, properties, replaceExisting = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[V2Column],
+                                    partitions: Array[Transform],
+                                    properties: java.util.Map[String, String]): StagedTable =
+    staged(ident, columns, partitions, properties, replaceExisting = tableExists(ident))
+
+  private def staged(ident: Identifier, columns: Array[V2Column],
+                     partitions: Array[Transform],
+                     properties: java.util.Map[String, String],
+                     replaceExisting: Boolean): StagedTable = {
+    val schema = StructType(columns.map(c => StructField(c.name(), c.dataType(), c.nullable())))
+    // SQL OPTIONS(...) arrive as `option.`-prefixed properties; TBLPROPERTIES bare
+    def prop(n: String): Option[String] =
+      Option(properties.get(n)).orElse(Option(properties.get(s"option.$n")))
+    def cols(n: String): Seq[String] =
+      prop(n).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val law: Option[GraftPartFunction] = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) =>
+        val fn = GraftPartFunction.fromName(t.name()).getOrElse(
+          throw new UnsupportedOperationException(
+            s"graft CTAS partitioning must be a placement transform " +
+            s"(graft_part_hash_<P>(col) / graft_part_host_<P>_<S>(col)), got ${t.describe()}"))
+        require(t.references().length == 1 && t.references()(0).fieldNames().length == 1,
+          s"placement transform takes exactly one top-level key column, got ${t.describe()}")
+        Some(fn)
+      case many => throw new UnsupportedOperationException(
+        s"graft tables have ONE placement law, got ${many.size} transforms")
+    }
+    val key = law.map(_ => partitions(0).references()(0).fieldNames()(0))
+      .orElse(prop("key")).getOrElse(schema.fieldNames.head)
+    require(schema.fieldNames.contains(key),
+      s"placement key '$key' is not a column of the CTAS query (${schema.fieldNames.mkString(", ")})")
+    new GraftStagedTable(dirOf(ident), ident.toString, schema,
+      key = key,
+      useHost = law.exists(_.kind == "host"),
+      partitionsOpt = law.map(_.partitions).orElse(prop("partitions").map(_.toInt)),
+      salts = law.map(_.salts).getOrElse(4),
+      blockSize = prop("blockSize").map(_.toInt).getOrElse(4096),
+      sharedDictCols = cols("sharedDictCols"),
+      bloomCols = cols("bloomCols"),
+      replaceExisting = replaceExisting)
+  }
+
+  /** `ALTER TABLE ... ADD COLUMNS` — the DDL face of the by-name schema
+    * evolution the readers already implement: adding a column is ONE
+    * schema.json rewrite (existing rows read the column as NULL — the
+    * absent-era null-fill path; later INSERTs carry real values). Only
+    * nullable, top-level, default-less appends are accepted: a NOT NULL or
+    * defaulted add would have to invent values for committed rows, and
+    * RENAME/DROP/retype would orphan the manifest + blob columns keyed by
+    * the old name — all refused loudly (rewrite via RTAS instead). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    val base = EncodePipeline.readSchemaFile(spark, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val evolved = changes.foldLeft(base) {
+      case (sch, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          s"graft ALTER TABLE adds top-level columns only, got ${add.fieldNames().mkString(".")}")
+        val n = add.fieldNames()(0)
+        require(!sch.fieldNames.exists(_.equalsIgnoreCase(n)),
+          s"column $n already exists in ${ident.name()}")
+        require(add.isNullable,
+          s"graft ALTER TABLE ADD COLUMNS requires nullable columns — committed " +
+          s"rows read an added column as NULL (add $n without NOT NULL)")
+        require(add.defaultValue() == null,
+          s"graft ALTER TABLE ADD COLUMNS does not support DEFAULT values — " +
+          s"committed rows read an added column as NULL")
+        require(add.position() == null,
+          "graft columns append at the end (decode is by-name; ordering is cosmetic)")
+        sch.add(StructField(n, add.dataType(), nullable = true))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports ADD COLUMNS only (got ${other.getClass.getSimpleName}) — " +
+        "renames/drops/retypes would orphan the committed manifest and blob columns; " +
+        "rewrite via REPLACE TABLE AS SELECT instead")
+    }
+    EncodePipeline.writeSchemaFile(spark, dir, evolved)
+    new GraftTable(dir, evolved)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(dirOf(ident))
@@ -192,4 +323,84 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
     fs(p).delete(p, true)
   }
+}
+
+/** The table a CTAS / RTAS stages: its V1-bridged write encodes the query
+  * result through the pipeline's commit protocol directly into the table
+  * directory. Atomicity is the pipeline's own: a fresh CREATE becomes
+  * visible at its schema.json + manifest commit (commitStagedChanges has
+  * nothing left to flip — abort before that removes the half-built dir); a
+  * REPLACE of a file-tracked table is [[EncodePipeline.replaceCommit]]'s
+  * single-file manifest append (abort before it leaves the old snapshot
+  * intact and only unreferenced orphan files, which vacuum reclaims). */
+private[sources] class GraftStagedTable(
+    dir: String, tblName: String, declared: StructType,
+    key: String, useHost: Boolean, partitionsOpt: Option[Int], salts: Int,
+    blockSize: Int, sharedDictCols: Seq[String], bloomCols: Seq[String],
+    replaceExisting: Boolean)
+  extends StagedTable with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  override def name(): String = tblName
+  override def schema(): StructType = declared
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // RTAS plans OverwriteByExpression(true) over the staged table; the
+      // create/replace decision was already made at stageCreate/stageReplace
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                                  overwrite: Boolean): Unit = {
+                val spark = data.sparkSession
+                val parts = partitionsOpt
+                  .getOrElse(spark.sessionState.conf.numShufflePartitions)
+                if (replaceExisting && GraftDataSource.fileTracked(spark, dir)) {
+                  // REPLACE TABLE AS SELECT = a replacing snapshot; empty
+                  // query results are fine (a zero-file marker generation)
+                  EncodePipeline.replaceCommit(data, key, dir, parts, blockSize,
+                    bloomCols = bloomCols)
+                } else {
+                  if (replaceExisting) {
+                    // pre-file-tracking dir: legacy physical replace
+                    val p = new Path(dir)
+                    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                      .delete(p, true)
+                  }
+                  // a fresh table's manifest is created by its first commit —
+                  // an empty CTAS would leave a table no reader can plan
+                  require(!data.isEmpty,
+                    s"CREATE TABLE AS SELECT into $dir produced zero rows — a graft " +
+                    "table's manifest is born with its first data commit; create " +
+                    "with a non-empty query (or write the first rows through " +
+                    "df.write.format(\"graft\"))")
+                  EncodePipeline.run(data, key, dir, parts, blockSize,
+                    salts = salts, useHostPartitioner = useHost,
+                    sharedDictCols = sharedDictCols, bloomCols = bloomCols)
+                }
+              }
+            }
+        }
+    }
+
+  /** the pipeline write above already committed atomically (manifest
+    * append / schema persistence) — nothing is left to flip */
+  override def commitStagedChanges(): Unit = ()
+
+  /** a fresh CREATE aborts by removing the directory (a failed CTAS leaves
+    * no table, half-built or otherwise); REPLACE aborts are no-ops — an
+    * uncommitted replace never appended its manifest, so the previous
+    * snapshot is untouched (orphan data files, if any, await vacuum) */
+  override def abortStagedChanges(): Unit =
+    if (!replaceExisting) {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
 }

@@ -68,6 +68,15 @@ object GraftDataSource {
     try spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
       .columns.contains("data_files")
     catch { case _: Exception => false }
+
+  /** parse a TIMESTAMP AS OF operand: epoch millis, an ISO-8601 instant
+    * (`2026-08-20T00:00:00Z`), or a session-local SQL timestamp
+    * (`2026-08-20 00:00:00`) */
+  private[sources] def parseInstantMillis(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else try java.time.Instant.parse(s).toEpochMilli
+    catch { case _: java.time.format.DateTimeParseException =>
+      java.sql.Timestamp.valueOf(s).getTime }
 }
 
 class GraftDataSource extends TableProvider with DataSourceRegister
@@ -197,7 +206,9 @@ object GraftMetaTable {
       StructField("n_parts", LongType, nullable = false),
       StructField("n_files", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = false),
-      StructField("batch_id", LongType, nullable = true)))
+      StructField("batch_id", LongType, nullable = true),
+      StructField("committed_at", org.apache.spark.sql.types.TimestampType,
+        nullable = true)))
     case "files" => StructType(Seq(
       StructField("part", IntegerType, nullable = false),
       StructField("file", StringType, nullable = false)))
@@ -437,7 +448,9 @@ class GraftCdcMicroBatchStream(spark: SparkSession, outDir: String,
   }
 }
 
-class GraftTable(outDir: String, tableSchema: StructType) extends Table
+class GraftTable(outDir: String, tableSchema: StructType,
+                 genPin: Option[Int] = None /* SQL VERSION/TIMESTAMP AS OF —
+                   a catalog-time-travel pin scans default to */) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -456,11 +469,16 @@ class GraftTable(outDir: String, tableSchema: StructType) extends Table
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(SparkSession.active, outDir, tableSchema,
-      // time travel by generation or by named tag (Iceberg refs); an
-      // explicit gen wins when both are passed
-      Option(options.get("gen")).map(_.toInt).orElse(
-        Option(options.get("tag")).map(t =>
-          EncodePipeline.tagGen(SparkSession.active, outDir, t))),
+      // time travel by generation, named tag (Iceberg refs), wall-clock
+      // instant (Delta TIMESTAMP AS OF — manifest-mtime-resolved), or a
+      // catalog pin (SQL VERSION/TIMESTAMP AS OF); an explicit gen wins
+      Option(options.get("gen")).map(_.toInt)
+        .orElse(Option(options.get("tag")).map(t =>
+          EncodePipeline.tagGen(SparkSession.active, outDir, t)))
+        .orElse(Option(options.get("timestampAsOf")).map(t =>
+          EncodePipeline.genAsOf(SparkSession.active, outDir,
+            GraftDataSource.parseInstantMillis(t))))
+        .orElse(genPin),
       ignoreChanges = Option(options.get("ignoreChanges")).exists(_.toBoolean),
       maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 

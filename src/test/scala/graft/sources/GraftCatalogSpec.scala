@@ -166,4 +166,150 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql("SELECT * FROM gcat.db6.nope.changes").collect()
     }
   }
+
+  test("CREATE TABLE AS SELECT encodes the query result into a new table") {
+    val d = WebDocGen.dataset(spark, 240, 4).toDF()
+    d.createOrReplaceTempView("ctas_src")
+    // TBLPROPERTIES steer the encode like df.write options
+    spark.sql(
+      "CREATE TABLE gcat.db7.c1 TBLPROPERTIES('key'='url', 'partitions'='3', " +
+      "'blockSize'='64') AS SELECT url, lang, warc_ts FROM ctas_src")
+    assert(spark.sql("SELECT count(*) FROM gcat.db7.c1").head().getLong(0) === 240L)
+    assert(spark.sql("SELECT count(DISTINCT url) FROM gcat.db7.c1")
+      .head().getLong(0) === d.select("url").distinct().count())
+    // a REAL pipeline table: persisted placement law + manifest-backed reads
+    val spec = EncodePipeline.readPartSpec(spark, s"$warehouse/db7/c1").get
+    assert(spec.kind === "hash" && spec.key === "url" && spec.partitions === 3)
+    assert(spark.read.format("graft").load(s"$warehouse/db7/c1").count() === 240L)
+    // creating over an existing table is refused
+    intercept[AnalysisException] {
+      spark.sql("CREATE TABLE gcat.db7.c1 AS SELECT * FROM ctas_src")
+    }
+
+    // PARTITIONED BY takes the placement law as the name-encoded transform
+    // (the same functions the scan reports for storage-partitioned joins)
+    spark.sql("CREATE TABLE gcat.db7.c2 PARTITIONED BY (graft_part_host_4_2(url)) " +
+      "AS SELECT url, lang FROM ctas_src")
+    val hostSpec = EncodePipeline.readPartSpec(spark, s"$warehouse/db7/c2").get
+    assert(hostSpec.kind === "host" && hostSpec.key === "url" &&
+      hostSpec.partitions === 4 && hostSpec.salts === 2)
+    assert(spark.sql("SELECT count(*) FROM gcat.db7.c2").head().getLong(0) === 240L)
+    // a non-placement transform is refused with guidance
+    val exT = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db7.c3 PARTITIONED BY (days(warc_ts)) " +
+        "AS SELECT url, warc_ts FROM ctas_src")
+    }
+    assert(exT.getMessage.contains("placement transform") ||
+      (exT.getCause != null && exT.getCause.getMessage.contains("placement transform")))
+    assert(!new java.io.File(s"$warehouse/db7/c3").exists())
+  }
+
+  test("REPLACE TABLE AS SELECT commits a replacing snapshot; failed CTAS leaves no table") {
+    val d = WebDocGen.dataset(spark, 200, 4).toDF()
+    d.createOrReplaceTempView("rtas_src")
+    spark.sql("CREATE TABLE gcat.db8.r1 TBLPROPERTIES('blockSize'='64') " +
+      "AS SELECT url, lang FROM rtas_src")
+    val genBefore = EncodePipeline.snapshots(spark, s"$warehouse/db8/r1")
+      .agg(max(col("gen"))).head().getInt(0)
+    // REPLACE = a replacing snapshot: history stays one option("gen") away
+    spark.sql("REPLACE TABLE gcat.db8.r1 AS SELECT url, lang FROM rtas_src LIMIT 50")
+    assert(spark.sql("SELECT count(*) FROM gcat.db8.r1").head().getLong(0) === 50L)
+    assert(spark.read.format("graft").option("gen", genBefore.toString)
+      .load(s"$warehouse/db8/r1").count() === 200L)
+    // CREATE OR REPLACE on a fresh identifier creates
+    spark.sql("CREATE OR REPLACE TABLE gcat.db8.r2 AS SELECT url FROM rtas_src LIMIT 10")
+    assert(spark.sql("SELECT count(*) FROM gcat.db8.r2").head().getLong(0) === 10L)
+    // REPLACE of a missing table is refused
+    intercept[AnalysisException] {
+      spark.sql("REPLACE TABLE gcat.db8.nope AS SELECT url FROM rtas_src")
+    }
+
+    // a CTAS whose query FAILS at execution aborts: no directory survives
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db8.boom AS SELECT CASE WHEN length(url) > 0 " +
+        "THEN raise_error('boom') ELSE url END AS url FROM rtas_src")
+    }
+    assert(!new java.io.File(s"$warehouse/db8/boom").exists())
+    intercept[AnalysisException] { spark.sql("SELECT * FROM gcat.db8.boom").collect() }
+    // an EMPTY create is refused loudly (a fresh manifest needs first rows);
+    // nothing is left behind
+    val exE = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.db8.empty AS SELECT url FROM rtas_src WHERE 1 = 0")
+    }
+    assert(exE.getMessage.contains("zero rows") ||
+      (exE.getCause != null && exE.getCause.getMessage.contains("zero rows")))
+    assert(!new java.io.File(s"$warehouse/db8/empty").exists())
+    // but an empty REPLACE of a file-tracked table is a legal snapshot
+    spark.sql("REPLACE TABLE gcat.db8.r2 AS SELECT url FROM rtas_src WHERE 1 = 0")
+    assert(spark.sql("SELECT count(*) FROM gcat.db8.r2").head().getLong(0) === 0L)
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves the schema; committed rows null-fill") {
+    val d = WebDocGen.dataset(spark, 120, 4).toDF()
+    d.createOrReplaceTempView("alter_src")
+    spark.sql("CREATE TABLE gcat.db9.a1 TBLPROPERTIES('blockSize'='64') " +
+      "AS SELECT url, lang FROM alter_src")
+    spark.sql("ALTER TABLE gcat.db9.a1 ADD COLUMNS (score BIGINT)")
+    // the evolved schema is visible and every committed row reads NULL
+    assert(spark.table("gcat.db9.a1").schema.fieldNames.toSeq
+      === Seq("url", "lang", "score"))
+    assert(spark.sql("SELECT count(*) FROM gcat.db9.a1 WHERE score IS NULL")
+      .head().getLong(0) === 120L)
+    // later INSERTs carry real values alongside the null-filled era
+    spark.sql("INSERT INTO gcat.db9.a1 " +
+      "SELECT concat(url, '#n'), lang, 7 FROM alter_src LIMIT 10")
+    assert(spark.sql("SELECT count(*) FROM gcat.db9.a1 WHERE score = 7")
+      .head().getLong(0) === 10L)
+    assert(spark.sql("SELECT count(*) FROM gcat.db9.a1").head().getLong(0) === 130L)
+    // NOT NULL adds, renames, drops, retypes are refused (they would orphan
+    // or invent committed data) — and refusal leaves the schema untouched
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db9.a1 ADD COLUMNS (nn BIGINT NOT NULL)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db9.a1 RENAME COLUMN lang TO language")
+    }
+    intercept[Exception] { spark.sql("ALTER TABLE gcat.db9.a1 DROP COLUMN lang") }
+    assert(spark.table("gcat.db9.a1").schema.fieldNames.toSeq
+      === Seq("url", "lang", "score"))
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF time travel through SQL") {
+    val d = WebDocGen.dataset(spark, 160, 4).toDF()
+    val base = d.filter(pmod(xxhash64(col("url")), lit(2)) === 0)
+    val added = d.filter(pmod(xxhash64(col("url")), lit(2)) === 1)
+    val dir = s"$warehouse/db10/tt"
+    EncodePipeline.run(base, "url", dir, partitions = 2, blockSize = 64)     // gen 0
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(30) // separate the two commits' manifest mtimes
+    assert(EncodePipeline.appendCommit(added, "url", dir, 2, 64, batchId = 1L)) // gen 1
+    // snapshots carry their commit instants, in order
+    val snaps = spark.sql(
+      "SELECT gen, committed_at FROM gcat.db10.tt.snapshots ORDER BY gen").collect()
+    assert(snaps.length === 2 && snaps.forall(_.getTimestamp(1) != null))
+    assert(snaps(0).getTimestamp(1).getTime < snaps(1).getTimestamp(1).getTime)
+    // VERSION AS OF: generation number and named tag both resolve
+    assert(spark.sql("SELECT count(*) FROM gcat.db10.tt VERSION AS OF 0")
+      .head().getLong(0) === base.count())
+    EncodePipeline.createTag(spark, dir, "v0", gen = 0)
+    assert(spark.sql("SELECT count(*) FROM gcat.db10.tt VERSION AS OF 'v0'")
+      .head().getLong(0) === base.count())
+    // TIMESTAMP AS OF: an instant between the commits sees only the base
+    assert(spark.sql("SELECT count(*) FROM gcat.db10.tt " +
+        s"TIMESTAMP AS OF timestamp_millis(${tMid}L)").head().getLong(0)
+      === base.count())
+    assert(spark.sql("SELECT count(*) FROM gcat.db10.tt " +
+        s"TIMESTAMP AS OF timestamp_millis(${System.currentTimeMillis()}L)")
+      .head().getLong(0) === d.count())
+    // the pathed connector takes the same instant as an option
+    assert(spark.read.format("graft").option("timestampAsOf", tMid.toString)
+      .load(dir).count() === base.count())
+    // an instant before the first commit fails loudly
+    val ex = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gcat.db10.tt " +
+        "TIMESTAMP AS OF timestamp_millis(1000)").collect()
+    }
+    assert(ex.getMessage.contains("no commit") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("no commit")))
+  }
 }
