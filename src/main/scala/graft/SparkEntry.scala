@@ -345,6 +345,34 @@ object SparkEntry {
           col("n_nulls"), col("v_min"), col("v_max"), col("v_sum"))
         .orderBy(col("column_name"))
     }),
+    "q_ndv" -> ((s, dir) => {
+      // Manifest NDV sketches (Iceberg Puffin theta-sketch parity, at the
+      // manifest grain): encode documents, then answer per-column distinct
+      // counts from the manifest's KMV sketches ONLY — tableStats opens
+      // zero data files. Low-cardinality columns stay below the sketch's
+      // K=1024 → EXACT, pinned against DuckDB count(DISTINCT); columns
+      // that may saturate K at scale pin the estimator's 10% accuracy
+      // contract instead of the estimate; FSST text is unenumerable by
+      // design (no metadata-time decompression) → NDV NULL, never a guess.
+      val d = tbl(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_ndv_q").toFile
+      out.deleteOnExit()
+      EncodePipeline.run(d, "doc_id", out.getAbsolutePath, partitions = 8, blockSize = 1024)
+      val st = EncodePipeline.tableStats(s, out.getAbsolutePath, d.schema)
+      val truth = d.agg(countDistinct(col("doc_id")).as("t_id"),
+        countDistinct(col("n_chars")).as("t_nc")).head()
+      val pinned = st.filter(col("column").isin("lang", "source", "text"))
+        .select(col("column").as("column_name"), col("n_distinct").as("ndv"),
+          col("distinct_exact").as("ndv_exact"))
+      def estOk(name: String, t: Long) = st.filter(col("column") === name)
+        .select(lit(name + "_est_ok").as("column_name"),
+          when(abs(col("n_distinct") - t) * 10 <= t, 1L).otherwise(0L)
+            .cast("long").as("ndv"),
+          lit(null).cast("boolean").as("ndv_exact"))
+      pinned.unionAll(estOk("doc_id", truth.getLong(0)))
+        .unionAll(estOk("n_chars", truth.getLong(1)))
+        .orderBy(col("column_name"))
+    }),
     "q_v2_scan" -> ((s, dir) => {
       // the DataSource V2 connector end-to-end, as SQL users consume the
       // engine: write via df.write.format("graft") (pipeline commit under
@@ -1822,6 +1850,15 @@ object SparkEntry {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "min(lang) AS min_lang, max(lang) AS max_lang, TRUE AS shared_used " +
         "FROM documents GROUP BY source ORDER BY source"),
+    "q_ndv" ->
+      ("SELECT * FROM (" +
+        "SELECT 'lang' AS column_name, CAST(count(DISTINCT lang) AS BIGINT) AS ndv, " +
+        "TRUE AS ndv_exact FROM documents " +
+        "UNION ALL SELECT 'source', CAST(count(DISTINCT source) AS BIGINT), TRUE FROM documents " +
+        "UNION ALL SELECT 'text', CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN) " +
+        "UNION ALL SELECT 'doc_id_est_ok', CAST(1 AS BIGINT), CAST(NULL AS BOOLEAN) " +
+        "UNION ALL SELECT 'n_chars_est_ok', CAST(1 AS BIGINT), CAST(NULL AS BOOLEAN)" +
+        ") ORDER BY column_name"),
     "q_stats_agg" ->
       ("WITH d AS (SELECT doc_id, text, lang, source, " +
         "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars FROM documents) " +

@@ -656,13 +656,17 @@ object Codecs {
   /** 64-bit content hash (splitmix-mixed 8-byte words) for ndv estimation
     * (and [[Bloom]] membership hashing — the two must agree forever: bloom
     * bits written at encode time are probed by later readers). */
-  @inline private[core] def hash64(b: Array[Byte]): Long = {
-    var h = 0x9e3779b97f4a7c15L ^ b.length
+  @inline private[core] def hash64(b: Array[Byte]): Long = hash64Range(b, 0, b.length)
+
+  /** [[hash64]] over a slice — bit-identical to hashing the copied range, so
+    * view-based consumers (Kmv over StrView) and copy-based ones agree. */
+  @inline private[core] def hash64Range(b: Array[Byte], off: Int, len: Int): Long = {
+    var h = 0x9e3779b97f4a7c15L ^ len
     var i = 0
-    while (i + 8 <= b.length) { h = Bits.mix(h ^ Bits.loadLongLE(b, i)); i += 8 }
-    if (i < b.length) {
+    while (i + 8 <= len) { h = Bits.mix(h ^ Bits.loadLongLE(b, off + i)); i += 8 }
+    if (i < len) {
       var w = 0L; var k = 0
-      while (i + k < b.length) { w |= (b(i + k) & 0xffL) << (k * 8); k += 1 }
+      while (i + k < len) { w |= (b(off + i + k) & 0xffL) << (k * 8); k += 1 }
       h = Bits.mix(h ^ w)
     }
     h

@@ -569,6 +569,31 @@ case class BlobBloom(child: Expression)
     copy(child = newChild)
 }
 
+/** Build a [[graft.core.Kmv]] distinct-count sketch over a blob's non-null
+  * values — the `ndv_sketch` manifest column written at encode time (the
+  * analog of the DataSketches theta sketches Iceberg persists in Puffin
+  * files for engine CBO). Null when the block's values are not locally
+  * enumerable without a symbol-table decompression pass (shared-dict codes,
+  * FSST/raw text) — aggregation treats null as poison ("NDV unknowable"). */
+case class BlobNdvSketch(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "blob_ndv_sketch"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeChecks.expect(child.dataType == BinaryType,
+      s"blob_ndv_sketch expects binary blob, got ${child.dataType.simpleString}")
+  override def nullSafeEval(input: Any): Any =
+    graft.core.Kmv.ofBlob(input.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.core.Kmv.ofBlob($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): BlobNdvSketch =
+    copy(child = newChild)
+}
+
 /** Bloom membership probe: FALSE proves the value is absent from the block;
   * TRUE means "maybe". Standard null propagation — readers wrap with
   * coalesce(..., true) so blocks without filters (mixed-era files,

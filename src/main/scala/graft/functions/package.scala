@@ -55,6 +55,9 @@ package object functions {
   /** FALSE proves absence; wrap with coalesce(.., lit(true)) when the filter
     * column may be null (mixed-era files). Probe doubles via double_bits. */
   def bloom_maybe(bm: Column, v: Column): Column = toCol(BloomMaybe(toExpr(bm), toExpr(v)))
+  /** per-block KMV distinct-count sketch (null = NDV unknowable locally:
+    * shared-dict / FSST / raw codecs — see [[graft.core.Kmv.ofBlob]]). */
+  def blob_ndv_sketch(blob: Column): Column = toCol(BlobNdvSketch(toExpr(blob)))
   /** Morton clustering key over 1–8 bigint columns, normalized against the
     * supplied per-column [lo, hi] value bounds — sort by it
     * (EncodePipeline.rewriteSorted / rewriteZOrdered, which derives the

@@ -573,7 +573,12 @@ object EncodePipeline {
         // columns. blob_range stays the pruning zone map (representable
         // bounds, era-stable semantics); these serve min/max/sum/count.
         (if (p.kind == 'l') blob_stats(col("e_" + p.name)) else nullStats).as("st"),
-        blob_null_count(col("e_" + p.name)).as("nulls"))
+        blob_null_count(col("e_" + p.name)).as("nulls"),
+        // NDV sketch per block (Iceberg Puffin theta-sketch parity at our
+        // manifest grain); null = unknowable → coalesced to explicit poison
+        // so the merge can distinguish it from an Aggregator-skipped row
+        coalesce(blob_ndv_sketch(col("e_" + p.name)),
+          lit(graft.core.Kmv.poison)).as("ndv"))
     }
     // string upper bounds: a null block hi (upper-truncation impossible)
     // means unbounded above and must dominate the part max — max() would
@@ -604,7 +609,15 @@ object EncodePipeline {
         when(hiUnbounded, lit(null).cast(BinaryType)).otherwise(max(col("c.rng_s.hi"))).as("str_hi"),
         // Iceberg null_value_counts parity: exact per-(part, column) null
         // count from the null-wrapper bitmap headers (no payload decode)
-        sum(col("c.nulls")).as("null_value_count"))
+        sum(col("c.nulls")).as("null_value_count"),
+        // per-(part, column) KMV distinct sketch (union of the block
+        // sketches); the 1-byte poison marker — some block was unenumerable,
+        // NDV unknown — lands as SQL NULL in the manifest
+        graft.functions.KmvMerge.of(col("c.ndv")).as("ndv_sketch_raw"))
+      .withColumn("ndv_sketch",
+        when(octet_length(col("ndv_sketch_raw")) <= 1, lit(null).cast(BinaryType))
+          .otherwise(col("ndv_sketch_raw")))
+      .drop("ndv_sketch_raw")
   }
 
   /** resumable multi-wave run: encode + write data, then commit metadata.
@@ -3151,6 +3164,20 @@ object EncodePipeline {
       (if (hasStats) sum(coalesce(col("value_count"), lit(0L)))
        else lit(null).cast(LongType)).as("v_cnt")
     ).collect()
+    // table-wide NDV: union the per-(part, column) KMV sketches. A null
+    // sketch row (unenumerable blocks, or rows carried forward from before
+    // the sketch era) poisons its column — unknown must never undercount.
+    // Absent-era rows (schema evolution) decode as all-null and contribute
+    // zero distinct values, so merging only the rows that exist is exact.
+    val ndvByCol: Map[String, (Long, Boolean)] =
+      if (!meta.columns.contains("ndv_sketch")) Map.empty
+      else meta.filter(col("column").isNotNull).groupBy(col("column"))
+        .agg(graft.functions.KmvMerge.of(
+          coalesce(col("ndv_sketch"), lit(graft.core.Kmv.poison))).as("sk"))
+        .collect().flatMap { r =>
+          Option(graft.core.Kmv.estimate(r.getAs[Array[Byte]]("sk")))
+            .map(e => r.getString(0) -> e)
+        }.toMap
     // totals per part: the widest column's row count (schema evolution can
     // leave a later-added column covering only a suffix of a part's commits)
     val partTotal = perPC.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(2)).max).toMap
@@ -3190,7 +3217,12 @@ object EncodePipeline {
              }
            })
         }
-      org.apache.spark.sql.Row(p.name, totalRows, nValues, nullsTotal, vMin, vMax, vSum)
+      val (nd, ndExact): (Any, Any) = ndvByCol.get(p.name) match {
+        case Some((e, ex)) => (java.lang.Long.valueOf(e), java.lang.Boolean.valueOf(ex))
+        case None => (null, null)
+      }
+      org.apache.spark.sql.Row(p.name, totalRows, nValues, nullsTotal, vMin, vMax, vSum,
+        nd, ndExact)
     }
     val schema = StructType(Seq(
       StructField("column", StringType, nullable = false),
@@ -3199,7 +3231,12 @@ object EncodePipeline {
       StructField("n_nulls", LongType, nullable = false),
       StructField("v_min", LongType, nullable = true),
       StructField("v_max", LongType, nullable = true),
-      StructField("v_sum", LongType, nullable = true)))
+      StructField("v_sum", LongType, nullable = true),
+      // NDV from the merged manifest sketches: exact below the sketch's K
+      // (n_distinct IS the distinct count), ~3% KMV estimate above it;
+      // null = unknown (unenumerable blocks or pre-sketch-era rows)
+      StructField("n_distinct", LongType, nullable = true),
+      StructField("distinct_exact", BooleanType, nullable = true)))
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 

@@ -214,8 +214,19 @@ object GraftMetaTable {
       StructField("file", StringType, nullable = false)))
     case "manifest" =>
       SparkSession.active.read.option("mergeSchema", "true").parquet(s"$outDir/meta").schema
+    case "stats" => StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_values", LongType, nullable = false),
+      StructField("n_nulls", LongType, nullable = false),
+      StructField("v_min", LongType, nullable = true),
+      StructField("v_max", LongType, nullable = true),
+      StructField("v_sum", LongType, nullable = true),
+      StructField("n_distinct", LongType, nullable = true),
+      StructField("distinct_exact", org.apache.spark.sql.types.BooleanType,
+        nullable = true)))
     case other => throw new IllegalArgumentException(
-      s"""unknown metadata table "$other" — one of snapshots, files, manifest""")
+      s"""unknown metadata table "$other" — one of snapshots, files, manifest, stats""")
   }
 }
 
@@ -244,6 +255,15 @@ class GraftMetaTable(outDir: String, which: String, metaSchema: StructType)
                   fs.toDF("part", "file")
                 case "manifest" =>
                   spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+                case "stats" =>
+                  // scan-free per-column aggregates + NDV, straight off the
+                  // manifest (throws loudly under live delete vectors or
+                  // pre-stats-era rows — stale answers are never served)
+                  EncodePipeline.tableStats(spark, outDir,
+                    EncodePipeline.readSchemaFile(spark, outDir).getOrElse(
+                      throw new IllegalStateException(
+                        s"$outDir has no schema.json — stats table needs a " +
+                        "self-describing (schema-persisted) graft table")))
               }
               df.select(metaSchema.fieldNames
                 .map(org.apache.spark.sql.functions.col).toSeq: _*).rdd
@@ -1186,9 +1206,22 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
       }).valuesIterator.map(_.foldLeft(0L)((s, x) => s + java.lang.Integer.bitCount(x & 0xff))).sum
       val rows = live.map(_.getLong(1)).sum - deleted
       val bytes = live.map(_.getLong(2)).sum
+      // column-level CBO statistics (SPARK-41378 V2 column stats): NDV from
+      // the manifest's KMV sketches (Iceberg Puffin parity), null counts and
+      // long min/max from the exact per-part stats columns. Only computed
+      // when the optimizer will actually read them (spark.sql.cbo.enabled) —
+      // planning stays one collect() otherwise. Live delete vectors make
+      // these slight over-counts; CBO stats are estimates by contract.
+      val colStats: java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        if (!spark.conf.get("spark.sql.cbo.enabled", "false").toBoolean)
+          java.util.Collections.emptyMap()
+        else buildColumnStats(meta, live.map(_.getLong(1)).sum)
       new Statistics {
         override def sizeInBytes(): OptionalLong = OptionalLong.of(math.max(bytes, 1L))
         override def numRows(): OptionalLong = OptionalLong.of(math.max(rows, 0L))
+        override def columnStats(): java.util.Map[NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
       }
     } catch {
       case _: Exception => new Statistics {
@@ -1196,6 +1229,65 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
         override def numRows(): OptionalLong = OptionalLong.empty()
       }
     }
+  }
+
+  /** per-column Statistics.columnStats() from the manifest alone: one grouped
+    * aggregation over the (plan-time-surviving) manifest rows. A column whose
+    * sketch merged to poison reports no distinctCount; a column with
+    * unknown-era null counts reports no nullCount; min/max only for long-kind
+    * columns (Catalyst long-backed types — Long/Timestamp/Date internals). */
+  private def buildColumnStats(meta: org.apache.spark.sql.DataFrame, liveRows: Long):
+      java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.functions.{col, sum, min, max, when, coalesce, lit}
+    val metaLive = survivors match {
+      case Some(s) => meta.filter(col("__part").isin(s.toSeq: _*))
+      case None => meta
+    }
+    val hasNulls = meta.columns.contains("null_value_count")
+    val hasStats = meta.columns.contains("value_min")
+    val hasNdv = meta.columns.contains("ndv_sketch")
+    val nullL = lit(null).cast(LongType)
+    val rowsArr = metaLive.filter(col("column").isNotNull).groupBy(col("column")).agg(
+      sum(col("rows")).as("covered"),
+      (if (hasNulls) sum(when(col("null_value_count").isNull, 1L).otherwise(0L)) else lit(1L)).as("unk"),
+      (if (hasNulls) sum(coalesce(col("null_value_count"), lit(0L))) else nullL).as("nulls"),
+      (if (hasStats) min(col("value_min")) else nullL).as("vmin"),
+      (if (hasStats) max(col("value_max")) else nullL).as("vmax"),
+      (if (hasNdv)
+        graft.functions.KmvMerge.of(coalesce(col("ndv_sketch"), lit(graft.core.Kmv.poison)))
+       else lit(null).cast(BinaryType)).as("sk")
+    ).collect()
+    val kinds = EncodePipeline.plan(tableSchema).map(p => p.name -> p.kind).toMap
+    val out = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    rowsArr.foreach { r =>
+      val name = r.getString(0)
+      if (kinds.contains(name)) {
+        val covered = r.getLong(1)
+        val ndvEst = Option(graft.core.Kmv.estimate(r.getAs[Array[Byte]]("sk")))
+        val nullCnt: Option[Long] =
+          if (r.getLong(2) == 0L) Some(r.getLong(3) + (liveRows - covered)) else None
+        val isLong = kinds(name) == 'l'
+        val vMin = if (isLong && !r.isNullAt(4)) Some(r.getLong(4)) else None
+        val vMax = if (isLong && !r.isNullAt(5)) Some(r.getLong(5)) else None
+        if (ndvEst.nonEmpty || nullCnt.nonEmpty || vMin.nonEmpty)
+          out.put(Expressions.column(name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                ndvEst.map(e => OptionalLong.of(e._1)).getOrElse(OptionalLong.empty())
+              override def nullCount(): OptionalLong =
+                nullCnt.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              override def min(): java.util.Optional[Object] =
+                vMin.map(v => java.util.Optional.of(java.lang.Long.valueOf(v): Object))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                vMax.map(v => java.util.Optional.of(java.lang.Long.valueOf(v): Object))
+                  .getOrElse(java.util.Optional.empty[Object]())
+            })
+      }
+    }
+    out
   }
 }
 

@@ -321,6 +321,37 @@ class EncodePipelineSpec extends SparkTestBase {
     assert(st2("score").getLong(2) === exp.getLong(1) - zeroes)
   }
 
+  test("manifest NDV sketches: exact for enumerable columns, ~3% above K, poisoned for text") {
+    val docs = WebDocGen.dataset(spark, 3000, 4).toDF()
+      .withColumn("score", pmod(xxhash64(col("url")), lit(37)).cast("long")) // 37 distinct
+      .withColumn("id", xxhash64(col("url"))) // ~3000 distinct, saturates K=1024
+    val out = tmpDir()
+    EncodePipeline.run(docs, "url", out, partitions = 4, blockSize = 256)
+    val st = EncodePipeline.tableStats(spark, out, docs.schema)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def ndv(c: String): (Long, Boolean) = (st(c).getLong(7), st(c).getBoolean(8))
+    // low-cardinality long and dict-coded string: EXACT
+    val expScore = docs.select(countDistinct(col("score"))).head().getLong(0)
+    assert(ndv("score") === ((expScore, true)))
+    val expLang = docs.select(countDistinct(col("lang"))).head().getLong(0)
+    assert(ndv("lang") === ((expLang, true)))
+    // saturated long column: KMV estimate within 10% of truth, flagged inexact
+    val expId = docs.select(countDistinct(col("id"))).head().getLong(0)
+    val (estId, exactId) = ndv("id")
+    assert(!exactId)
+    assert(math.abs(estId - expId).toDouble / expId < 0.10, s"id ndv est $estId vs $expId")
+    // FSST/raw text blocks are unenumerable → NDV unknown (null), never a guess
+    assert(st("text").isNullAt(7) && st("text").isNullAt(8))
+    // appends keep sketches mergeable: NDV reflects the union after a commit
+    val more = WebDocGen.dataset(spark, 3000, 4).toDF()
+      .withColumn("score", pmod(xxhash64(col("url")), lit(37)).cast("long") + 100L)
+      .withColumn("id", xxhash64(col("url")) + 1L)
+    EncodePipeline.appendCommit(more, "url", out, 4, 256)
+    val st2 = EncodePipeline.tableStats(spark, out, docs.schema)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(st2("score").getLong(7) === 2 * expScore && st2("score").getBoolean(8))
+  }
+
   test("part-level value_sum overflow: stats decline, min/max/count stay exact") {
     // ~5000 rows/part of ~2e15 values: each 4096-block sum fits a long
     // (8.2e18) but the per-part total (1e19) overflows — the exact case a

@@ -130,6 +130,18 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[AnalysisException] {
       spark.sql("SELECT * FROM gcat.db5.nope.snapshots").collect()
     }
+    // .stats = scan-free per-column aggregates + manifest NDV as SQL
+    val st = spark.sql(
+      "SELECT column, n_rows, n_distinct, distinct_exact FROM gcat.db5.t5.stats " +
+      "WHERE column = 'lang'").head()
+    assert(st.getLong(1) === 140L)
+    val expLang = d.select(org.apache.spark.sql.functions.countDistinct(
+      org.apache.spark.sql.functions.col("lang"))).head().getLong(0)
+    assert(st.getLong(2) === expLang && st.getBoolean(3))
+    // poisoned (FSST) text column: NDV honestly unknown
+    val tx = spark.sql(
+      "SELECT n_distinct FROM gcat.db5.t5.stats WHERE column = 'text'").head()
+    assert(tx.isNullAt(0))
   }
 
   test("db.t.changes reads the per-commit changelog as a SQL identifier") {

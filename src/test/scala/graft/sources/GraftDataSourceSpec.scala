@@ -224,6 +224,37 @@ class GraftDataSourceSpec extends SparkTestBase {
       stats.sizeInBytes.toLong < 10L * 1024 * 1024 * 1024)
   }
 
+  test("CBO column statistics: manifest NDV sketches feed the V2 scan") {
+    val d = docs(600)
+    val out = tmpDir()
+    EncodePipeline.run(d, "url", out, partitions = 4, blockSize = 256)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val scan = scanOf(spark.read.format("graft").load(out)).get
+      val cs = scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().columnStats()
+      import scala.jdk.CollectionConverters._
+      val byName = cs.asScala.map { case (k, v) => k.fieldNames().mkString(".") -> v }.toMap
+      // dict-shaped string: sketch stays under K → distinctCount is EXACT
+      val expLang = d.select(countDistinct(col("lang"))).head().getLong(0)
+      assert(byName("lang").distinctCount().getAsLong === expLang)
+      assert(byName("lang").nullCount().getAsLong === 0L)
+      // long-kind column carries the attained manifest min/max
+      val ts = byName("warc_ts")
+      assert(ts.min().isPresent && ts.max().isPresent)
+      assert(ts.min().get().asInstanceOf[java.lang.Long] <=
+        ts.max().get().asInstanceOf[java.lang.Long])
+      // FSST text merged to poison: the scan must CLAIM nothing, not guess
+      assert(!byName.get("text").exists(_.distinctCount().isPresent))
+      // CBO off (the default): planning pays zero extra manifest aggregation
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      val csOff = scanOf(spark.read.format("graft").load(out)).get
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics().columnStats()
+      assert(csOff.isEmpty)
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
   test("write path: save/append/overwrite modes land pipeline commits") {
     val d = docs(500)
     val out = tmpDir() + "/t1"
