@@ -2608,6 +2608,7 @@ object EncodePipeline {
     val foldC = if (has("dv_folded")) coalesce(col("dv_folded"), lit(false)) else lit(false)
     val dvC = if (has("txn")) col("txn").isNotNull && !rbC && !foldC else lit(false)
     val owC = if (has("overwrite")) coalesce(col("overwrite"), lit(false)) else lit(false)
+    val anC = if (has("analyzed")) coalesce(col("analyzed"), lit(false)) else lit(false)
     val bidC = if (has("batch_id")) col("batch_id") else lit(null).cast("long")
     val filesC = if (has("data_files")) size(coalesce(col("data_files"),
       array().cast("array<string>"))) else lit(0)
@@ -2619,6 +2620,7 @@ object EncodePipeline {
         max(dvC.cast("int")).as("dv"),
         max(addC.cast("int")).as("add"),
         max(owC.cast("int")).as("ow"),
+        max(anC.cast("int")).as("an"),
         max(bidC).as("batch_id"))
     // sizes come from ONE representative column per generation — every
     // column of a commit's part carries the same `rows` and file list, so
@@ -2642,6 +2644,7 @@ object EncodePipeline {
           .when(col("dv") === 1, lit("delete"))
           .when(col("ow") === 1, lit("overwrite"))
           .when(col("add") === 1, lit("append"))
+          .when(col("an") === 1, lit("analyze"))
           .when(col("__g") === 0, lit("base"))
           .otherwise(lit("rewrite")))
       .select(col("__g").as("gen"), col("kind"),
@@ -3120,6 +3123,96 @@ object EncodePipeline {
   def survivingPartsIsNull(spark: SparkSession, outDir: String, column: String): Array[Int] = {
     val meta = readMeta(spark, outDir)
     isNullSurvivors(meta, column).collect().map(_.getInt(0)).sorted
+  }
+
+  /** ANALYZE TABLE (the Iceberg compute-table-stats / rewrite-manifests
+    * upgrade pattern): re-derive every manifest statistics column — zone-map
+    * value/string bounds, exact attained value stats, null counts, NDV
+    * sketches — for the table's CURRENT rows by re-reading the committed
+    * block files, WITHOUT touching a data byte, and commit the refreshed
+    * rows as ONE replacing generation (a metadata-only snapshot, kind
+    * "analyze" in the history). This is the upgrade path for tables whose
+    * commits predate a statistics column (null counts r4, exact value stats
+    * r5, ndv_sketch r5-final): [[tableStats]] refuses pre-era rows rather
+    * than undercount; analyze recomputes them in place — compact() is no
+    * longer the only upgrade, and unlike compact it preserves the exact
+    * on-disk layout (block boundaries, clustering, bloom siblings).
+    *
+    * Semantics and edges:
+    *   - data files are re-listed verbatim, so vacuum reclaims nothing and
+    *     live merge-on-read delete vectors keep applying (they key on the
+    *     unchanged files; manifest stats stay "as stored", the same contract
+    *     every commit writes — tableStats' live-vector refusal is about
+    *     serving, not storing);
+    *   - multi-commit parts collapse to one row per (part, column), like a
+    *     compaction's manifest does; batch replay detection is unaffected
+    *     because appendCommit checks the RAW manifest, where the old
+    *     batch-tagged rows remain;
+    *   - rows analyze cannot recompute — untracked (pre-data_files era)
+    *     parts, tombstoned-empty parts, manifest columns absent from the
+    *     current schema — carry forward VERBATIM at the new generation;
+    *   - time travel below the analyze generation sees the old rows.
+    * Returns the new generation, or the current one when there is nothing
+    * readable to analyze. */
+  def analyzeTable(spark: SparkSession, outDir: String): Int = {
+    val schema = readSchemaFile(spark, outDir).getOrElse(throw new IllegalStateException(
+      s"analyzeTable($outDir): no schema.json — only self-describing tables analyze"))
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    val maxG = if (raw.columns.contains("gen"))
+      raw.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0
+    if (!raw.columns.contains("data_files")) return maxG // nothing tracked
+    val t0 = System.currentTimeMillis()
+    val cur = readMeta(spark, outDir).filter(col("__part") >= 0)
+    val tracked = cur.filter(col("data_files").isNotNull && size(col("data_files")) > 0)
+    val files = tracked.select(explode(col("data_files")).as("f")).distinct()
+      .collect().map(r => s"$outDir/data/${fileSuffix(r.getString(0))}")
+    if (files.isEmpty) return maxG
+    // driver-side kernels (same single-JVM pattern as the metadata job):
+    // shared-dictionary blobs need the registry for their string bounds
+    try Codecs.registerDicts(loadDicts(spark, outDir)) catch { case _: Exception => }
+    val written = spark.read.option("mergeSchema", "true")
+      .option("basePath", s"$outDir/data").parquet(files.toSeq: _*)
+    // only columns that exist in the committed files are recomputable
+    // (ALTER TABLE ADD COLUMNS before any insert leaves no e_ column)
+    val avail = written.columns.toSet
+    val schemaAvail = StructType(schema.fields.filter(f => avail.contains("e_" + f.name)))
+    val nextGen = maxG + 1
+    val refreshed: Option[DataFrame] = if (schemaAvail.isEmpty) None else {
+      val fresh = metadata(written, schemaAvail)
+      // per-part current file list = the union across the part's rows
+      // (every column of a commit carries the same list)
+      val partFiles = tracked.select(col("__part"), explode(col("data_files")).as("f"))
+        .distinct().groupBy(col("__part"))
+        .agg(sort_array(collect_set(col("f"))).as("data_files"))
+      // refresh EXACTLY the (part, column) pairs current today — metadata()
+      // emits rows for every schema column, but a part that predates an
+      // added column has no manifest row for it and must not gain one
+      val pairs = tracked.select(col("__part"), col("column")).distinct()
+      Some(fresh.join(pairs, Seq("__part", "column"), "left_semi")
+        .join(partFiles, Seq("__part"))
+        .withColumn("wave", lit(-1))
+        .withColumn("wall_millis", lit(System.currentTimeMillis() - t0))
+        .withColumn("attempt", lit(1)))
+    }
+    // carried verbatim: untracked/empty rows, plus tracked rows whose
+    // column analyze could not recompute (absent from every data file)
+    val recomputable = schemaAvail.fields.map(_.name).toSet
+    val carried = cur.filter(col("data_files").isNull ||
+      size(col("data_files")) === 0 || !col("column").isin(recomputable.toSeq: _*))
+    val combined0 = refreshed.map(_.unionByName(carried, allowMissingColumns = true))
+      .getOrElse(carried)
+    // scrub inherited commit-kind flags: this generation is an ANALYZE
+    val scrub = Seq("overwrite", "rollback_to", "dv_folded", "txn", "batch_id")
+    val combined = scrub.foldLeft(combined0)((d, c) =>
+      if (d.columns.contains(c))
+        d.withColumn(c, lit(null).cast(d.schema(d.schema.fieldIndex(c)).dataType))
+      else d)
+      .withColumn("gen", lit(nextGen))
+      .withColumn("additive", lit(false))
+      .withColumn("analyzed", lit(true))
+    // one-file append = atomic generation flip
+    combined.repartition(1).write.mode("append").parquet(s"$outDir/meta")
+    nextGen
   }
 
   /** Scan-free table statistics served ENTIRELY from the manifest — no data

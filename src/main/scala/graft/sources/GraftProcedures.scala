@@ -18,6 +18,7 @@ import graft.plans.EncodePipeline
   *   CALL gcat.system.compact(table => 'db.t')
   *   CALL gcat.system.compact_small_files(table => 'db.t', max_small_bytes => 1048576)
   *   CALL gcat.system.vacuum(table => 'db.t')
+  *   CALL gcat.system.analyze(table => 'db.t')  -- recompute manifest stats/NDV
   *   CALL gcat.system.rollback(table => 'db.t', gen => 3)
   *   CALL gcat.system.materialize_deletes(table => 'db.t')
   *   CALL gcat.system.rewrite_sorted(table => 'db.t', sort_cols => 'warc_ts,lang')
@@ -109,6 +110,13 @@ object GraftProcedures {
       StructType(Seq(StructField("files_removed", IntegerType, nullable = false)))) {
       override protected def run(in: InternalRow): InternalRow =
         row(EncodePipeline.vacuum(spark, dirOf(root, in.getUTF8String(0).toString)))
+    },
+    "analyze" -> new Proc("analyze",
+      Seq(Arg("table", StringType)),
+      StructType(Seq(StructField("current_gen", IntegerType, nullable = false)))) {
+      override protected def run(in: InternalRow): InternalRow =
+        row(EncodePipeline.analyzeTable(spark,
+          dirOf(root, in.getUTF8String(0).toString)))
     },
     "rollback" -> new Proc("rollback",
       Seq(Arg("table", StringType), Arg("gen", IntegerType)),

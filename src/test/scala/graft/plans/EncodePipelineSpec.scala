@@ -352,6 +352,57 @@ class EncodePipelineSpec extends SparkTestBase {
     assert(st2("score").getLong(7) === 2 * expScore && st2("score").getBoolean(8))
   }
 
+  test("analyzeTable upgrades pre-stats-era manifests metadata-only") {
+    val docs = WebDocGen.dataset(spark, 1500, 4).toDF()
+    val out = tmpDir()
+    EncodePipeline.run(docs, "url", out, partitions = 4, blockSize = 256)
+    EncodePipeline.appendCommit(docs.limit(300), "url", out, 4, 256, batchId = 7L)
+    // simulate a table committed before the stats/NDV era: strip the newer
+    // manifest columns, as the mixed-era tests do
+    val metaPath = java.nio.file.Paths.get(s"$out/meta")
+    val stripped = spark.read.option("mergeSchema", "true").parquet(metaPath.toString)
+      .drop("null_value_count", "value_min", "value_max", "value_sum",
+        "value_count", "ndv_sketch")
+      .cache()
+    stripped.count()
+    val tmp = tmpDir() + "/meta"
+    stripped.write.parquet(tmp)
+    stripped.unpersist()
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(metaPath)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), metaPath)
+    // pre-era refusal: stats would have to guess
+    intercept[IllegalStateException] {
+      EncodePipeline.tableStats(spark, out, docs.schema).collect()
+    }
+    // ANALYZE: one metadata-only replacing generation; data bytes untouched
+    val filesBefore = EncodePipeline.currentFiles(spark, out).toSet
+    val gen = EncodePipeline.analyzeTable(spark, out)
+    assert(EncodePipeline.currentFiles(spark, out).toSet === filesBefore)
+    val snaps = EncodePipeline.snapshots(spark, out).collect()
+    assert(snaps.last.getInt(0) === gen && snaps.last.getString(1) === "analyze")
+    // stats now serve, exactly — incl. the 300-row append fold-in and NDV
+    val st = EncodePipeline.tableStats(spark, out, docs.schema)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(st("url").getLong(1) === 1800L)
+    val expTs = docs.unionAll(docs.limit(300)).agg(
+      min(unix_micros(col("warc_ts"))), max(unix_micros(col("warc_ts")))).head()
+    assert(st("warc_ts").getLong(4) === expTs.getLong(0))
+    assert(st("warc_ts").getLong(5) === expTs.getLong(1))
+    val expLang = docs.select(countDistinct(col("lang"))).head().getLong(0)
+    assert(st("lang").getLong(7) === expLang && st("lang").getBoolean(8))
+    assert(st("text").isNullAt(7)) // FSST text: still honestly unknown
+    // reads unbroken, round-trip bit-identical; travel below the analyze
+    // generation still resolves (the old rows remain beneath it)
+    val decoded = EncodePipeline.decode(EncodePipeline.readData(spark, out), docs.schema)
+    assert(decoded.count() === 1800L)
+    assert(EncodePipeline.readDataAt(spark, out, gen - 1).count() > 0)
+  }
+
   test("part-level value_sum overflow: stats decline, min/max/count stay exact") {
     // ~5000 rows/part of ~2e15 values: each 4096-block sum fits a long
     // (8.2e18) but the per-part total (1e19) overflows — the exact case a

@@ -87,4 +87,23 @@ class GraftProcedureSpec extends SparkTestBase {
     assert(cat.listProcedures(Array("system")).map(_.name()).toSet
       .contains("compact"))
   }
+
+  test("analyze via CALL recomputes manifest stats as a metadata-only snapshot") {
+    val d = WebDocGen.dataset(spark, 300, 4).toDF()
+    val dir = s"$warehouse/db/t4"
+    EncodePipeline.run(d, "url", dir, partitions = 2, blockSize = 64)
+    val genBefore = EncodePipeline.snapshots(spark, dir)
+      .agg(max(col("gen"))).head().getInt(0)
+    val r = spark.sql("CALL pcat.system.analyze(table => 'db.t4')")
+    assert(r.head().getInt(0) === genBefore + 1)
+    // the analyze generation appears in the SQL history with its own kind
+    val kinds = spark.sql(
+      "SELECT kind FROM pcat.db.t4.snapshots ORDER BY gen").collect().map(_.getString(0))
+    assert(kinds.last === "analyze")
+    // contents unchanged, stats table serves NDV through SQL
+    assert(spark.sql("SELECT count(*) FROM pcat.db.t4").head().getLong(0) === 300L)
+    val ndv = spark.sql(
+      "SELECT n_distinct FROM pcat.db.t4.stats WHERE column = 'lang'").head().getLong(0)
+    assert(ndv === d.select(countDistinct(col("lang"))).head().getLong(0))
+  }
 }
