@@ -373,6 +373,63 @@ object SparkEntry {
         .unionAll(estOk("n_chars", truth.getLong(1)))
         .orderBy(col("column_name"))
     }),
+    "q_analyze" -> ((s, dir) => {
+      // ANALYZE TABLE end-to-end (Iceberg compute-table-stats parity):
+      // encode documents in two commits, strip the manifest's stats/NDV
+      // columns to simulate a table committed before the statistics era
+      // (tableStats refuses such manifests rather than undercount), CALL
+      // system.analyze to recompute them METADATA-ONLY, then serve exact
+      // aggregates + NDV from the manifest alone (zero data files opened).
+      // Pins: the pre-analyze refusal fired, the analyze generation appears
+      // in the snapshot history under its own kind, the data files are
+      // listed verbatim (byte-identical layout), and every recomputed stat
+      // matches DuckDB recomputation from the raw table.
+      val d = tbl(s, dir, "documents")
+      val base = d.filter(pmod(col("doc_id"), lit(4)) < 3)
+      val extra = d.filter(pmod(col("doc_id"), lit(4)) === 3)
+      val wh = java.nio.file.Files.createTempDirectory("graft_analyze_q").toFile
+      wh.deleteOnExit()
+      val t = s"${wh.getAbsolutePath}/db/t"
+      EncodePipeline.run(base, "doc_id", t, partitions = 8, blockSize = 1024)
+      EncodePipeline.appendCommit(extra, "doc_id", t, 8, 1024, batchId = 1L)
+      // strip the stats era in place (same surgery as the mixed-era specs)
+      val metaPath = java.nio.file.Paths.get(s"$t/meta")
+      val stripped = s.read.option("mergeSchema", "true").parquet(metaPath.toString)
+        .drop("null_value_count", "value_min", "value_max", "value_sum",
+          "value_count", "ndv_sketch").cache()
+      stripped.count()
+      val tmp = s"${wh.getAbsolutePath}/meta_tmp"
+      stripped.write.parquet(tmp)
+      stripped.unpersist()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(metaPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), metaPath)
+      val refusedBefore =
+        try { EncodePipeline.tableStats(s, t, d.schema).collect(); false }
+        catch { case _: IllegalStateException => true }
+      val filesBefore = EncodePipeline.currentFiles(s, t).toSet
+      val cat = s"gana_${catalogSeq.incrementAndGet()}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", wh.getAbsolutePath)
+      s.sql(s"CALL $cat.system.analyze(table => 'db.t')").collect()
+      val kindOk = EncodePipeline.snapshots(s, t).collect().last.getString(1) == "analyze"
+      val filesOk = EncodePipeline.currentFiles(s, t).toSet == filesBefore
+      val st = EncodePipeline.tableStats(s, t, d.schema).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val id = st("doc_id"); val nc = st("n_chars"); val lg = st("lang")
+      s.range(1).select(
+        lit(id.getLong(1)).cast("long").as("n_rows"),
+        lit(id.getLong(4)).cast("long").as("min_id"),
+        lit(id.getLong(5)).cast("long").as("max_id"),
+        lit(id.getLong(6)).cast("long").as("sum_id"),
+        lit(nc.getLong(6)).cast("long").as("sum_chars"),
+        lit(lg.getLong(7)).cast("long").as("ndv_lang"),
+        lit(lg.getBoolean(8)).as("ndv_lang_exact"),
+        lit(refusedBefore).as("refused_before"),
+        lit(kindOk).as("kind_analyze"),
+        lit(filesOk).as("files_unchanged"))
+    }),
     "q_v2_scan" -> ((s, dir) => {
       // the DataSource V2 connector end-to-end, as SQL users consume the
       // engine: write via df.write.format("graft") (pipeline commit under
@@ -1220,6 +1277,13 @@ object SparkEntry {
         "CALL qcat.system.materialize_deletes(table => 'db.t')").head().getLong(0)
       val vacuumed = s.sql("CALL qcat.system.vacuum(table => 'db.t')")
         .head().getInt(0)
+      // CALL system.rewrite_manifests: the commit-per-file manifest dir
+      // compacts to ONE file; the final read below must serve identically
+      // off it (history/replay rows verbatim — see rewriteManifests doc)
+      val rwRemoved = s.sql(
+        "CALL qcat.system.rewrite_manifests(table => 'db.t')").head().getInt(0)
+      val oneManifest = new java.io.File(s"${wh.getAbsolutePath}/db/t/meta")
+        .listFiles().count(_.getName.endsWith(".parquet")) == 1
       s.sql("SELECT * FROM qcat.db.t").agg(
         count(lit(1)).cast("long").as("n_rows"),
         sum(col("n_chars")).cast("long").as("sum_chars"),
@@ -1227,7 +1291,8 @@ object SparkEntry {
         max(col("doc_id")).cast("long").as("max_id"),
         lit(folded).cast("long").as("n_folded"),
         lit(packed > 0).as("compact_ok"),
-        lit(vacuumed > 0).as("vacuum_ok"))
+        lit(vacuumed > 0).as("vacuum_ok"),
+        lit(rwRemoved > 0 && oneManifest).as("rewrite_manifests_ok"))
     }),
     "q_update" -> ((s, dir) => {
       // copy-on-write row-level UPDATE end-to-end: encode documents, UPDATE
@@ -1859,6 +1924,15 @@ object SparkEntry {
         "UNION ALL SELECT 'doc_id_est_ok', CAST(1 AS BIGINT), CAST(NULL AS BOOLEAN) " +
         "UNION ALL SELECT 'n_chars_est_ok', CAST(1 AS BIGINT), CAST(NULL AS BOOLEAN)" +
         ") ORDER BY column_name"),
+    "q_analyze" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, " +
+        "CAST(max(doc_id) AS BIGINT) AS max_id, " +
+        "CAST(sum(doc_id) AS BIGINT) AS sum_id, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS ndv_lang, " +
+        "TRUE AS ndv_lang_exact, TRUE AS refused_before, " +
+        "TRUE AS kind_analyze, TRUE AS files_unchanged FROM documents"),
     "q_stats_agg" ->
       ("WITH d AS (SELECT doc_id, text, lang, source, " +
         "CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars FROM documents) " +
@@ -2093,7 +2167,8 @@ object SparkEntry {
         "CAST(min(doc_id) AS BIGINT) AS min_id, " +
         "CAST(max(doc_id) AS BIGINT) AS max_id, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 6 = 3) AS n_folded, " +
-        "TRUE AS compact_ok, TRUE AS vacuum_ok FROM kept"),
+        "TRUE AS compact_ok, TRUE AS vacuum_ok, " +
+        "TRUE AS rewrite_manifests_ok FROM kept"),
     "q_update" ->
       ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 3), " +
         "u AS (SELECT doc_id, " +

@@ -2678,11 +2678,88 @@ object EncodePipeline {
     val mtime: Map[String, Long] = fs.listStatus(metaDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s.getPath.toUri.getPath -> s.getModificationTime).toMap
-    genOfFile.groupBy(_._2).map { case (gen, files) =>
+    val derived = genOfFile.groupBy(_._2).map { case (gen, files) =>
       gen -> files.flatMap { case (f, _) =>
         mtime.get(new org.apache.hadoop.fs.Path(f).toUri.getPath)
       }.foldLeft(0L)(math.max)
     }
+    // a manifest rewrite collapses many commit files into one, so mtimes
+    // below the rewrite point are the REWRITE instant, not the commit's —
+    // the instants persisted at rewrite time override them (gens committed
+    // after the rewrite keep deriving from their own file's mtime)
+    derived ++ readCommitTimesFile(spark, outDir)
+  }
+
+  /** persisted snapshot instants: `outDir/commit_times.json` — written by
+    * [[rewriteManifests]] so TIMESTAMP AS OF survives manifest compaction
+    * (Iceberg keeps snapshot timestamps in table metadata for the same
+    * reason; file mtimes only carry them while one commit = one file). */
+  private def readCommitTimesFile(spark: SparkSession, outDir: String): Map[Int, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/commit_times.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    """"(\d+)"\s*:\s*(\d+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+  }
+
+  private def writeCommitTimesFile(spark: SparkSession, outDir: String,
+                                   times: Map[Int, Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$outDir/commit_times.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    o.write(times.toSeq.sortBy(_._1)
+      .map { case (g, t) => s""""$g": $t""" }.mkString("{", ", ", "}")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    o.close()
+  }
+
+  /** Iceberg rewrite-manifests parity: compact the manifest DIRECTORY.
+    * Every commit is one atomic single-file parquet append under
+    * `outDir/meta`, so a long-lived table accumulates one small file per
+    * commit — and each planning read (readMeta) pays a listing + footer
+    * fetch per file. At fleet scale (thousands of streaming epochs / DML
+    * commits) the manifest listing itself becomes the planning bottleneck;
+    * rewriteManifests re-writes the directory as ONE file holding every
+    * row VERBATIM under the union schema mergeSchema already serves.
+    * Generations, additive flags, marker rows, batch ids, tombstones and
+    * stat/sketch columns are untouched, so time travel, rollback, CDC,
+    * batch-replay detection and the metadata tables see the identical row
+    * set — proven by spec. Unlike compact()/analyzeTable() this writes NO
+    * new generation: pure physical-layout maintenance, invisible to
+    * history. Snapshot INSTANTS are preserved by persisting the current
+    * gen→instant map to `commit_times.json` before the swap (the compacted
+    * file's mtime would otherwise stamp every old commit with the rewrite
+    * time and break TIMESTAMP AS OF).
+    *
+    * Single-writer discipline, like [[vacuum]]: no concurrent commit or
+    * read may overlap the two-rename swap window. Returns the number of
+    * manifest files removed (0 = already compact). */
+  def rewriteManifests(spark: SparkSession, outDir: String): Int = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$outDir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) return 0
+    val before = fs.listStatus(metaPath).count(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet"))
+    if (before <= 1) return 0
+    writeCommitTimesFile(spark, outDir, commitTimes(spark, outDir))
+    val tmp = new org.apache.hadoop.fs.Path(s"$outDir/.meta_rw_tmp")
+    fs.delete(tmp, true)
+    spark.read.option("mergeSchema", "true").parquet(metaPath.toString)
+      .coalesce(1).write.parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(s"$outDir/.meta_rw_old")
+    fs.delete(old, true)
+    require(fs.rename(metaPath, old),
+      s"rewriteManifests: cannot move $metaPath aside")
+    if (!fs.rename(tmp, metaPath)) {
+      fs.rename(old, metaPath) // restore — the table was never without a manifest
+      throw new IllegalStateException(
+        s"rewriteManifests: swap failed for $outDir; original manifest restored")
+    }
+    fs.delete(old, true)
+    before - 1
   }
 
   /** the generation current as of wall-clock `millis` — Delta/Iceberg

@@ -19,6 +19,7 @@ import graft.plans.EncodePipeline
   *   CALL gcat.system.compact_small_files(table => 'db.t', max_small_bytes => 1048576)
   *   CALL gcat.system.vacuum(table => 'db.t')
   *   CALL gcat.system.analyze(table => 'db.t')  -- recompute manifest stats/NDV
+  *   CALL gcat.system.rewrite_manifests(table => 'db.t')  -- compact the manifest dir
   *   CALL gcat.system.rollback(table => 'db.t', gen => 3)
   *   CALL gcat.system.materialize_deletes(table => 'db.t')
   *   CALL gcat.system.rewrite_sorted(table => 'db.t', sort_cols => 'warc_ts,lang')
@@ -116,6 +117,13 @@ object GraftProcedures {
       StructType(Seq(StructField("current_gen", IntegerType, nullable = false)))) {
       override protected def run(in: InternalRow): InternalRow =
         row(EncodePipeline.analyzeTable(spark,
+          dirOf(root, in.getUTF8String(0).toString)))
+    },
+    "rewrite_manifests" -> new Proc("rewrite_manifests",
+      Seq(Arg("table", StringType)),
+      StructType(Seq(StructField("manifests_removed", IntegerType, nullable = false)))) {
+      override protected def run(in: InternalRow): InternalRow =
+        row(EncodePipeline.rewriteManifests(spark,
           dirOf(root, in.getUTF8String(0).toString)))
     },
     "rollback" -> new Proc("rollback",

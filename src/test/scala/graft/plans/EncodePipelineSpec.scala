@@ -403,6 +403,56 @@ class EncodePipelineSpec extends SparkTestBase {
     assert(EncodePipeline.readDataAt(spark, out, gen - 1).count() > 0)
   }
 
+  test("rewriteManifests: one-file manifest, identical history, instants kept") {
+    val docs = WebDocGen.dataset(spark, 1200, 4).toDF()
+    val h = pmod(xxhash64(col("url")), lit(4))
+    val out = tmpDir()
+    EncodePipeline.run(docs.filter(h < 2), "url", out, partitions = 4, blockSize = 256)
+    assert(EncodePipeline.appendCommit(docs.filter(h === 2), "url", out, 4, 256, batchId = 1L))
+    assert(EncodePipeline.appendCommit(docs.filter(h === 3), "url", out, 4, 256, batchId = 2L))
+    val nDel = EncodePipeline.deleteWhereLazy(spark, out, docs.schema, col("lang") === "de")
+    assert(nDel > 0)
+    EncodePipeline.createTag(spark, out, "pre_rw")
+    def state() = {
+      val cur = EncodePipeline.decodeShared(spark, out, docs.schema)
+        .agg(count(lit(1)), sum(length(col("text")))).head()
+      val snaps = EncodePipeline.snapshots(spark, out).collect().map(_.toString).toSeq
+      val times = EncodePipeline.commitTimes(spark, out)
+      val tt = EncodePipeline.readDataAt(spark, out, 1).count()
+      val cdc = EncodePipeline.readChangesBetween(spark, out, docs.schema, 0, 3)
+        .groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      (cur, snaps, times, tt, cdc)
+    }
+    val before = state()
+    val metaDir = new java.io.File(s"$out/meta")
+    def nManifests = metaDir.listFiles().count(_.getName.endsWith(".parquet"))
+    val filesBefore = nManifests
+    assert(filesBefore > 1)
+    val removed = EncodePipeline.rewriteManifests(spark, out)
+    assert(removed === filesBefore - 1)
+    assert(nManifests === 1)
+    assert(state() === before) // rows, history, instants, travel, CDC: identical
+    // replay detection survives: the batch-tagged rows are verbatim
+    assert(!EncodePipeline.appendCommit(docs.filter(h === 2), "url", out, 4, 256, batchId = 1L))
+    // idempotent: already compact
+    assert(EncodePipeline.rewriteManifests(spark, out) === 0)
+    // a post-rewrite commit appends its own file and derives its instant
+    // from that file's mtime, while pre-rewrite instants stay persisted
+    val n2 = EncodePipeline.deleteWhereLazy(spark, out, docs.schema, col("lang") === "fr")
+    assert(n2 > 0)
+    val times2 = EncodePipeline.commitTimes(spark, out)
+    assert(before._3.forall { case (g, t) => times2(g) == t })
+    assert(times2.keys.max > before._3.keys.max)
+    // and a second rewrite folds the new commit in without losing anything
+    assert(EncodePipeline.rewriteManifests(spark, out) === 1)
+    assert(EncodePipeline.commitTimes(spark, out) === times2)
+    assert(EncodePipeline.decodeShared(spark, out, docs.schema).count()
+      === before._1.getLong(0) - n2)
+    // tagged reads still resolve post-rewrite
+    assert(EncodePipeline.readTags(spark, out).contains("pre_rw"))
+  }
+
   test("part-level value_sum overflow: stats decline, min/max/count stay exact") {
     // ~5000 rows/part of ~2e15 values: each 4096-block sum fits a long
     // (8.2e18) but the per-part total (1e19) overflows — the exact case a
