@@ -1072,6 +1072,45 @@ object SparkEntry {
         lit(rb1Ok).as("rb1_ok"),
         lit(vacuumed).as("vacuumed"))
     }),
+    "q_wap" -> ((s, dir) => {
+      // write-audit-publish end-to-end (Iceberg branch refs + fast-forward):
+      // the even half of a pmod-sampled subset is the base table; branch
+      // "audit" stages the odd half as commits INVISIBLE to main readers
+      // (hidden_ok), the audit read sees main + staged (branch_ok), then
+      // fastForward publishes atomically — one marker row, zero data bytes.
+      // travel_ok pins time travel below the marker (the branch stays
+      // hidden in history). The final aggregate over the published table
+      // must equal the FULL subset — the DuckDB oracle recomputes it from
+      // the raw parquet untouched by any branch machinery.
+      val d = tbl(s, dir, "documents").filter(pmod(col("doc_id"), lit(16)) === 9)
+      val base = d.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 0)
+      val staged = d.filter(pmod(xxhash64(col("doc_id")), lit(2)) === 1)
+      val out = java.nio.file.Files.createTempDirectory("graft_wap_q").toFile
+      out.deleteOnExit()
+      val path = out.getAbsolutePath
+      EncodePipeline.run(base, "doc_id", path, partitions = 8, blockSize = 1024)
+      EncodePipeline.createBranch(s, path, "audit")
+      EncodePipeline.appendToBranch(staged, "doc_id", path, 8, "audit",
+        blockSize = 1024, batchId = 1L)
+      val nBase = base.count()
+      val hiddenOk = // staged commits invisible to main readers
+        EncodePipeline.decodeShared(s, path, d.schema).count() == nBase
+      val branchOk = // the audit read sees main + staged
+        s.read.format("graft").option("branch", "audit").load(path)
+          .count() == d.count()
+      val pubGen = EncodePipeline.fastForward(s, path, "audit")
+      val travelOk = // below the marker the branch stays hidden
+        s.read.format("graft").option("gen", (pubGen - 1).toString).load(path)
+          .count() == nBase
+      EncodePipeline.decodeShared(s, path, d.schema).agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        min(col("doc_id")).cast("long").as("min_id"),
+        max(col("doc_id")).cast("long").as("max_id"),
+        lit(hiddenOk).as("hidden_ok"),
+        lit(branchOk).as("branch_ok"),
+        lit(travelOk).as("travel_ok"))
+    }),
     "q_cdc" -> ((s, dir) => {
       // change-data-capture end-to-end: base table (gen 0), append a batch
       // (gen 1 — every commit is its own snapshot), MOR-delete (gen 2),
@@ -2111,6 +2150,13 @@ object SparkEntry {
         "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 5 = 4) AS n_updated, " +
         "(SELECT CAST(count(*) AS BIGINT) FROM s WHERE doc_id % 7 = 1) AS n_deleted, " +
         "TRUE AS rb1_ok, TRUE AS vacuumed FROM s"),
+    "q_wap" ->
+      ("WITH s AS (SELECT * FROM documents WHERE doc_id % 16 = 9) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(min(doc_id) AS BIGINT) AS min_id, " +
+        "CAST(max(doc_id) AS BIGINT) AS max_id, " +
+        "TRUE AS hidden_ok, TRUE AS branch_ok, TRUE AS travel_ok FROM s"),
     "q_cdc" ->
       ("WITH s AS (SELECT * FROM documents WHERE doc_id % 8 = 2), " +
         "ins AS (SELECT * FROM s WHERE doc_id % 3 = 0 AND doc_id % 10 <> 4), " +

@@ -781,12 +781,17 @@ object EncodePipeline {
                    extraMeta: Option[DataFrame] = None /* rows unioned into
                      the SAME single-file manifest append — [[updateWhereLazy]]
                      passes its delete-snapshot marker here so append + delete
-                     commit as ONE atomic snapshot */): Boolean = {
+                     commit as ONE atomic snapshot */,
+                   ref: Option[String] = None /* commit to a BRANCH: rows
+                     stay invisible to main readers until [[fastForward]]
+                     publishes them — [[appendToBranch]] */): Boolean = {
     val spark = df.sparkSession
     val t0 = System.currentTimeMillis()
     val rawMeta = try {
       Some(spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta"))
     } catch { case _: Exception => None }
+    require(ref.isEmpty || rawMeta.nonEmpty,
+      s"branch commit (${ref.getOrElse("")}) needs an existing table at $outDir")
     // replay detection keys on a DEDICATED batch_id column — run()'s wave
     // numbering also starts at 0, so keying on wave would silently drop
     // batch 0 appended to a batch-written table
@@ -838,7 +843,8 @@ object EncodePipeline {
     // ONE single-file manifest append = the commit point: data files above
     // are invisible orphans and any extraMeta delete vectors are inert
     // until this rename lands, so the whole snapshot is atomic
-    commitBatchMeta(spark, outDir, df.schema, newPaths, batchId, t0, rawMeta, extraMeta)
+    commitBatchMeta(spark, outDir, df.schema, newPaths, batchId, t0, rawMeta,
+      extraMeta, ref)
     // a table CREATED by appendCommit (streaming first batch) records its
     // placement. Only when this commit created the table: a pre-spec-era
     // table's placement is unknown (host/custom), so stamping "hash" on it
@@ -856,7 +862,8 @@ object EncodePipeline {
     * point). Kept in one place so the two callers cannot drift. */
   private def commitBatchMeta(spark: SparkSession, outDir: String,
       schema: StructType, files: Seq[String], batchId: Long, t0: Long,
-      rawMeta: Option[DataFrame], extraMeta: Option[DataFrame]): Unit = {
+      rawMeta: Option[DataFrame], extraMeta: Option[DataFrame],
+      ref: Option[String] = None): Unit = {
     val written = spark.read.option("basePath", s"$outDir/data")
       .parquet(files: _*)
     val partFiles = written
@@ -884,6 +891,9 @@ object EncodePipeline {
       rows = rows.withColumn("gen", lit(nextGen))
         .withColumn("additive", lit(true))
     }
+    // branch commits carry their ref: invisible to main readers until a
+    // publish marker covers this generation ([[fastForward]])
+    ref.foreach(b => rows = rows.withColumn("ref", lit(b)))
     extraMeta.map(m => rows.unionByName(m, allowMissingColumns = true))
       .getOrElse(rows)
       // repartition (not coalesce): a 1-way coalesce would serialize the
@@ -909,9 +919,7 @@ object EncodePipeline {
     // phase 1: stage the delete vectors (inert until their marker commits)
     val marker: Option[DataFrame] = if (deletes.nonEmpty) {
       val txn = java.util.UUID.randomUUID().toString
-      val meta = readMeta(spark, outDir)
-      val nextGen = 1 + (if (meta.columns.contains("gen"))
-        meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+      val nextGen = nextGenOf(spark, outDir)
       val spark2 = spark
       import spark2.implicits._
       deletes.toDF("file", "block", "bitmap").withColumn("gen", lit(nextGen))
@@ -1059,8 +1067,7 @@ object EncodePipeline {
         (coalesce(col("nfiles"), lit(0L)) >= minFiles || col("over") === 1))
       .select("__part").collect().map(_.getInt(0)).sorted
     if (cands.isEmpty) return Nil
-    val nextGen = 1 + (if (hasGen)
-      meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+    val nextGen = nextGenOf(spark, outDir)
     val enc = readData(spark, outDir).filter(col("__part").isin(cands.toSeq: _*))
     rewriteBlocks(spark, outDir, sourceSchema, enc, cands.toSeq, blockSize, t0)
       .withColumn("gen", lit(nextGen))
@@ -1209,8 +1216,7 @@ object EncodePipeline {
       .select("__part").collect().map(_.getInt(0))
       .filterNot(partLevel).sorted.toSeq
     if (cands.isEmpty) return Nil
-    val nextGen = 1 + (if (hasGen)
-      meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+    val nextGen = nextGenOf(spark, outDir)
 
     val smallSets = commits
       .filter(isSmall && col("__part").isin(cands: _*))
@@ -1231,8 +1237,8 @@ object EncodePipeline {
     // untouched commits carry forward verbatim at the new generation: same
     // files, same stats, same batch_id (streaming replay detection keeps
     // working); only the packed-away small commits are superseded
-    val kept = tracked.filter(col("__part").isin(cands: _*))
-      .join(smallSets, Seq("__part", "data_files"), "left_anti")
+    val kept = demoteRef(tracked.filter(col("__part").isin(cands: _*))
+      .join(smallSets, Seq("__part", "data_files"), "left_anti"))
       .withColumn("gen", lit(nextGen))
     newRows.unionByName(kept, allowMissingColumns = true)
       .repartition(1).write.mode("append").parquet(s"$outDir/meta")
@@ -1275,8 +1281,7 @@ object EncodePipeline {
     if (byPart.isEmpty) return 0L
     val cands = byPart.map(_._1).toSeq.sorted
     requireFileTracked(meta, cands, "deleteWhere")
-    val nextGen = 1 + (if (hasGen)
-      meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+    val nextGen = nextGenOf(spark, outDir)
     val nDeleted = byPart.map(_._2).sum
     val fullParts = byPart.filter(t => t._2 == t._3).map(_._1).toSeq.sorted
     val liveParts = cands.filterNot(fullParts.toSet)
@@ -1364,8 +1369,7 @@ object EncodePipeline {
     if (byPart.isEmpty) return 0L
     val cands = byPart.map(_._1).toSeq.sorted
     requireFileTracked(meta, cands, "updateWhere")
-    val nextGen = 1 + (if (hasGen)
-      meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+    val nextGen = nextGenOf(spark, outDir)
     val rewritten = decoded(cands)
       .select(col("__part") +: sourceSchema.fields.toSeq.map { f =>
         set.get(f.name) match {
@@ -1409,8 +1413,7 @@ object EncodePipeline {
       .collect().map(_.getInt(0)).toSeq.sorted
     if (cands.isEmpty) return Nil
     requireFileTracked(meta, cands, "rewriteSorted")
-    val nextGen = 1 + (if (hasGen)
-      meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+    val nextGen = nextGenOf(spark, outDir)
     val dicts = (try loadDicts(spark, outDir)
                  catch { case _: Exception => Map.empty[Long, Codecs.DictTable] })
     val dec = decode(readData(spark, outDir), sourceSchema,
@@ -1552,8 +1555,7 @@ object EncodePipeline {
       else upKeys.join(decoded(cands).select(col(key)), Seq(key), "left_semi").count()
     if (byPart.nonEmpty) {
       requireFileTracked(meta, cands, "mergeByKey")
-      val nextGen = 1 + (if (hasGen)
-        meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+      val nextGen = nextGenOf(spark, outDir)
       val survivors = decoded(cands)
         .join(upKeys, Seq(key), "left_anti")
         // anti-join reorders the lead column; restore canonical order
@@ -1671,9 +1673,7 @@ object EncodePipeline {
     val nDel = dv.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
     val marker = if (nDel > 0) {
       val txn = java.util.UUID.randomUUID().toString
-      val meta = readMeta(spark, outDir)
-      val nextGen = 1 + (if (meta.columns.contains("gen"))
-        meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+      val nextGen = nextGenOf(spark, outDir)
       dv.drop("n").withColumn("gen", lit(nextGen))
         .withColumn("txn", lit(txn))
         .write.mode("append").parquet(s"$outDir/deletes")
@@ -1770,6 +1770,16 @@ object EncodePipeline {
     val committed =
       appendCommit(aligned, key, outDir, partitions, blockSize, bid, extraMeta = marker)
     if (committed) (nDel, nSrc - matchedKeys) else (0L, 0L)
+  }
+
+  /** next generation for a new commit: 1 + the RAW manifest maximum.
+    * Allocation must NOT use the visible view ([[readMeta]]): unpublished
+    * branch commits and marker rows hold generations the view hides, and a
+    * colliding allocation would corrupt publish windows and time travel. */
+  private def nextGenOf(spark: SparkSession, outDir: String): Int = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    1 + (if (raw.columns.contains("gen"))
+      raw.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
   }
 
   /** one zero-file manifest row that advances the table generation without
@@ -2018,8 +2028,7 @@ object EncodePipeline {
     val liveParts = survivors.select("__part").distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     val fullParts = cands.filterNot(liveParts.toSet)
-    val nextGen = 1 + (if (hasGen)
-      meta.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
+    val nextGen = nextGenOf(spark, outDir)
     val newRows = if (liveParts.isEmpty) None else {
       val encOut = encode(survivors, key, math.max(1, liveParts.length),
         blockSize, partExpr = Some(col("__part")))
@@ -2049,11 +2058,13 @@ object EncodePipeline {
 
   // ---------------- named snapshot references (Iceberg tags) ----------------
 
-  /** the tag registry: `outDir/refs.json` — {"<name>": <generation>}.
-    * Names are restricted to [A-Za-z0-9._-] at write time, so the regex
+  /** the ref registry: `outDir/refs.json` — {"<name>": <generation>}.
+    * TAGS store under their plain name; BRANCHES under "branch:<name>"
+    * (user names are restricted to [A-Za-z0-9._-], so the prefix cannot
+    * collide). Names are charset-restricted at write time, so the regex
     * parse below is faithful (no JSON escapes can occur). Atomic rewrite;
     * single maintenance writer assumed ([[compact]]'s contract). */
-  def readTags(spark: SparkSession, outDir: String): Map[String, Int] = {
+  private def readRefs(spark: SparkSession, outDir: String): Map[String, Int] = {
     val p = new org.apache.hadoop.fs.Path(s"$outDir/refs.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Map.empty
@@ -2064,7 +2075,21 @@ object EncodePipeline {
       .map(m => m.group(1) -> m.group(2).toInt).toMap
   }
 
-  private def writeTags(spark: SparkSession, outDir: String,
+  /** tags only: name → pinned generation */
+  def readTags(spark: SparkSession, outDir: String): Map[String, Int] =
+    readRefs(spark, outDir).collect {
+      case (n, g) if !n.startsWith("branch:") => n -> g
+    }
+
+  /** branches only: name → base generation (the generation the branch
+    * forked from; advances to the publish-marker generation on each
+    * [[fastForward]]) */
+  def readBranches(spark: SparkSession, outDir: String): Map[String, Int] =
+    readRefs(spark, outDir).collect {
+      case (n, g) if n.startsWith("branch:") => n.stripPrefix("branch:") -> g
+    }
+
+  private def writeRefs(spark: SparkSession, outDir: String,
                         tags: Map[String, Int]): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$outDir/refs.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2108,16 +2133,134 @@ object EncodePipeline {
       require(missing.isEmpty, s"createTag($name): ${missing.length} data files of " +
         s"generation $g were vacuumed (first: ${missing.headOption.getOrElse("")})")
     }
-    writeTags(spark, outDir, readTags(spark, outDir) + (name -> g))
+    writeRefs(spark, outDir, readRefs(spark, outDir) + (name -> g))
     g
   }
 
   /** drop a tag; its generation becomes expirable again. Returns whether
     * the tag existed. */
   def dropTag(spark: SparkSession, outDir: String, name: String): Boolean = {
-    val t = readTags(spark, outDir)
-    if (!t.contains(name)) false
-    else { writeTags(spark, outDir, t - name); true }
+    val t = readRefs(spark, outDir)
+    if (!t.contains(name) || name.startsWith("branch:")) false
+    else { writeRefs(spark, outDir, t - name); true }
+  }
+
+  // ---------------- branches (write-audit-publish) ----------------
+
+  /** create a BRANCH — a named line of audit commits (Iceberg branch refs,
+    * the WAP pattern): [[appendToBranch]] lands snapshots that are
+    * INVISIBLE to main readers until [[fastForward]] publishes them in one
+    * atomic manifest append. The branch records its base = the current
+    * generation it forked from. Tags and branches share `refs.json` under
+    * disjoint namespaces. Returns the base generation. */
+  def createBranch(spark: SparkSession, outDir: String, name: String): Int = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"branch names are [A-Za-z0-9._-]+, got: $name")
+    val refs = readRefs(spark, outDir)
+    require(!refs.contains(s"branch:$name"),
+      s"branch $name already exists on $outDir — dropBranch first")
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    val base = if (raw.columns.contains("gen"))
+      raw.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0
+    writeRefs(spark, outDir, refs + (s"branch:$name" -> base))
+    base
+  }
+
+  /** drop a branch: its UNPUBLISHED commits become permanently invisible
+    * and their data files unreferenced ([[vacuum]] reclaims them);
+    * already-published history is main content and is untouched. Returns
+    * whether the branch existed. */
+  def dropBranch(spark: SparkSession, outDir: String, name: String): Boolean = {
+    val t = readRefs(spark, outDir)
+    if (!t.contains(s"branch:$name")) false
+    else { writeRefs(spark, outDir, t - s"branch:$name"); true }
+  }
+
+  /** the base generation a branch forked from (advanced by each
+    * [[fastForward]]), failing loudly on unknown names */
+  def branchBase(spark: SparkSession, outDir: String, name: String): Int =
+    readBranches(spark, outDir).getOrElse(name, throw new IllegalArgumentException(
+      s"unknown branch \"$name\" on $outDir — known: " +
+        readBranches(spark, outDir).keys.toSeq.sorted.mkString(", ")))
+
+  /** append one batch to a BRANCH: a tracked snapshot commit exactly like
+    * [[appendCommit]] (placement law honored, bloom convention inherited,
+    * exactly-once by batchId, one atomic manifest append) whose rows carry
+    * `ref = branch` — invisible to main readers until [[fastForward]].
+    * Audit the staged data with [[readDataBranch]] / `option("branch")`.
+    * Branches share the table's schema (schema.json is re-stamped on
+    * evolution, exactly as on main — Iceberg parity). */
+  def appendToBranch(df: DataFrame, key: String, outDir: String,
+                     partitions: Int, branch: String, blockSize: Int = 4096,
+                     batchId: Long = 0L): Boolean = {
+    branchBase(df.sparkSession, outDir, branch) // loud on unknown branches
+    appendCommit(df, key, outDir, partitions, blockSize, batchId,
+      ref = Some(branch))
+  }
+
+  /** PUBLISH a branch's audited commits to main — Iceberg fast-forward:
+    * one marker row (`ref`, publish_from = base exclusive, publish_to =
+    * branch head inclusive) lands as a single-file manifest append, making
+    * every branch generation in that window visible to main readers
+    * atomically. Zero data bytes move. Time travel below the marker still
+    * hides the branch; [[rollbackTo]] across it unpublishes.
+    *
+    * Fast-forward requires main untouched since the branch base (Iceberg's
+    * ancestor rule). A REPLACING main commit (compaction, DML, overwrite,
+    * rollback) always refuses — its floor would hide the branch rows
+    * (re-create the branch from the new state instead). Purely ADDITIVE
+    * divergence (appends) is safe — the floor rule is unaffected — and is
+    * allowed with `allowDivergence = true` (a merge-publish). Returns the
+    * marker generation; publishing a branch with no unpublished commits is
+    * a no-op returning the current generation. */
+  def fastForward(spark: SparkSession, outDir: String, branch: String,
+                  allowDivergence: Boolean = false): Int = {
+    val base = branchBase(spark, outDir, branch)
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    val maxG = if (raw.columns.contains("gen"))
+      raw.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0
+    if (!raw.columns.contains("ref")) return maxG // no branch commits ever
+    val g = coalesce(col("gen"), lit(0))
+    val hasPub = raw.columns.contains("publish_to")
+    val bRows = raw.filter(col("ref") === branch && g > base &&
+      (if (hasPub) col("publish_to").isNull else lit(true)))
+    val headRow = bRows.agg(max(g)).head()
+    if (headRow.isNullAt(0)) return maxG // nothing staged: no-op
+    val head = headRow.getInt(0)
+    // divergence guard: main commits (ref-null rows, or other branches'
+    // publish markers — those changed main too) after the base
+    val mainAfter = raw.filter(g > base &&
+      (col("ref").isNull || (if (hasPub) col("publish_to").isNotNull else lit(false))))
+    val replacing = mainAfter.filter(
+      if (raw.columns.contains("additive")) !coalesce(col("additive"), lit(false))
+      else lit(true))
+    require(replacing.isEmpty,
+      s"fastForward($branch): a replacing main commit landed after the " +
+      s"branch base $base — its floor would hide the branch rows; " +
+      "re-create the branch from the current state")
+    require(allowDivergence || mainAfter.isEmpty,
+      s"fastForward($branch): main advanced past the branch base $base " +
+      "(additive appends); pass allowDivergence = true to merge-publish")
+    val nextGen = maxG + 1
+    genMarker(spark, nextGen)
+      .withColumn("column", lit("__publish_marker"))
+      .withColumn("additive", lit(true))
+      .withColumn("ref", lit(branch))
+      .withColumn("publish_from", lit(base))
+      .withColumn("publish_to", lit(head))
+      .repartition(1).write.mode("append").parquet(s"$outDir/meta")
+    writeRefs(spark, outDir,
+      readRefs(spark, outDir) + (s"branch:$branch" -> nextGen))
+    nextGen
+  }
+
+  /** the table as a BRANCH reader sees it: current main content PLUS the
+    * branch's unpublished commits — the audit read of the WAP flow */
+  def readDataBranch(spark: SparkSession, outDir: String,
+                     branch: String): DataFrame = {
+    branchBase(spark, outDir, branch) // loud on unknown branches
+    readDataWithMeta(spark, outDir,
+      readMetaAt(spark, outDir, None, Some(branch)))
   }
 
   /** the generation a tag pins, failing loudly on unknown names */
@@ -2138,7 +2281,18 @@ object EncodePipeline {
       .select("__part").distinct().collect().map(_.getInt(0)).toSet
     // tagged snapshots pin their file sets (Iceberg: refs block expiry)
     val tagGens = readTags(spark, outDir).values.toSeq.distinct.sorted
-    val referenced = (Seq(meta) ++ tagGens.map(g => readMetaAt(spark, outDir, Some(g))))
+    // registered branches pin their (possibly unpublished) commits' files —
+    // main-invisible but readable via option("branch"). Dropped branches'
+    // rows lose this protection and their files reclaim here.
+    val branchRows: Seq[DataFrame] = {
+      val branches = readBranches(spark, outDir).keySet
+      val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+      if (branches.isEmpty || !raw.columns.contains("ref")) Nil
+      else Seq(raw.filter(col("ref").isin(branches.toSeq: _*))
+        .select(col("data_files")))
+    }
+    val referenced = (Seq(meta) ++ branchRows ++
+        tagGens.map(g => readMetaAt(spark, outDir, Some(g))))
       .map(_.filter(col("data_files").isNotNull)
         .select(explode(col("data_files")).as("f")))
       .reduce(_.unionByName(_)).distinct()
@@ -2321,7 +2475,7 @@ object EncodePipeline {
       .select("__part").distinct()
       .join(target.select("__part").distinct(), Seq("__part"), "left_anti")
       .collect().map(_.getInt(0)).toSeq
-    val rows = target.withColumn("gen", lit(nextGen))
+    val rows = demoteRef(target).withColumn("gen", lit(nextGen))
       .withColumn("additive", lit(false))
     val tomb = tombstoneRows(readMeta(spark, outDir), born, nextGen, t0)
     val marker = genMarker(spark, nextGen)
@@ -2546,8 +2700,9 @@ object EncodePipeline {
     * contribute their whole directory, mirroring the scanParts read path.
     * The `format("graft")` connector plans one input partition per entry. */
   def currentFiles(spark: SparkSession, outDir: String,
-                   gen: Option[Int] = None): Seq[(Int, String)] = {
-    val meta = readMetaAt(spark, outDir, gen)
+                   gen: Option[Int] = None,
+                   branch: Option[String] = None): Seq[(Int, String)] = {
+    val meta = readMetaAt(spark, outDir, gen, branch)
     val conf = spark.sparkContext.hadoopConfiguration
     def listPartDir(p: Int): Seq[(Int, String)] = {
       val dir = new org.apache.hadoop.fs.Path(s"$outDir/data/__part=$p")
@@ -2610,6 +2765,8 @@ object EncodePipeline {
     val owC = if (has("overwrite")) coalesce(col("overwrite"), lit(false)) else lit(false)
     val anC = if (has("analyzed")) coalesce(col("analyzed"), lit(false)) else lit(false)
     val bidC = if (has("batch_id")) col("batch_id") else lit(null).cast("long")
+    val refC = if (has("ref")) col("ref") else lit(null).cast("string")
+    val pubC = if (has("publish_to")) col("publish_to").isNotNull else lit(false)
     val filesC = if (has("data_files")) size(coalesce(col("data_files"),
       array().cast("array<string>"))) else lit(0)
     val flags = m.withColumn("__g", g)
@@ -2621,6 +2778,8 @@ object EncodePipeline {
         max(addC.cast("int")).as("add"),
         max(owC.cast("int")).as("ow"),
         max(anC.cast("int")).as("an"),
+        max(pubC.cast("int")).as("pub"),
+        max(refC).as("ref"),
         max(bidC).as("batch_id"))
     // sizes come from ONE representative column per generation — every
     // column of a commit's part carries the same `rows` and file list, so
@@ -2640,6 +2799,7 @@ object EncodePipeline {
       .withColumn("kind",
         when(col("rb") === 1, lit("rollback"))
           .when(col("fold") === 1, lit("fold"))
+          .when(col("pub") === 1, lit("publish")) // fastForward marker
           .when(col("dv") === 1 && col("add") === 1, lit("update"))
           .when(col("dv") === 1, lit("delete"))
           .when(col("ow") === 1, lit("overwrite"))
@@ -2652,6 +2812,7 @@ object EncodePipeline {
         coalesce(col("n_files"), lit(0L)).as("n_files"),
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
         col("batch_id"),
+        col("ref"), // branch provenance: staged commits + publish markers
         whenC(col("__g")).as("committed_at"))
       .orderBy(col("gen"))
   }
@@ -2985,7 +3146,11 @@ object EncodePipeline {
     readMetaAt(spark, outDir, None)
 
   private[graft] def readMetaAt(spark: SparkSession, outDir: String,
-                         upTo: Option[Int]): DataFrame = {
+                         upTo: Option[Int]): DataFrame =
+    readMetaAt(spark, outDir, upTo, None)
+
+  private[graft] def readMetaAt(spark: SparkSession, outDir: String,
+                         upTo: Option[Int], branch: Option[String]): DataFrame = {
     val m = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
     if (!m.columns.contains("gen")) return m // never compacted: zero overhead
     // generation resolution. Commits come in two kinds:
@@ -3006,7 +3171,41 @@ object EncodePipeline {
       .withColumn("__add",
         if (m.columns.contains("additive")) coalesce(col("additive"), lit(false))
         else lit(false))
-    val visible0 = upTo.map(g => withGen.filter(col("gen") <= g)).getOrElse(withGen)
+    val visible1 = upTo.map(g => withGen.filter(col("gen") <= g)).getOrElse(withGen)
+    // branch visibility (write-audit-publish, Iceberg branch refs): rows
+    // committed to a BRANCH carry ref = <name> and stay invisible to main
+    // readers until a publish marker (ref = <name>, publish_from exclusive,
+    // publish_to inclusive — [[fastForward]]) covers their generation.
+    // Markers are cumulative facts: matched here regardless of the floor
+    // rule (a later part -1 replacing marker must not unpublish), but
+    // scoped to gen ≤ upTo so time travel below a publish hides the branch
+    // and [[rollbackTo]] across one unpublishes via the re-commit floor.
+    // Marker rows themselves never surface as content. Tables without a
+    // ref column (never branch-written) skip all of this.
+    val visible0 =
+      if (!m.columns.contains("ref")) visible1
+      else {
+        val hasPub = m.columns.contains("publish_to")
+        val mainRows = visible1.filter(col("ref").isNull)
+        val bRows = visible1.filter(col("ref").isNotNull &&
+          (if (hasPub) col("publish_to").isNull else lit(true)))
+        if (!hasPub && branch.isEmpty) mainRows
+        else {
+          val pubs =
+            if (!hasPub) bRows.limit(0).select(col("ref").as("__pref"),
+              lit(-1).as("__pfrom"), lit(-1).as("__pto"))
+            else visible1.filter(col("publish_to").isNotNull)
+              .select(col("ref").as("__pref"),
+                coalesce(col("publish_from"), lit(-1)).as("__pfrom"),
+                col("publish_to").as("__pto")).distinct()
+          val cond = col("ref") === col("__pref") &&
+            col("gen") > col("__pfrom") && col("gen") <= col("__pto")
+          val published = bRows.join(broadcast(pubs), cond, "left_semi")
+          val ownUnpublished = branch.map(b =>
+            bRows.filter(col("ref") === b).join(broadcast(pubs), cond, "left_anti"))
+          (Seq(published) ++ ownUnpublished).foldLeft(mainRows)(_ union _)
+        }
+      }
     // the part's floor: its highest replacing generation ≤ upTo (a part
     // born from appends alone has none — floor 0 via the left-join null)
     val floor = visible0.filter(!col("__add"))
@@ -3016,6 +3215,17 @@ object EncodePipeline {
               (col("__add") || col("gen") === coalesce(col("__floor"), lit(0))))
       .drop("__add", "__floor")
   }
+
+  /** null out branch provenance on manifest rows a REPLACING commit carries
+    * forward verbatim ([[rollbackTo]], [[compactSmallFiles]],
+    * [[rewriteManifests]]): the rows were main-visible when copied, so they
+    * re-list as plain main rows — a publish marker's (from, to] window must
+    * not be consulted at their NEW generation (it would hide them). */
+  private def demoteRef(df: DataFrame): DataFrame =
+    Seq("ref" -> "string", "publish_from" -> "int", "publish_to" -> "int")
+      .foldLeft(df) { case (d, (c, t)) =>
+        if (d.columns.contains(c)) d.withColumn(c, lit(null).cast(t)) else d
+      }
 
   /** manifest-level pruning: read only committed parts whose metadata value
     * bounds ([value_lo, value_hi] zone maps, written at encode time) admit
@@ -3279,7 +3489,8 @@ object EncodePipeline {
     val combined0 = refreshed.map(_.unionByName(carried, allowMissingColumns = true))
       .getOrElse(carried)
     // scrub inherited commit-kind flags: this generation is an ANALYZE
-    val scrub = Seq("overwrite", "rollback_to", "dv_folded", "txn", "batch_id")
+    val scrub = Seq("overwrite", "rollback_to", "dv_folded", "txn", "batch_id",
+      "ref", "publish_from", "publish_to")
     val combined = scrub.foldLeft(combined0)((d, c) =>
       if (d.columns.contains(c))
         d.withColumn(c, lit(null).cast(d.schema(d.schema.fieldIndex(c)).dataType))

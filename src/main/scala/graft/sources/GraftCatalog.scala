@@ -77,6 +77,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         // with _change_type and _change_gen appended — plain SQL over the
         // CDC feed; windowed NET reads stay on
         // option("changesFrom"/"changesTo")
+        // Iceberg branch-read parity: `db.t.branch_<name>` reads main
+        // content PLUS the branch's unpublished commits (the audit read of
+        // the write-audit-publish flow)
+        if (ident.namespace().nonEmpty && ident.name().startsWith("branch_")) {
+          val parent = (root +: ident.namespace().toSeq).mkString("/")
+          val b = ident.name().stripPrefix("branch_")
+          if (isTableDir(new Path(parent)) &&
+              EncodePipeline.readBranches(spark, parent).contains(b))
+            return new GraftTable(parent,
+              EncodePipeline.readSchemaFile(spark, parent).get,
+              branchPin = Some(b))
+        }
         if (ident.namespace().nonEmpty && ident.name() == "changes") {
           val parent = (root +: ident.namespace().toSeq).mkString("/")
           if (isTableDir(new Path(parent))) {
@@ -96,9 +108,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val dir = dirOf(ident)
     val schema = EncodePipeline.readSchemaFile(spark, dir)
       .getOrElse(throw new NoSuchTableException(ident))
-    val gen = if (version.forall(_.isDigit)) version.toInt
-              else EncodePipeline.tagGen(spark, dir, version)
-    new GraftTable(dir, schema, genPin = Some(gen))
+    // a non-numeric version names a tag (pinned generation) or a BRANCH
+    // (main + unpublished audit commits) — Iceberg VERSION AS OF semantics
+    if (version.forall(_.isDigit))
+      new GraftTable(dir, schema, genPin = Some(version.toInt))
+    else if (EncodePipeline.readTags(spark, dir).contains(version))
+      new GraftTable(dir, schema,
+        genPin = Some(EncodePipeline.tagGen(spark, dir, version)))
+    else if (EncodePipeline.readBranches(spark, dir).contains(version))
+      new GraftTable(dir, schema, branchPin = Some(version))
+    else // keep tagGen's loud unknown-ref error (names both namespaces)
+      new GraftTable(dir, schema,
+        genPin = Some(EncodePipeline.tagGen(spark, dir, version)))
   }
 
   /** SQL `SELECT ... FROM t TIMESTAMP AS OF ts` — Spark hands the instant

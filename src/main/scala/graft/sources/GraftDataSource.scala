@@ -125,6 +125,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(metaPath)
     import org.apache.spark.sql.SaveMode._
+    if (parameters.contains("branch"))
+      require(mode == Append && exists, "option(\"branch\") writes require " +
+        "SaveMode.Append onto an existing table (write-audit-publish stages appends)")
     mode match {
       case Ignore if exists => ()
       case ErrorIfExists if exists =>
@@ -132,7 +135,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       case Append if exists =>
         val batchId = parameters.get("batchId").map(_.toLong)
           .getOrElse(EncodePipeline.nextBatchId(spark, outDir))
-        EncodePipeline.appendCommit(data, key, outDir, partitions, blockSize, batchId)
+        parameters.get("branch") match {
+          case Some(b) => // write-audit-publish: stage on a branch, invisible
+            EncodePipeline.appendToBranch(data, key, outDir, partitions, b,
+              blockSize, batchId) // loud on unknown branch names
+          case None =>
+            EncodePipeline.appendCommit(data, key, outDir, partitions, blockSize, batchId)
+        }
       case Overwrite if exists && GraftDataSource.fileTracked(spark, outDir) =>
         // overwrite as a SNAPSHOT (Iceberg INSERT OVERWRITE parity): the
         // old generations stay readable via option("gen") / rollbackTo;
@@ -207,6 +216,7 @@ object GraftMetaTable {
       StructField("n_files", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = false),
       StructField("batch_id", LongType, nullable = true),
+      StructField("ref", StringType, nullable = true),
       StructField("committed_at", org.apache.spark.sql.types.TimestampType,
         nullable = true)))
     case "files" => StructType(Seq(
@@ -470,7 +480,9 @@ class GraftCdcMicroBatchStream(spark: SparkSession, outDir: String,
 
 class GraftTable(outDir: String, tableSchema: StructType,
                  genPin: Option[Int] = None /* SQL VERSION/TIMESTAMP AS OF —
-                   a catalog-time-travel pin scans default to */) extends Table
+                   a catalog-time-travel pin scans default to */,
+                 branchPin: Option[String] = None /* catalog branch reads:
+                   `db.t.branch_<name>` / VERSION AS OF '<branch>' */) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -500,7 +512,12 @@ class GraftTable(outDir: String, tableSchema: StructType,
             GraftDataSource.parseInstantMillis(t))))
         .orElse(genPin),
       ignoreChanges = Option(options.get("ignoreChanges")).exists(_.toBoolean),
-      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      maxFilesPerTrigger = Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      // audit read of a branch's unpublished commits (write-audit-publish);
+      // unknown names fail loudly with the inventory, like option("tag")
+      branch = Option(options.get("branch")).map { b =>
+        EncodePipeline.branchBase(SparkSession.active, outDir, b); b
+      }.orElse(branchPin))
 
   /** SQL `INSERT INTO` / `INSERT OVERWRITE` over catalog identifiers,
     * bridged to the pipeline's commit protocol via the V2→V1 write hook
@@ -862,7 +879,8 @@ private[sources] object GraftPruning {
 
 class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructType,
                        gen: Option[Int], ignoreChanges: Boolean = false,
-                       maxFilesPerTrigger: Option[Int] = None)
+                       maxFilesPerTrigger: Option[Int] = None,
+                       branch: Option[String] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -883,7 +901,10 @@ class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructT
   // filter stays residual (bounds are supersets / truncated) ----
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     allFilters = filters // bloom block probes see every conjunct
-    if (gen.isEmpty) { // survivingParts* resolve the CURRENT generation only
+    // survivingParts* resolve the CURRENT MAIN generation only: generation
+    // pins and branch reads (whose unpublished rows can extend any bound)
+    // skip part-level pruning; block-level probes stay (per-file headers)
+    if (gen.isEmpty && branch.isEmpty) {
       val usable = filters.flatMap(f => survivorsOf(f).map(f -> _))
       if (usable.nonEmpty) {
         pushed = usable.map(_._1)
@@ -934,7 +955,8 @@ class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructT
     }
 
   private def buildAggRow(aggregation: Aggregation): Option[(StructType, InternalRow)] = {
-    if (aggregation.groupByExpressions.nonEmpty || gen.nonEmpty) return None
+    if (aggregation.groupByExpressions.nonEmpty || gen.nonEmpty ||
+        branch.nonEmpty) return None
     val stats: Map[String, org.apache.spark.sql.Row] =
       try EncodePipeline.tableStats(spark, outDir, tableSchema)
         .collect().map(r => r.getString(0) -> r).toMap
@@ -1006,7 +1028,7 @@ class GraftScanBuilder(spark: SparkSession, outDir: String, tableSchema: StructT
     case Some((schema, row)) => new GraftAggScan(outDir, schema, row)
     case None =>
       new GraftScan(spark, outDir, tableSchema, required, gen, survivors, pushed, limit,
-        ignoreChanges, allFilters, maxFilesPerTrigger)
+        ignoreChanges, allFilters, maxFilesPerTrigger, branch)
   }
 }
 
@@ -1062,7 +1084,8 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
                 required: StructType, gen: Option[Int], survivors: Option[Set[Int]],
                 pushed: Array[Filter], limit: Int, ignoreChanges: Boolean = false,
                 allFilters: Array[Filter] = Array.empty,
-                maxFilesPerTrigger: Option[Int] = None)
+                maxFilesPerTrigger: Option[Int] = None,
+                branch: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
@@ -1083,7 +1106,7 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
     * Generation pins decline (survivingParts* resolve the CURRENT
     * generation only). */
   override def filterAttributes(): Array[NamedReference] =
-    if (gen.nonEmpty) Array.empty
+    if (gen.nonEmpty || branch.nonEmpty) Array.empty
     else EncodePipeline.plan(tableSchema)
       .filter(p => required.fieldNames.contains(p.name))
       .map(p => Expressions.column(p.name)).toArray
@@ -1144,20 +1167,24 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
     * so both fail the stream unless option("ignoreChanges") accepts the
     * reprocessing, mirroring Delta's semantics. */
   override def toMicroBatchStream(checkpointLocation: String):
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(branch.isEmpty, "readStream over a branch is not supported — " +
+      "branches are audit state; stream the table after fastForward publishes")
     new GraftMicroBatchStream(spark, outDir, tableSchema, required, ignoreChanges,
       maxFilesPerTrigger)
+  }
   override def description(): String = {
     val f = if (pushed.isEmpty) "" else s" PushedFilters: [${pushed.mkString(", ")}]"
     val l = if (limit < 0) "" else s" PushedLimit: $limit"
-    s"GraftScan $outDir${gen.map(g => s" gen=$g").getOrElse("")}$f$l"
+    s"GraftScan $outDir${gen.map(g => s" gen=$g").getOrElse("")}" +
+      s"${branch.map(b => s" branch=$b").getOrElse("")}$f$l"
   }
 
   /** memoized: outputPartitioning() (resolved at optimization time) and
     * planInputPartitions() (physical planning) must agree on the partition
     * count, so both read one plan of the same generation snapshot */
   private lazy val plannedParts: Array[GraftInputPartition] = {
-    val files = EncodePipeline.currentFiles(spark, outDir, gen)
+    val files = EncodePipeline.currentFiles(spark, outDir, gen, branch)
       .filter { case (p, _) => survivors.forall(_.contains(p)) }
     val dv: Map[(String, Int), Array[Byte]] = gen match {
       case Some(g) => EncodePipeline.loadDeletes(spark, outDir, g)
@@ -1193,7 +1220,7 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
     * minus live delete-vector positions */
   override def estimateStatistics(): Statistics = {
     try {
-      val meta = EncodePipeline.readMetaAt(spark, outDir, gen)
+      val meta = EncodePipeline.readMetaAt(spark, outDir, gen, branch)
       import org.apache.spark.sql.functions.{col, sum, max}
       val perPart = meta.groupBy(col("__part"), col("column"))
         .agg(sum(col("rows")).as("r"), sum(col("raw_bytes")).as("b"))

@@ -173,6 +173,30 @@ object GraftProcedures {
         row(EncodePipeline.dropTag(spark,
           dirOf(root, in.getUTF8String(0).toString), in.getUTF8String(1).toString))
     },
+    "create_branch" -> new Proc("create_branch",
+      Seq(Arg("table", StringType), Arg("branch", StringType)),
+      StructType(Seq(StructField("base_gen", IntegerType, nullable = false)))) {
+      override protected def run(in: InternalRow): InternalRow =
+        row(EncodePipeline.createBranch(spark,
+          dirOf(root, in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString))
+    },
+    "drop_branch" -> new Proc("drop_branch",
+      Seq(Arg("table", StringType), Arg("branch", StringType)),
+      StructType(Seq(StructField("existed", BooleanType, nullable = false)))) {
+      override protected def run(in: InternalRow): InternalRow =
+        row(EncodePipeline.dropBranch(spark,
+          dirOf(root, in.getUTF8String(0).toString), in.getUTF8String(1).toString))
+    },
+    "fast_forward" -> new Proc("fast_forward",
+      Seq(Arg("table", StringType), Arg("branch", StringType),
+        Arg("allow_divergence", BooleanType, Some("false"))),
+      StructType(Seq(StructField("published_gen", IntegerType, nullable = false)))) {
+      override protected def run(in: InternalRow): InternalRow =
+        row(EncodePipeline.fastForward(spark,
+          dirOf(root, in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString, in.getBoolean(2)))
+    },
     "rewrite_zordered" -> new Proc("rewrite_zordered",
       Seq(Arg("table", StringType), Arg("z_cols", StringType),
         Arg("block_size", IntegerType, Some("4096"))),
@@ -189,7 +213,8 @@ object GraftProcedures {
 
   private[sources] def names: Seq[String] = Seq("compact", "compact_small_files",
     "vacuum", "rollback", "materialize_deletes", "rewrite_sorted",
-    "rewrite_zordered", "create_tag", "drop_tag")
+    "rewrite_zordered", "create_tag", "drop_tag", "create_branch",
+    "drop_branch", "fast_forward", "analyze", "rewrite_manifests")
 
   /** the procedure, if `ident` names one — `system` namespace only
     * (Iceberg's convention; table namespaces stay procedure-free) */
