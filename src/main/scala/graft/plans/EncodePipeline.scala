@@ -794,9 +794,33 @@ object EncodePipeline {
       s"branch commit (${ref.getOrElse("")}) needs an existing table at $outDir")
     // replay detection keys on a DEDICATED batch_id column — run()'s wave
     // numbering also starts at 0, so keying on wave would silently drop
-    // batch 0 appended to a batch-written table
-    if (rawMeta.exists(m => m.columns.contains("batch_id") &&
-        !m.filter(col("batch_id") === batchId).isEmpty)) return false
+    // batch 0 appended to a batch-written table. Rows a DROPPED branch left
+    // behind are permanently invisible (their files may be vacuumed): their
+    // batch_id must not block a re-stage of the corrected batch — only rows
+    // that are live (main, registered-branch window, or published) replay.
+    val replayed = rawMeta.exists { m =>
+      if (!m.columns.contains("batch_id")) false
+      else {
+        val hits = m.filter(col("batch_id") === batchId)
+        if (hits.isEmpty) false
+        else if (!m.columns.contains("ref")) true
+        else {
+          val g = coalesce(col("gen"), lit(0))
+          val live = liveBranchCond(spark, outDir)
+            .foldLeft(col("ref").isNull)(_ || _)
+          val pubCovered =
+            if (!m.columns.contains("publish_to")) lit(false)
+            else m.filter(col("publish_to").isNotNull && col("ref").isNotNull)
+              .select(col("ref"), coalesce(col("publish_from"), lit(-1)),
+                col("publish_to"))
+              .collect().map(r => col("ref") === r.getString(0) &&
+                g > r.getInt(1) && g <= r.getInt(2))
+              .foldLeft(lit(false))(_ || _)
+          !hits.filter(live || pubCovered).isEmpty
+        }
+      }
+    }
+    if (replayed) return false
 
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1772,15 +1796,13 @@ object EncodePipeline {
     if (committed) (nDel, nSrc - matchedKeys) else (0L, 0L)
   }
 
-  /** next generation for a new commit: 1 + the RAW manifest maximum.
-    * Allocation must NOT use the visible view ([[readMeta]]): unpublished
-    * branch commits and marker rows hold generations the view hides, and a
-    * colliding allocation would corrupt publish windows and time travel. */
-  private def nextGenOf(spark: SparkSession, outDir: String): Int = {
-    val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
-    1 + (if (raw.columns.contains("gen"))
-      raw.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0)
-  }
+  /** next generation for a new commit: 1 + the RAW manifest maximum
+    * ([[currentGen]]). Allocation must NOT use the visible view
+    * ([[readMeta]]): unpublished branch commits and marker rows hold
+    * generations the view hides, and a colliding allocation would corrupt
+    * publish windows and time travel. */
+  private def nextGenOf(spark: SparkSession, outDir: String): Int =
+    1 + currentGen(spark, outDir)
 
   /** one zero-file manifest row that advances the table generation without
     * touching data — the snapshot marker a merge-on-read delete commits so
@@ -2081,13 +2103,25 @@ object EncodePipeline {
       case (n, g) if !n.startsWith("branch:") => n -> g
     }
 
-  /** branches only: name → base generation (the generation the branch
-    * forked from; advances to the publish-marker generation on each
-    * [[fastForward]]) */
+  /** branches only: name → CREATION base generation (the generation the
+    * branch forked from — immutable for the branch's lifetime; publish
+    * progress is derived from the branch's own markers instead, so
+    * time-travel branch reads keep working after a publish) */
   def readBranches(spark: SparkSession, outDir: String): Map[String, Int] =
     readRefs(spark, outDir).collect {
       case (n, g) if n.startsWith("branch:") => n.stripPrefix("branch:") -> g
     }
+
+  /** rows inside a REGISTERED branch's live window (ref matches, gen > its
+    * creation base) — dropBranch's abandonment boundary. ONE place for the
+    * rule: [[vacuum]]'s file protection and [[appendCommit]]'s batch-id
+    * replay detection both resolve liveness through it. None when no
+    * branches are registered. Only bind on manifests with a `ref` column. */
+  private def liveBranchCond(spark: SparkSession, outDir: String): Option[Column] =
+    readBranches(spark, outDir)
+      .map { case (n, b) =>
+        col("ref") === n && coalesce(col("gen"), lit(0)) > b }
+      .reduceOption(_ || _)
 
   private def writeRefs(spark: SparkSession, outDir: String,
                         tags: Map[String, Int]): Unit = {
@@ -2159,9 +2193,7 @@ object EncodePipeline {
     val refs = readRefs(spark, outDir)
     require(!refs.contains(s"branch:$name"),
       s"branch $name already exists on $outDir — dropBranch first")
-    val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
-    val base = if (raw.columns.contains("gen"))
-      raw.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0
+    val base = currentGen(spark, outDir)
     writeRefs(spark, outDir, refs + (s"branch:$name" -> base))
     base
   }
@@ -2176,8 +2208,8 @@ object EncodePipeline {
     else { writeRefs(spark, outDir, t - s"branch:$name"); true }
   }
 
-  /** the base generation a branch forked from (advanced by each
-    * [[fastForward]]), failing loudly on unknown names */
+  /** the CREATION base generation a branch forked from (immutable),
+    * failing loudly on unknown names */
   def branchBase(spark: SparkSession, outDir: String, name: String): Int =
     readBranches(spark, outDir).getOrElse(name, throw new IllegalArgumentException(
       s"unknown branch \"$name\" on $outDir — known: " +
@@ -2215,42 +2247,59 @@ object EncodePipeline {
     * a no-op returning the current generation. */
   def fastForward(spark: SparkSession, outDir: String, branch: String,
                   allowDivergence: Boolean = false): Int = {
-    val base = branchBase(spark, outDir, branch)
+    val base = branchBase(spark, outDir, branch) // creation base (immutable)
     val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
-    val maxG = if (raw.columns.contains("gen"))
-      raw.agg(max(coalesce(col("gen"), lit(0)))).head().getInt(0) else 0
+    val maxG = currentGen(spark, outDir)
     if (!raw.columns.contains("ref")) return maxG // no branch commits ever
     val g = coalesce(col("gen"), lit(0))
     val hasPub = raw.columns.contains("publish_to")
-    val bRows = raw.filter(col("ref") === branch && g > base &&
+    // the branch's sync points derive from its OWN publish markers (the
+    // registry base never moves — branch + time-travel reads depend on the
+    // creation base staying put): `pubTo` = everything at or below is
+    // already published; `divBase` = the last marker's generation, where
+    // main last absorbed this branch
+    val (pubTo, divBase) =
+      if (!hasPub) (base, base)
+      else {
+        val r = raw.filter(col("ref") === branch && col("publish_to").isNotNull)
+          .agg(max(col("publish_to")), max(g)).head()
+        (if (r.isNullAt(0)) base else math.max(base, r.getInt(0)),
+         if (r.isNullAt(1)) base else math.max(base, r.getInt(1)))
+      }
+    val bRows = raw.filter(col("ref") === branch && g > pubTo &&
       (if (hasPub) col("publish_to").isNull else lit(true)))
     val headRow = bRows.agg(max(g)).head()
     if (headRow.isNullAt(0)) return maxG // nothing staged: no-op
     val head = headRow.getInt(0)
-    // divergence guard: main commits (ref-null rows, or other branches'
-    // publish markers — those changed main too) after the base
-    val mainAfter = raw.filter(g > base &&
-      (col("ref").isNull || (if (hasPub) col("publish_to").isNotNull else lit(false))))
+    // divergence guard: main commits (ref-null rows, or publish markers —
+    // those changed main too) since main last matched this branch
+    val mainAfter = raw.filter(g > divBase &&
+      (col("ref").isNull ||
+        (if (hasPub) col("publish_to").isNotNull && !(col("ref") === branch)
+         else lit(false))))
+    // only commits that re-list actual content (parts >= 0) raise a floor
+    // that could hide the staged rows; a pure marker generation (part -1 —
+    // a main-side MOR delete's snapshot marker) replaces nothing the
+    // branch touches and merge-publishes safely behind allowDivergence
     val replacing = mainAfter.filter(
-      if (raw.columns.contains("additive")) !coalesce(col("additive"), lit(false))
-      else lit(true))
+      (if (raw.columns.contains("additive")) !coalesce(col("additive"), lit(false))
+       else lit(true)) && col("__part") >= 0)
     require(replacing.isEmpty,
       s"fastForward($branch): a replacing main commit landed after the " +
-      s"branch base $base — its floor would hide the branch rows; " +
-      "re-create the branch from the current state")
+      s"branch's last sync point $divBase — its floor would hide the " +
+      "branch rows; re-create the branch from the current state")
     require(allowDivergence || mainAfter.isEmpty,
-      s"fastForward($branch): main advanced past the branch base $base " +
-      "(additive appends); pass allowDivergence = true to merge-publish")
+      s"fastForward($branch): main advanced past the branch's last sync " +
+      s"point $divBase (additive appends); pass allowDivergence = true " +
+      "to merge-publish")
     val nextGen = maxG + 1
     genMarker(spark, nextGen)
       .withColumn("column", lit("__publish_marker"))
       .withColumn("additive", lit(true))
       .withColumn("ref", lit(branch))
-      .withColumn("publish_from", lit(base))
+      .withColumn("publish_from", lit(pubTo))
       .withColumn("publish_to", lit(head))
       .repartition(1).write.mode("append").parquet(s"$outDir/meta")
-    writeRefs(spark, outDir,
-      readRefs(spark, outDir) + (s"branch:$branch" -> nextGen))
     nextGen
   }
 
@@ -2272,24 +2321,40 @@ object EncodePipeline {
   /** delete data files no current manifest row — and no TAGGED snapshot —
     * references: superseded generations and crashed-attempt orphans.
     * Part-level-tracked parts (null data_files) are untouched: their whole
-    * directory IS the table. Returns the number of files deleted. Single
-    * maintenance writer assumed, like [[compact]]. */
-  def vacuum(spark: SparkSession, outDir: String): Int = {
+    * directory IS the table. `retainLast` additionally protects the file
+    * sets of the most recent N generations (Iceberg expire_snapshots
+    * retain-last parity: time travel within the retention window survives
+    * the vacuum; 1 = current only, the historical default). Returns the
+    * number of files deleted. Single maintenance writer assumed, like
+    * [[compact]]. */
+  def vacuum(spark: SparkSession, outDir: String, retainLast: Int = 1): Int = {
     val meta = readMeta(spark, outDir)
     if (!meta.columns.contains("data_files")) return 0
     val untracked = meta.filter(col("data_files").isNull)
       .select("__part").distinct().collect().map(_.getInt(0)).toSet
-    // tagged snapshots pin their file sets (Iceberg: refs block expiry)
-    val tagGens = readTags(spark, outDir).values.toSeq.distinct.sorted
+    // tagged snapshots pin their file sets (Iceberg: refs block expiry);
+    // a retention window pins the last N generations' snapshots the same way
+    val retainedGens: Seq[Int] =
+      if (retainLast <= 1) Nil
+      else {
+        val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+        if (!raw.columns.contains("gen")) Nil
+        else raw.select(coalesce(col("gen"), lit(0)).as("g")).distinct()
+          .orderBy(col("g").desc).limit(retainLast).collect().map(_.getInt(0))
+          .toSeq.drop(1) // the current generation is `meta` itself
+      }
+    val tagGens = (readTags(spark, outDir).values.toSeq ++ retainedGens)
+      .distinct.sorted
     // registered branches pin their (possibly unpublished) commits' files —
     // main-invisible but readable via option("branch"). Dropped branches'
     // rows lose this protection and their files reclaim here.
     val branchRows: Seq[DataFrame] = {
-      val branches = readBranches(spark, outDir).keySet
       val raw = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
-      if (branches.isEmpty || !raw.columns.contains("ref")) Nil
-      else Seq(raw.filter(col("ref").isin(branches.toSeq: _*))
-        .select(col("data_files")))
+      // scope to each branch's live window ([[liveBranchCond]]) — rows a
+      // dropped incarnation of a reused name left behind stay reclaimable
+      if (!raw.columns.contains("ref")) Nil
+      else liveBranchCond(spark, outDir).toSeq
+        .map(live => raw.filter(live).select(col("data_files")))
     }
     val referenced = (Seq(meta) ++ branchRows ++
         tagGens.map(g => readMetaAt(spark, outDir, Some(g))))
@@ -3201,8 +3266,15 @@ object EncodePipeline {
           val cond = col("ref") === col("__pref") &&
             col("gen") > col("__pfrom") && col("gen") <= col("__pto")
           val published = bRows.join(broadcast(pubs), cond, "left_semi")
-          val ownUnpublished = branch.map(b =>
-            bRows.filter(col("ref") === b).join(broadcast(pubs), cond, "left_anti"))
+          val ownUnpublished = branch.map { b =>
+            // scope to the REGISTERED branch's window (gen > base): rows a
+            // dropped incarnation of the same name left behind are
+            // permanently invisible (dropBranch's contract — their files
+            // may be vacuumed) and must not resurrect under a reused name
+            val base = readBranches(spark, outDir).getOrElse(b, Int.MaxValue)
+            bRows.filter(col("ref") === b && col("gen") > base)
+              .join(broadcast(pubs), cond, "left_anti")
+          }
           (Seq(published) ++ ownUnpublished).foldLeft(mainRows)(_ union _)
         }
       }
@@ -3217,10 +3289,12 @@ object EncodePipeline {
   }
 
   /** null out branch provenance on manifest rows a REPLACING commit carries
-    * forward verbatim ([[rollbackTo]], [[compactSmallFiles]],
-    * [[rewriteManifests]]): the rows were main-visible when copied, so they
-    * re-list as plain main rows — a publish marker's (from, to] window must
-    * not be consulted at their NEW generation (it would hide them). */
+    * forward verbatim ([[rollbackTo]], [[compactSmallFiles]]; [[analyzeTable]]
+    * scrubs via its own flag list): the rows were main-visible when copied,
+    * so they re-list as plain main rows — a publish marker's (from, to]
+    * window must not be consulted at their NEW generation (it would hide
+    * them). [[rewriteManifests]] is exempt: it preserves generations
+    * verbatim, so provenance stays correct. */
   private def demoteRef(df: DataFrame): DataFrame =
     Seq("ref" -> "string", "publish_from" -> "int", "publish_to" -> "int")
       .foldLeft(df) { case (d, (c, t)) =>

@@ -33,7 +33,8 @@ import graft.plans.EncodePipeline
   * materialize until rows exist. */
 object GraftCatalog {
   /** the metadata views resolvable as `db.t.<name>` identifiers */
-  private[sources] val metaTableNames = Set("snapshots", "files", "manifest", "stats")
+  private[sources] val metaTableNames =
+    Set("snapshots", "files", "manifest", "stats", "refs")
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog

@@ -61,6 +61,30 @@ import graft.plans.EncodePipeline
   * data file — the natural split grain, since blocks are self-contained.
   */
 object GraftDataSource {
+  /** Iceberg's write-audit-publish session gate: while set, every Append —
+    * pathed write, SQL INSERT INTO — stages on the named branch instead of
+    * committing to main, and row-level DML refuses (it would silently
+    * mutate MAIN while the user believes writes are gated). Explicit
+    * option("branch") / a branch identifier wins over the conf. */
+  private[sources] val WapBranchConf = "spark.wap.branch"
+
+  private[sources] def wapBranch(spark: SparkSession): Option[String] =
+    spark.conf.getOption(WapBranchConf).filter(_.nonEmpty)
+
+  /** the one gate every main-mutating write entry point calls: refuse when
+    * the target is a branch identifier (branches stage appends only) or
+    * the WAP session conf is set (the user believes writes are gated —
+    * mutating main silently would bypass the audit flow) */
+  private[sources] def refuseMainMutation(spark: SparkSession,
+      branchPin: Option[String], op: String): Unit = {
+    branchPin.foreach(b => throw new UnsupportedOperationException(
+      s"$op on branch $b is not supported — branches stage appends only " +
+      "(write-audit-publish); publish first"))
+    wapBranch(spark).foreach(b => throw new UnsupportedOperationException(
+      s"$op while spark.wap.branch=$b is set would mutate MAIN outside " +
+      "the audit gate — unset the conf or publish first"))
+  }
+
   /** whether the table's manifest is file-tracked (carries `data_files`) —
     * the prerequisite for snapshot-preserving overwrite; pre-tracking
     * tables overwrite by physical replace */
@@ -128,6 +152,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     if (parameters.contains("branch"))
       require(mode == Append && exists, "option(\"branch\") writes require " +
         "SaveMode.Append onto an existing table (write-audit-publish stages appends)")
+    if (mode == Overwrite)
+      GraftDataSource.refuseMainMutation(spark, None, "overwrite")
+    // table CREATION publishes to main too: any mode against a
+    // not-yet-existing path must not slip past the WAP gate
+    if (!exists)
+      GraftDataSource.refuseMainMutation(spark, None, s"creating $outDir")
     mode match {
       case Ignore if exists => ()
       case ErrorIfExists if exists =>
@@ -135,7 +165,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       case Append if exists =>
         val batchId = parameters.get("batchId").map(_.toLong)
           .getOrElse(EncodePipeline.nextBatchId(spark, outDir))
-        parameters.get("branch") match {
+        // explicit option("branch") wins over the session-wide WAP conf
+        // (spark.wap.branch — Iceberg's write-audit-publish session gate)
+        parameters.get("branch")
+            .orElse(GraftDataSource.wapBranch(spark)) match {
           case Some(b) => // write-audit-publish: stage on a branch, invisible
             EncodePipeline.appendToBranch(data, key, outDir, partitions, b,
               blockSize, batchId) // loud on unknown branch names
@@ -222,6 +255,10 @@ object GraftMetaTable {
     case "files" => StructType(Seq(
       StructField("part", IntegerType, nullable = false),
       StructField("file", StringType, nullable = false)))
+    case "refs" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("gen", IntegerType, nullable = false)))
     case "manifest" =>
       SparkSession.active.read.option("mergeSchema", "true").parquet(s"$outDir/meta").schema
     case "stats" => StructType(Seq(
@@ -265,6 +302,15 @@ class GraftMetaTable(outDir: String, which: String, metaSchema: StructType)
                   fs.toDF("part", "file")
                 case "manifest" =>
                   spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+                case "refs" =>
+                  // named references (Iceberg `refs` metadata table): tags
+                  // pin a generation, branches record their creation base
+                  import spark.implicits._
+                  (EncodePipeline.readTags(spark, outDir).toSeq
+                      .map { case (n, g) => (n, "tag", g) } ++
+                    EncodePipeline.readBranches(spark, outDir).toSeq
+                      .map { case (n, g) => (n, "branch", g) })
+                    .sortBy(r => (r._2, r._1)).toDF("name", "type", "gen")
                 case "stats" =>
                   // scan-free per-column aggregates + NDV, straight off the
                   // manifest (throws loudly under live delete vectors or
@@ -546,6 +592,8 @@ class GraftTable(outDir: String, tableSchema: StructType,
                 val key = tableSchema.fieldNames.head
                 val partitions = spark.sessionState.conf.numShufflePartitions
                 if (overwrite || legacyOverwrite) {
+                  GraftDataSource.refuseMainMutation(spark, branchPin,
+                    "INSERT OVERWRITE")
                   if (GraftDataSource.fileTracked(spark, outDir))
                     // INSERT OVERWRITE as a snapshot — history stays readable
                     EncodePipeline.replaceCommit(data, key, outDir, partitions)
@@ -554,9 +602,14 @@ class GraftTable(outDir: String, tableSchema: StructType,
                     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
                     EncodePipeline.run(data, key, outDir, partitions)
                   }
-                } else {
-                  EncodePipeline.appendCommit(data, key, outDir, partitions,
-                    batchId = EncodePipeline.nextBatchId(spark, outDir))
+                } else branchPin.orElse(GraftDataSource.wapBranch(spark)) match {
+                  case Some(b) => // INSERT INTO db.t.branch_<b> (or the
+                    // spark.wap.branch session gate): STAGE, not main
+                    EncodePipeline.appendToBranch(data, key, outDir, partitions,
+                      b, batchId = EncodePipeline.nextBatchId(spark, outDir))
+                  case None =>
+                    EncodePipeline.appendCommit(data, key, outDir, partitions,
+                      batchId = EncodePipeline.nextBatchId(spark, outDir))
                 }
               }
             }
@@ -567,6 +620,14 @@ class GraftTable(outDir: String, tableSchema: StructType,
             if (overwrite) throw new UnsupportedOperationException(
               "graft streaming sink supports Append output mode only " +
                 "(Complete would truncate the table every epoch)")
+            // silent fall-through to main would bypass the WAP audit gate
+            GraftDataSource.refuseMainMutation(SparkSession.active, branchPin,
+              "writeStream")
+            if (info.options.containsKey("branch"))
+              throw new UnsupportedOperationException(
+                "writeStream into a branch is not supported — stream to a " +
+                "staging table and appendToBranch its batches, or stream " +
+                "to main directly")
             new GraftStreamingWrite(outDir, tableSchema, info)
           }
         }
@@ -594,8 +655,11 @@ class GraftTable(outDir: String, tableSchema: StructType,
     * [[deleteWhere]] below. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
-      org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    GraftDataSource.refuseMainMutation(SparkSession.active, branchPin,
+      "UPDATE/MERGE/DELETE")
     () => new GraftRowLevelOperation(outDir, tableSchema, info.command())
+  }
 
   /** SQL `DELETE FROM <catalog table> WHERE ...` — merge-on-read: matching
     * rows land in positional delete vectors ([[EncodePipeline
@@ -610,6 +674,7 @@ class GraftTable(outDir: String, tableSchema: StructType,
     filters.forall(f => GraftTable.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    GraftDataSource.refuseMainMutation(SparkSession.active, branchPin, "DELETE")
     val pred = filters.toSeq.flatMap(GraftTable.filterToColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))

@@ -107,10 +107,13 @@ object GraftProcedures {
       }
     },
     "vacuum" -> new Proc("vacuum",
-      Seq(Arg("table", StringType)),
+      Seq(Arg("table", StringType),
+        Arg("retain_last", IntegerType, Some("1")) /* protect the newest N
+          generations' file sets — Iceberg expire_snapshots retain-last */),
       StructType(Seq(StructField("files_removed", IntegerType, nullable = false)))) {
       override protected def run(in: InternalRow): InternalRow =
-        row(EncodePipeline.vacuum(spark, dirOf(root, in.getUTF8String(0).toString)))
+        row(EncodePipeline.vacuum(spark,
+          dirOf(root, in.getUTF8String(0).toString), in.getInt(1)))
     },
     "analyze" -> new Proc("analyze",
       Seq(Arg("table", StringType)),

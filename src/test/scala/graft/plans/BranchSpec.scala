@@ -47,6 +47,11 @@ class BranchSpec extends SparkTestBase {
     // time travel below the marker still hides the branch
     assert(spark.read.format("graft").option("gen", "1").load(out).count()
       === base.count())
+    // ...but a BRANCH read time-traveled below the marker still shows the
+    // audit state as it existed then: the registry base stays at creation,
+    // publish progress is derived from the markers
+    assert(spark.read.format("graft").option("branch", "audit")
+      .option("gen", "1").load(out).count() === d.count())
     // a published branch keeps working: base advanced, nothing re-publishes
     assert(EncodePipeline.fastForward(spark, out, "audit") === 2) // no-op
     // rollback across the publish unpublishes (metadata-only)
@@ -74,11 +79,16 @@ class BranchSpec extends SparkTestBase {
     assert(!EncodePipeline.dropBranch(spark, out, "wip"))
     assert(EncodePipeline.vacuum(spark, out) > 0)
     assert(spark.read.format("graft").load(out).count() === base.count())
-    // re-creating the name must NOT resurrect the orphaned generation:
-    // the new base sits above it and the publish window is (base, head]
+    // re-creating the name must NOT resurrect the orphaned generation: the
+    // branch read scopes to gen > the NEW base, so the dropped incarnation's
+    // rows (files already vacuumed) never plan — and the dropped rows'
+    // batch_id must not block re-staging the corrected batch under the
+    // SAME id (the stream saw the original batch fail its audit)
     EncodePipeline.createBranch(spark, out, "wip")
+    assert(spark.read.format("graft").option("branch", "wip").load(out)
+      .count() === base.count())
     assert(EncodePipeline.appendToBranch(stagedB, "url", out, 2, "wip",
-      blockSize = 64, batchId = 2L))
+      blockSize = 64, batchId = 1L)) // reuses the dropped incarnation's id
     EncodePipeline.fastForward(spark, out, "wip")
     assert(spark.read.format("graft").load(out).count()
       === base.count() + stagedB.count())
@@ -118,6 +128,18 @@ class BranchSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       EncodePipeline.appendToBranch(staged, "url", out, 2, "nope", 64, 9L)
     }
+    // a main-side MOR delete is a pure marker generation (part -1, zero
+    // files re-listed): it must NOT read as replacing — merge-publish works
+    EncodePipeline.dropBranch(spark, out, "aud2")
+    EncodePipeline.createBranch(spark, out, "aud3")
+    assert(EncodePipeline.appendToBranch(staged.limit(5), "url", out, 2, "aud3",
+      blockSize = 64, batchId = 10L))
+    val nBefore = spark.read.format("graft").load(out).count()
+    val nDel = EncodePipeline.deleteWhereLazy(spark, out, d.schema,
+      pmod(xxhash64(col("url")), lit(7)) === 0)
+    assert(nDel > 0)
+    EncodePipeline.fastForward(spark, out, "aud3", allowDivergence = true)
+    assert(spark.read.format("graft").load(out).count() === nBefore - nDel + 5)
   }
 
   test("connector branch writes: option(\"branch\") Append stages invisibly; " +
@@ -140,6 +162,30 @@ class BranchSpec extends SparkTestBase {
       staged.write.format("graft").option("branch", "stage")
         .mode("overwrite").save(out)
     }
+  }
+
+  test("spark.wap.branch session gate: appends stage on the branch, " +
+       "mutating writes refuse") {
+    val d = WebDocGen.dataset(spark, 140, 4).toDF()
+    val base = d.filter(pmod(xxhash64(col("url")), lit(2)) === 0)
+    val staged = d.filter(pmod(xxhash64(col("url")), lit(2)) === 1)
+    val out = tmpDir("graft_wap_conf")
+    EncodePipeline.run(base, "url", out, partitions = 2, blockSize = 64)
+    EncodePipeline.createBranch(spark, out, "wap")
+    spark.conf.set("spark.wap.branch", "wap")
+    try {
+      // a plain append under the gate stages instead of committing to main
+      staged.write.format("graft").mode("append").save(out)
+      assert(spark.read.format("graft").load(out).count() === base.count())
+      assert(spark.read.format("graft").option("branch", "wap").load(out)
+        .count() === d.count())
+      // overwrite under the gate would replace main outside the audit flow
+      intercept[UnsupportedOperationException] {
+        staged.write.format("graft").mode("overwrite").save(out)
+      }
+    } finally spark.conf.unset("spark.wap.branch")
+    EncodePipeline.fastForward(spark, out, "wap")
+    assert(spark.read.format("graft").load(out).count() === d.count())
   }
 
   test("SQL surface: CALL create_branch/fast_forward/drop_branch, " +
@@ -169,5 +215,26 @@ class BranchSpec extends SparkTestBase {
       === d.count())
     assert(spark.sql("CALL bcat.system.drop_branch(table => 'db.t', branch => 'qa')")
       .head().getBoolean(0))
+    // SQL writes through a branch identifier STAGE (never leak to main);
+    // row-level DML on a branch identifier refuses loudly
+    spark.sql("CALL bcat.system.create_branch(table => 'db.t', branch => 'qa2')")
+    // the `refs` metadata table lists branches and tags (Iceberg parity)
+    assert(spark.sql("SELECT type FROM bcat.db.t.refs WHERE name = 'qa2'")
+      .head().getString(0) === "branch")
+    val nMain = spark.sql("SELECT count(*) FROM bcat.db.t").head().getLong(0)
+    spark.sql("INSERT INTO bcat.db.t.branch_qa2 " +
+      "SELECT url, warc_ts, html, text, lang FROM bcat.db.t LIMIT 7")
+    assert(spark.sql("SELECT count(*) FROM bcat.db.t").head().getLong(0) === nMain)
+    assert(spark.sql("SELECT count(*) FROM bcat.db.t.branch_qa2").head().getLong(0)
+      === nMain + 7)
+    val eDel = intercept[Throwable] {
+      spark.sql("DELETE FROM bcat.db.t.branch_qa2 WHERE lang = 'en'").collect()
+    }
+    val msgs = Iterator.iterate(eDel)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("not supported"), msgs)
+    spark.sql("CALL bcat.system.fast_forward(table => 'db.t', branch => 'qa2')")
+    assert(spark.sql("SELECT count(*) FROM bcat.db.t").head().getLong(0)
+      === nMain + 7)
   }
 }

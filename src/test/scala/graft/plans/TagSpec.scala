@@ -50,6 +50,28 @@ class TagSpec extends SparkTestBase {
     }
   }
 
+  test("vacuum retain_last keeps the newest N generations time-travelable " +
+       "(Iceberg expire_snapshots parity)") {
+    val d = WebDocGen.dataset(spark, 240, 4).toDF()
+    val base = d.filter(pmod(xxhash64(col("url")), lit(2)) === 0)
+    val added = d.filter(pmod(xxhash64(col("url")), lit(2)) === 1)
+    val out = tmpDir("graft_retain")
+    EncodePipeline.run(base, "url", out, partitions = 2, blockSize = 64) // gen 0
+    EncodePipeline.appendCommit(added, "url", out, 2, 64, batchId = 1L)  // gen 1
+    assert(EncodePipeline.compact(spark, out, d.schema, blockSize = 256)
+      .nonEmpty) // gen 2 supersedes the gen-0/1 files
+    // retention window covers all three generations: nothing reclaims and
+    // history stays readable
+    assert(EncodePipeline.vacuum(spark, out, retainLast = 3) === 0)
+    assert(spark.read.format("graft").option("gen", "1").load(out).count()
+      === d.count())
+    assert(spark.read.format("graft").option("gen", "0").load(out).count()
+      === base.count())
+    // default retention (current only) expires the superseded files
+    assert(EncodePipeline.vacuum(spark, out) > 0)
+    assert(spark.read.format("graft").load(out).count() === d.count())
+  }
+
   test("materializeDeletes refuses to expire vector history a tag applies") {
     val d = WebDocGen.dataset(spark, 200, 4).toDF()
     val out = tmpDir("graft_tag_mor")
