@@ -89,7 +89,7 @@ object GraftDataSource {
     * the prerequisite for snapshot-preserving overwrite; pre-tracking
     * tables overwrite by physical replace */
   private[sources] def fileTracked(spark: SparkSession, outDir: String): Boolean =
-    try spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+    try EncodePipeline.rawManifest(spark, outDir)
       .columns.contains("data_files")
     catch { case _: Exception => false }
 
@@ -260,7 +260,7 @@ object GraftMetaTable {
       StructField("type", StringType, nullable = false),
       StructField("gen", IntegerType, nullable = false)))
     case "manifest" =>
-      SparkSession.active.read.option("mergeSchema", "true").parquet(s"$outDir/meta").schema
+      EncodePipeline.rawManifest(SparkSession.active, outDir).schema
     case "stats" => StructType(Seq(
       StructField("column", StringType, nullable = false),
       StructField("n_rows", LongType, nullable = false),
@@ -301,7 +301,7 @@ class GraftMetaTable(outDir: String, which: String, metaSchema: StructType)
                   import spark.implicits._
                   fs.toDF("part", "file")
                 case "manifest" =>
-                  spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+                  EncodePipeline.rawManifest(spark, outDir)
                 case "refs" =>
                   // named references (Iceberg `refs` metadata table): tags
                   // pin a generation, branches record their creation base

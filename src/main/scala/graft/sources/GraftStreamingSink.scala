@@ -83,7 +83,7 @@ class GraftStreamingWrite(outDir: String, tableSchema: StructType,
     val files = messages.collect { case m: GraftDeltaMessage => m }
       .flatMap(_.insertedFiles).toSeq.sorted
     val replayed = try {
-      val m = spark.read.option("mergeSchema", "true").parquet(s"$outDir/meta")
+      val m = EncodePipeline.rawManifest(spark, outDir)
       m.columns.contains("batch_id") &&
         !m.filter(org.apache.spark.sql.functions.col("batch_id") === epochId).isEmpty
     } catch { case _: Exception => false } // no manifest yet: first commit
