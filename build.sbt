@@ -23,6 +23,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// ad-hoc debug flags for the forked test/run JVMs (e.g.
+// GRAFT_TEST_OPTS="-Dgraft.debug.vacuum=1" sbt test)
+javaOptions ++= sys.env.get("GRAFT_TEST_OPTS")
+  .map(_.split(" ").toSeq).getOrElse(Seq.empty)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

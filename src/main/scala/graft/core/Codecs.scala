@@ -838,14 +838,34 @@ object Codecs {
     else (encodeStrsAs(vs, best, Some(s)), null)
   }
 
-  /** FSST-encode a block with an already-trained table. */
+  /** FSST-encode a block with an already-trained table. One shared scratch
+    * buffer for the whole block (worst-case 2x total bytes) instead of a
+    * per-value 2x allocation + exact-size copy — the ingest hot path. */
   def encodeFsstWith(vs: Array[Array[Byte]], table: Fsst.SymbolTable): Array[Byte] = {
-    val w = new ByteWriter(64)
-    val comp = vs.map(table.compress)
-    w.writeByte(FsstId); w.writeInt(vs.length)
+    val n = vs.length
+    var total = 0L
+    var i = 0
+    while (i < n) { total += vs(i).length; i += 1 }
+    require(total * 2 + 8 <= Int.MaxValue, s"FSST block too large ($total bytes)")
+    val buf = new Array[Byte]((total * 2 + 8).toInt)
+    val lens = new Array[Long](n)
+    var o = 0
+    i = 0
+    while (i < n) {
+      val w = table.compressInto(vs(i), 0, vs(i).length, buf, o)
+      lens(i) = w
+      o += w
+      i += 1
+    }
+    val w = new ByteWriter(o + 64)
+    w.writeByte(FsstId); w.writeInt(n)
     table.writeTo(w)
-    writeLens(w, comp)
-    comp.foreach(w.writeBytes)
+    var maxLen = 0L
+    lens.foreach(l => if (l > maxLen) maxLen = l)
+    val lenW = BitPack.bitsNeeded(maxLen)
+    w.writeByte(lenW)
+    w.writeBytes(BitPack.pack(lens, lenW))
+    w.writeBytesRange(buf, 0, o)
     w.toArray
   }
 

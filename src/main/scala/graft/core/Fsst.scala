@@ -115,21 +115,33 @@ object Fsst {
     def compress(data: Array[Byte], from: Int, end: Int): Array[Byte] = {
       // worst case: every byte escapes -> 2x; single alloc, raw-index writes
       val out = new Array[Byte]((end - from) * 2 + 8)
-      var o = 0
+      val o = compressInto(data, from, end, out, 0)
+      java.util.Arrays.copyOf(out, o)
+    }
+
+    /** compress into `dst` at `dstOff`, returning bytes written. The caller
+      * must leave (end-from)*2 bytes of capacity (worst-case escape
+      * expansion). The block encoder compresses a whole block into ONE
+      * shared buffer through this — no per-value 2x scratch allocation, no
+      * per-value exact-size copy (the ingest hot path: 78%+ of encode bytes
+      * are FSST text/html). */
+    def compressInto(data: Array[Byte], from: Int, end: Int,
+                     dst: Array[Byte], dstOff: Int): Int = {
+      var o = dstOff
       var pos = from
       val safe = end - 8
       while (pos < end) {
         val w = if (pos <= safe) Bits.loadLongLE(data, pos) else loadWord(data, pos, end)
         val c = findLongest(w, end - pos)
         if (c >= 0) {
-          out(o) = c.toByte; o += 1
+          dst(o) = c.toByte; o += 1
           pos += symLen(c)
         } else {
-          out(o) = EscapeCode.toByte; out(o + 1) = data(pos); o += 2
+          dst(o) = EscapeCode.toByte; dst(o + 1) = data(pos); o += 2
           pos += 1
         }
       }
-      java.util.Arrays.copyOf(out, o)
+      o - dstOff
     }
 
     def decompress(comp: Array[Byte], from: Int, until: Int): Array[Byte] = {
@@ -293,6 +305,7 @@ final class ByteWriter(initial: Int = 64) {
   def size: Int = len
   def writeByte(b: Int): Unit = { ensure(1); buf(len) = b.toByte; len += 1 }
   def writeBytes(bs: Array[Byte]): Unit = { ensure(bs.length); System.arraycopy(bs, 0, buf, len, bs.length); len += bs.length }
+  def writeBytesRange(bs: Array[Byte], off: Int, n: Int): Unit = { ensure(n); System.arraycopy(bs, off, buf, len, n); len += n }
   def writeInt(v: Int): Unit = {
     ensure(4)
     buf(len) = v.toByte; buf(len + 1) = (v >>> 8).toByte

@@ -273,7 +273,7 @@ object GraftMetaTable {
       StructField("distinct_exact", org.apache.spark.sql.types.BooleanType,
         nullable = true)))
     case other => throw new IllegalArgumentException(
-      s"""unknown metadata table "$other" — one of snapshots, files, manifest, stats""")
+      s"""unknown metadata table "$other" — one of snapshots, files, manifest, stats, refs""")
   }
 }
 
