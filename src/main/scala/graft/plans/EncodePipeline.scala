@@ -2492,6 +2492,35 @@ object EncodePipeline {
           if (fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(uri)), false))
             deleted += 1
         }
+        // ZERO-ROW vector files: a staging write's empty shuffle bins land
+        // as row-less parquet part files (the persisted staging Dataset
+        // pins the pre-AQE partition count, so empty tasks write empty
+        // files). They carry no vectors — they can never apply — but the
+        // per-file row grouping above never sees them, so they kept the
+        // deletes/ directory alive FOREVER once every real vector was
+        // reclaimed (latent in r5: SnapshotSpec's vacuum-reclaims test
+        // flaked ~40%, whenever the 8 bitmap keys missed one of 4 bins).
+        // Reclaimed ONLY when no row-bearing vector file remains — while
+        // live vectors exist the husks are harmless and the committed file
+        // set stays untouched (AtomicCommitSpec's equality contract).
+        // Emptiness is verified from the parquet FOOTER, not the cached
+        // rows, so a stale cache can never misclassify a live file.
+        val removedNames: Set[String] = (orphan ++ abandonedFiles).filter(_.nonEmpty)
+          .map(u => new org.apache.hadoop.fs.Path(new java.net.URI(u)).getName).toSet
+        val liveRowFiles: Set[String] = raw.select(col("__src_file")).distinct()
+          .collect().map(r => new org.apache.hadoop.fs.Path(
+            new java.net.URI(r.getString(0))).getName).toSet -- removedNames
+        if (liveRowFiles.isEmpty) {
+          dvFiles.filterNot(st => removedNames.contains(st.getPath.getName)).foreach { st =>
+            val zeroRows = try {
+              val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(
+                  st, spark.sparkContext.hadoopConfiguration))
+              try pf.getRecordCount == 0L finally pf.close()
+            } catch { case _: Exception => false }
+            if (zeroRows && fs.delete(st.getPath, false)) deleted += 1
+          }
+        }
         // reclaiming the LAST vector file leaves a parquet-less directory
         // that would fail schema inference on the next read — remove it
         val left = fs.listStatus(delPath).exists(s => s.isFile &&
