@@ -1351,6 +1351,7 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
        else lit(null).cast(BinaryType)).as("sk")
     ).collect()
     val kinds = EncodePipeline.plan(tableSchema).map(p => p.name -> p.kind).toMap
+    val srcTypes = EncodePipeline.plan(tableSchema).map(p => p.name -> p.sourceType).toMap
     val out = new java.util.HashMap[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     rowsArr.foreach { r =>
@@ -1361,8 +1362,23 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
         val nullCnt: Option[Long] =
           if (r.getLong(2) == 0L) Some(r.getLong(3) + (liveRows - covered)) else None
         val isLong = kinds(name) == 'l'
-        val vMin = if (isLong && !r.isNullAt(4)) Some(r.getLong(4)) else None
-        val vMax = if (isLong && !r.isNullAt(5)) Some(r.getLong(5)) else None
+        // manifest value_min/value_max live in the CANONICAL long domain;
+        // report them to the CBO only where that domain IS the column's
+        // Catalyst-internal domain (r5 advice: double/float bits and their
+        // unordered-bits min/max would skew selectivity estimates). Dates
+        // decode to their internal day count; timestamps' micros ARE the
+        // internal long.
+        def domain(v: Long): Option[Object] = srcTypes.get(name).flatMap {
+          case LongType => Some(java.lang.Long.valueOf(v): Object)
+          case TimestampType | TimestampNTZType => Some(java.lang.Long.valueOf(v): Object)
+          case IntegerType => Some(java.lang.Integer.valueOf(v.toInt): Object)
+          case DateType => Some(java.lang.Integer.valueOf(v.toInt): Object)
+          case ShortType => Some(java.lang.Short.valueOf(v.toShort): Object)
+          case ByteType => Some(java.lang.Byte.valueOf(v.toByte): Object)
+          case _ => None // double/float: bits order != numeric order
+        }
+        val vMin = if (isLong && !r.isNullAt(4)) domain(r.getLong(4)) else None
+        val vMax = if (isLong && !r.isNullAt(5)) domain(r.getLong(5)) else None
         if (ndvEst.nonEmpty || nullCnt.nonEmpty || vMin.nonEmpty)
           out.put(Expressions.column(name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -1371,11 +1387,9 @@ class GraftScan(spark: SparkSession, outDir: String, tableSchema: StructType,
               override def nullCount(): OptionalLong =
                 nullCnt.map(OptionalLong.of).getOrElse(OptionalLong.empty())
               override def min(): java.util.Optional[Object] =
-                vMin.map(v => java.util.Optional.of(java.lang.Long.valueOf(v): Object))
-                  .getOrElse(java.util.Optional.empty[Object]())
+                vMin.map(v => java.util.Optional.of(v)).getOrElse(java.util.Optional.empty[Object]())
               override def max(): java.util.Optional[Object] =
-                vMax.map(v => java.util.Optional.of(java.lang.Long.valueOf(v): Object))
-                  .getOrElse(java.util.Optional.empty[Object]())
+                vMax.map(v => java.util.Optional.of(v)).getOrElse(java.util.Optional.empty[Object]())
             })
       }
     }
